@@ -1,0 +1,165 @@
+"""Typed configuration for soccerdiffusion_tpu.
+
+The flat key names intentionally match the reference's YAML configs
+(reference ml/training/config/default.yaml:1-29) so checkpoints embed an
+identical hyperparameter dict and reference configs load unmodified.
+Late-added reference keys keep the same `get(..., default)` back-compat
+semantics (reference ml/training/train.py:133-134, ml/inference/ros.py:56-57).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+# Canonical 22-joint schema (reference dataset/models.py:222-247). The
+# reference has a latent 20-vs-22 inconsistency between the schema and its
+# configs (SURVEY.md §2.3); here the joint list is derived from num_joints so
+# there is a single source of truth.
+CANONICAL_JOINT_NAMES_22 = (
+    "HeadPan",
+    "HeadTilt",
+    "LAnklePitch",
+    "LAnkleRoll",
+    "LElbow",
+    "LElbowYaw",
+    "LHipPitch",
+    "LHipRoll",
+    "LHipYaw",
+    "LKnee",
+    "LShoulderPitch",
+    "LShoulderRoll",
+    "RAnklePitch",
+    "RAnkleRoll",
+    "RElbow",
+    "RElbowYaw",
+    "RHipPitch",
+    "RHipRoll",
+    "RHipYaw",
+    "RKnee",
+    "RShoulderPitch",
+    "RShoulderRoll",
+)
+
+# The 20-joint subset used by every shipped reference config (no elbow yaw;
+# reference ml/training/config/default.yaml:12 `num_joints: 20`).
+CANONICAL_JOINT_NAMES_20 = tuple(n for n in CANONICAL_JOINT_NAMES_22 if not n.endswith("ElbowYaw"))
+
+VALID_IMAGE_ENCODERS = ("resnet18", "resnet50", "vit", "swin_transformer_tiny", "swin_transformer_small")
+VALID_SEQUENCE_ENCODERS = ("transformer", "none")
+VALID_IMU_METHODS = ("quaternion", "five_dim")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference ml/model/model.py:17-121 ctor args)."""
+
+    num_joints: int = 20
+    hidden_dim: int = 128
+    trajectory_prediction_length: int = 10
+    encoder_patch_size: int = 1
+    # Action history encoder
+    use_action_history: bool = True
+    num_action_history_encoder_layers: int = 2
+    action_context_length: int = 100
+    # IMU encoder
+    use_imu: bool = True
+    imu_orientation_embedding_method: str = "quaternion"
+    num_imu_encoder_layers: int = 2
+    imu_context_length: int = 100
+    # Joint state encoder
+    use_joint_states: bool = True
+    joint_state_encoder_layers: int = 2
+    joint_state_context_length: int = 100
+    # Image encoder
+    use_images: bool = True
+    image_encoder_type: str = "resnet18"
+    image_sequence_encoder_type: str = "transformer"
+    num_image_sequence_encoder_layers: int = 1
+    image_context_length: int = 10
+    image_use_final_avgpool: bool = False
+    image_resolution: int = 224
+    # Game state encoder
+    use_gamestate: bool = True
+    # Denoising decoder
+    num_decoder_layers: int = 4
+    # TPU-native knobs (no reference counterpart)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+
+    def __post_init__(self) -> None:
+        if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:
+            raise ValueError(f"unknown imu_orientation_embedding_method: {self.imu_orientation_embedding_method}")
+        if self.use_images and self.image_encoder_type not in VALID_IMAGE_ENCODERS:
+            raise ValueError(f"unknown image_encoder_type: {self.image_encoder_type}")
+        if self.use_images and self.image_sequence_encoder_type not in VALID_SEQUENCE_ENCODERS:
+            raise ValueError(f"unknown image_sequence_encoder_type: {self.image_sequence_encoder_type}")
+
+    @property
+    def imu_input_dim(self) -> int:
+        # quaternion: 4, five_dim (axis + sin/cos): 5 (reference encoder/imu.py:39-44)
+        return 4 if self.imu_orientation_embedding_method == "quaternion" else 5
+
+    @property
+    def joint_names(self) -> tuple[str, ...]:
+        if self.num_joints == len(CANONICAL_JOINT_NAMES_22):
+            return CANONICAL_JOINT_NAMES_22
+        if self.num_joints == len(CANONICAL_JOINT_NAMES_20):
+            return CANONICAL_JOINT_NAMES_20
+        return tuple(f"joint_{i}" for i in range(self.num_joints))
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference config/default.yaml + train.py)."""
+
+    epochs: int = 10
+    batch_size: int = 64
+    lr: float = 1e-4
+    train_denoising_timesteps: int = 1000
+    num_normalization_samples: int = 1000
+    distill_teacher_inference_steps: int = 30
+    # TPU-native knobs
+    seed: int = 0
+    weight_decay: float = 1e-2  # torch AdamW default (reference train.py:162)
+    log_every: int = 20  # reference train.py:231
+    mesh_shape: dict[str, int] = field(default_factory=dict)  # {} = all devices on "data"
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---- flat-dict round trip (checkpoint-embedded hyperparams contract) ----
+
+    @classmethod
+    def from_dict(cls, params: dict[str, Any]) -> "Config":
+        """Build from a flat reference-style hyperparameter dict."""
+        params = dict(params)
+        model_kwargs: dict[str, Any] = {}
+        train_kwargs: dict[str, Any] = {}
+        model_fields = {f.name for f in dataclasses.fields(ModelConfig)}
+        train_fields = {f.name for f in dataclasses.fields(TrainConfig)}
+        for key, value in params.items():
+            if key in model_fields:
+                model_kwargs[key] = value
+            elif key in train_fields:
+                train_kwargs[key] = value
+            # Unknown keys are tolerated, matching params.get(...) semantics in
+            # the reference (train.py:90-92).
+        return cls(model=ModelConfig(**model_kwargs), train=TrainConfig(**train_kwargs))
+
+    def to_dict(self) -> dict[str, Any]:
+        """Flat dict with reference-compatible key names, embedded in checkpoints."""
+        flat = dataclasses.asdict(self.model)
+        flat.update(dataclasses.asdict(self.train))
+        return flat
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))

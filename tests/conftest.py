@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+Tests run hermetically on CPU with 8 virtual XLA devices so that multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4). These env
+vars must be set before JAX is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,171 @@
+"""Golden-value tests for the diffusion core.
+
+The expected values are computed by an independent numpy re-derivation of the
+published DDIM/improved-DDPM math (the semantics the reference gets from
+diffusers' DDIMScheduler; reference ml/training/train.py:185-186, 218 and
+ml/inference/ros.py:301-310), written from the papers' closed forms — not by
+importing diffusers.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soccerdiffusion_tpu.diffusion import (
+    add_noise,
+    ddim_sample,
+    ddim_step,
+    ddim_timesteps,
+    ddpm_sample,
+    make_schedule,
+)
+
+
+def np_squaredcos_alphas_cumprod(T: int, max_beta: float = 0.999) -> np.ndarray:
+    """Independent reimplementation: improved-DDPM cosine schedule."""
+
+    def alpha_bar(t):
+        return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+    betas = [min(1 - alpha_bar((i + 1) / T) / alpha_bar(i / T), max_beta) for i in range(T)]
+    return np.cumprod(1.0 - np.array(betas, dtype=np.float64))
+
+
+class TestSchedule:
+    def test_alphas_cumprod_matches_closed_form(self):
+        sched = make_schedule(1000)
+        expected = np_squaredcos_alphas_cumprod(1000)
+        np.testing.assert_allclose(np.asarray(sched.alphas_cumprod), expected, rtol=2e-5)
+
+    def test_beta_cap(self):
+        sched = make_schedule(1000)
+        assert float(jnp.max(sched.betas)) <= 0.999 + 1e-6  # float32 rounding of the cap
+
+    def test_monotone_decreasing(self):
+        sched = make_schedule(50)
+        acp = np.asarray(sched.alphas_cumprod)
+        assert np.all(np.diff(acp) < 0)
+        assert 0 < acp[-1] < acp[0] < 1
+
+    def test_final_alpha_cumprod_is_one(self):
+        # diffusers DDIMScheduler default set_alpha_to_one=True
+        assert make_schedule(100).final_alpha_cumprod == 1.0
+
+
+class TestAddNoise:
+    def test_matches_closed_form(self):
+        sched = make_schedule(1000)
+        acp = np_squaredcos_alphas_cumprod(1000)
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((4, 10, 20)).astype(np.float32)
+        noise = rng.standard_normal((4, 10, 20)).astype(np.float32)
+        t = np.array([0, 1, 500, 999], dtype=np.int32)
+        got = np.asarray(add_noise(sched, jnp.asarray(x0), jnp.asarray(noise), jnp.asarray(t)))
+        expected = (
+            np.sqrt(acp[t])[:, None, None] * x0 + np.sqrt(1 - acp[t])[:, None, None] * noise
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_t0_is_nearly_clean(self):
+        sched = make_schedule(1000)
+        x0 = jnp.ones((2, 3, 4))
+        noise = jnp.zeros((2, 3, 4))
+        out = add_noise(sched, x0, noise, jnp.array([0, 0]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), rtol=1e-3)
+
+
+class TestDDIMTimesteps:
+    def test_leading_spacing_1000_30(self):
+        ts = ddim_timesteps(1000, 30)
+        # step_ratio = 33 -> 957, 924, ..., 33, 0
+        assert ts[0] == 957 and ts[-1] == 0
+        assert len(ts) == 30
+        np.testing.assert_array_equal(np.diff(ts), -33 * np.ones(29, dtype=np.int64))
+
+    def test_full_steps_identity(self):
+        ts = ddim_timesteps(10, 10)
+        np.testing.assert_array_equal(ts, np.arange(9, -1, -1))
+
+    def test_too_many_steps_raises(self):
+        with pytest.raises(ValueError):
+            ddim_timesteps(10, 11)
+
+
+class TestDDIMStep:
+    def test_matches_closed_form(self):
+        T, n = 1000, 30
+        sched = make_schedule(T)
+        acp = np_squaredcos_alphas_cumprod(T)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 10, 20)).astype(np.float32)
+        eps = rng.standard_normal((2, 10, 20)).astype(np.float32)
+        t, prev_t = 957, 957 - T // n
+        got = np.asarray(ddim_step(sched, jnp.asarray(eps), t, prev_t, jnp.asarray(x)))
+        x0_hat = (x - math.sqrt(1 - acp[t]) * eps) / math.sqrt(acp[t])
+        expected = math.sqrt(acp[prev_t]) * x0_hat + math.sqrt(1 - acp[prev_t]) * eps
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_final_step_uses_alpha_one(self):
+        # prev_t < 0 => abar_prev = 1.0 => x_prev = x0_hat exactly.
+        T, n = 1000, 30
+        sched = make_schedule(T)
+        acp = np_squaredcos_alphas_cumprod(T)
+        x = np.full((1, 2, 3), 0.7, dtype=np.float32)
+        eps = np.full((1, 2, 3), -0.2, dtype=np.float32)
+        got = np.asarray(ddim_step(sched, jnp.asarray(eps), 0, 0 - T // n, jnp.asarray(x)))
+        x0_hat = (x - math.sqrt(1 - acp[0]) * eps) / math.sqrt(acp[0])
+        np.testing.assert_allclose(got, x0_hat, rtol=1e-5, atol=1e-6)
+
+
+class TestSamplers:
+    def test_ddim_sample_perfect_model_recovers_x0(self):
+        """With a denoiser that knows the true eps for the tracked x_t, DDIM
+        must walk back to x0: simulate eps(x_t, t) = (x_t - sqrt(abar_t) x0)/sqrt(1-abar_t)."""
+        T, n = 1000, 30
+        sched = make_schedule(T)
+        x0 = jnp.asarray(np.random.default_rng(2).standard_normal((2, 10, 4)).astype(np.float32))
+        xT_eps = jnp.asarray(np.random.default_rng(3).standard_normal((2, 10, 4)).astype(np.float32))
+        x_start = add_noise(sched, x0, xT_eps, jnp.full((2,), T - 1))
+
+        def oracle_eps(x, t):
+            abar = sched.alphas_cumprod[t]
+            return (x - jnp.sqrt(abar) * x0) / jnp.sqrt(1.0 - abar)
+
+        out = ddim_sample(sched, oracle_eps, x_start, n)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), rtol=1e-3, atol=1e-3)
+
+    def test_ddim_sample_jittable(self):
+        sched = make_schedule(100)
+        f = jax.jit(lambda x: ddim_sample(sched, lambda xt, t: xt * 0.0, x, 10))
+        out = f(jnp.ones((1, 4, 2)))
+        assert out.shape == (1, 4, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_ddpm_sample_perfect_model_recovers_x0_approx(self):
+        T = 100
+        sched = make_schedule(T)
+        x0 = jnp.asarray(np.random.default_rng(4).standard_normal((2, 5, 3)).astype(np.float32))
+
+        def oracle_eps(x, t):
+            abar = sched.alphas_cumprod[t]
+            return (x - jnp.sqrt(abar) * x0) / jnp.sqrt(1.0 - abar)
+
+        xT = jax.random.normal(jax.random.key(0), x0.shape)
+        out = ddpm_sample(sched, oracle_eps, xT, jax.random.key(1))
+        # Ancestral sampling injects noise, so tolerance is loose; it must
+        # still land near x0 with the oracle denoiser.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=0.2)
+
+    def test_ddim_deterministic(self):
+        sched = make_schedule(100)
+
+        def eps_fn(x, t):
+            return jnp.tanh(x) * 0.1
+
+        x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 4, 2)).astype(np.float32))
+        a = ddim_sample(sched, eps_fn, x, 10)
+        b = ddim_sample(sched, eps_fn, x, 10)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
