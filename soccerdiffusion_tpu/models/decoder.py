@@ -1,0 +1,39 @@
+"""The denoiser: cross-attending transformer decoder over the action chunk.
+
+Counterpart of the reference's ``DiffusionActionGenerator``
+(reference ml/model/decoder.py:6-54): linear embed of the noisy
+(B, pred_len, joints) chunk + positional encoding + pre-norm GELU
+transformer decoder cross-attending to the context tokens + linear out.
+No causal mask — the whole chunk is denoised jointly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from soccerdiffusion_tpu.models.embeddings import PositionalEncoding
+from soccerdiffusion_tpu.models.transformer import TransformerDecoder
+
+
+class DiffusionActionGenerator(nn.Module):
+    num_joints: int
+    hidden_dim: int
+    num_layers: int
+    max_seq_len: int
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        """x: noisy chunk (B, pred_len, joints); context: (B, S, hidden)."""
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding")(x)
+        x = PositionalEncoding(self.hidden_dim, self.max_seq_len, dtype=self.dtype, name="pos")(x)
+        x = TransformerDecoder(
+            self.hidden_dim, self.num_heads, self.num_layers, dtype=self.dtype,
+            attention_impl=self.attention_impl, name="decoder",
+        )(x, context)
+        return nn.Dense(self.num_joints, dtype=self.dtype, name="fc_out")(x)

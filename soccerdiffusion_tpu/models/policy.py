@@ -1,0 +1,119 @@
+"""The flagship model: multimodal conditional diffusion policy.
+
+Counterpart of the reference's ``End2EndDiffusionTransformer``
+(reference ml/model/model.py:16-179), re-designed as a pure flax module:
+
+  * ``encode_context(batch)`` returns the concatenated context tokens in the
+    reference's canonical modality order — action history, IMU, joint
+    states, images, game state (reference model.py:135-144) — so it can be
+    computed once and reused across all denoising steps (the factorization
+    that makes 30-step teacher supervision and real-time serving affordable;
+    reference model.py:123-148, distill.py:177).
+  * ``denoise(context, noisy_chunk, t)`` appends the diffusion step token
+    and runs the cross-attending denoiser (reference model.py:159-179).
+  * ``__call__(batch, noisy_chunk, t)`` = encode + denoise.
+
+Batch dict contract (keys are behavioral API, reference dataset/pytorch.py:43-49):
+  joint_command_history (B, A, J)  | rotation (B, I, 4|5)
+  joint_state           (B, S, J)  | image_data (B, F, H, W, 3) channels-last
+  game_state            (B,) int32
+
+Note images are NHWC here (TPU-native layout) where the reference uses NCHW;
+the fidelity tests transpose at the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.models.decoder import DiffusionActionGenerator
+from soccerdiffusion_tpu.models.embeddings import StepToken
+from soccerdiffusion_tpu.models.encoders import GameStateEncoder, IMUEncoder, JointEncoder
+from soccerdiffusion_tpu.models.vision import ImageSequenceEncoder
+
+
+class DiffusionPolicy(nn.Module):
+    config: ModelConfig
+
+    @property
+    def dtype(self) -> Any:
+        return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        common = dict(dtype=self.dtype, attention_impl=cfg.attention_impl)
+        self.step_encoding = StepToken(cfg.hidden_dim, dtype=self.dtype)
+        if cfg.use_action_history:
+            self.action_history_encoder = JointEncoder(
+                num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
+                patch_size=cfg.encoder_patch_size,
+                num_layers=cfg.num_action_history_encoder_layers,
+                max_seq_len=cfg.action_context_length, **common,
+            )
+        if cfg.use_imu:
+            self.imu_encoder = IMUEncoder(
+                input_dim=cfg.imu_input_dim, hidden_dim=cfg.hidden_dim,
+                patch_size=cfg.encoder_patch_size,
+                num_layers=cfg.num_imu_encoder_layers,
+                max_seq_len=cfg.imu_context_length, **common,
+            )
+        if cfg.use_joint_states:
+            self.joint_states_encoder = JointEncoder(
+                num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
+                patch_size=cfg.encoder_patch_size,
+                num_layers=cfg.joint_state_encoder_layers,
+                max_seq_len=cfg.joint_state_context_length, **common,
+            )
+        if cfg.use_images:
+            self.image_sequence_encoder = ImageSequenceEncoder(
+                hidden_dim=cfg.hidden_dim, encoder_type=cfg.image_encoder_type,
+                sequence_encoder_type=cfg.image_sequence_encoder_type,
+                num_layers=cfg.num_image_sequence_encoder_layers,
+                max_seq_len=cfg.image_context_length,
+                use_final_avgpool=cfg.image_use_final_avgpool, **common,
+            )
+        if cfg.use_gamestate:
+            self.game_state_encoder = GameStateEncoder(cfg.hidden_dim, dtype=self.dtype)
+        self.diffusion_action_generator = DiffusionActionGenerator(
+            num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
+            num_layers=cfg.num_decoder_layers,
+            max_seq_len=cfg.trajectory_prediction_length, **common,
+        )
+
+    def encode_context(self, batch: dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
+        """Concatenated (B, S, hidden) context tokens, canonical modality order."""
+        cfg = self.config
+        context = []
+        if cfg.use_action_history:
+            context.append(self.action_history_encoder(batch["joint_command_history"].astype(self.dtype)))
+        if cfg.use_imu:
+            context.append(self.imu_encoder(batch["rotation"].astype(self.dtype)))
+        if cfg.use_joint_states:
+            context.append(self.joint_states_encoder(batch["joint_state"].astype(self.dtype)))
+        if cfg.use_images:
+            context.append(self.image_sequence_encoder(batch["image_data"].astype(self.dtype), train=train))
+        if cfg.use_gamestate:
+            context.append(self.game_state_encoder(batch["game_state"].astype(jnp.int32)))
+        if not context:
+            raise ValueError("model has no enabled context encoders")
+        return jnp.concatenate(context, axis=1)
+
+    def denoise(self, context: jnp.ndarray, noisy_chunk: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """Predict epsilon for the noisy action chunk given context tokens."""
+        step_token = self.step_encoding(t)
+        full_context = jnp.concatenate([context, step_token], axis=1)
+        out = self.diffusion_action_generator(noisy_chunk.astype(self.dtype), full_context)
+        return out.astype(jnp.float32)
+
+    def __call__(
+        self,
+        batch: dict[str, jnp.ndarray],
+        noisy_chunk: jnp.ndarray,
+        t: jnp.ndarray,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        return self.denoise(self.encode_context(batch, train=train), noisy_chunk, t)

@@ -1,0 +1,221 @@
+"""Image encoders: ResNet-18/50, ViT, and the image *sequence* encoder.
+
+The ResNets mirror torchvision's architecture (the reference instantiates
+torchvision resnet18/resnet50 and replaces the head; reference
+ml/model/encoder/image.py:64-83) but are laid out channels-last (NHWC) —
+the natural TPU layout — with BatchNorm running statistics in the
+``batch_stats`` collection. Weights converted from torchvision checkpoints
+can be loaded via ``soccerdiffusion_tpu.utils.torch_port``.
+
+The ViT encoder is a TPU-native addition (BASELINE.json config[2]): a
+patchified pre-norm transformer that maps far better onto the MXU than
+ResNet's small convolutions while exposing the same (B, T, hidden) token
+interface.
+
+The sequence encoder folds (B, T, H, W, C) -> (B*T, H, W, C), encodes each
+frame, and optionally runs a small transformer across time
+(reference image.py:31-52, :103-121).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from soccerdiffusion_tpu.models.embeddings import PositionalEncoding
+from soccerdiffusion_tpu.models.encoders import SequenceEncoder
+from soccerdiffusion_tpu.models.transformer import TransformerEncoder
+
+
+class BasicBlock(nn.Module):
+    """ResNet-18/34 residual block: 3x3 conv, BN, relu, 3x3 conv, BN, +skip."""
+
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype)
+        residual = x
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = norm(name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.filters, (1, 1), strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet-50 bottleneck block: 1x1 -> 3x3 -> 1x1 (4x expansion)."""
+
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype)
+        residual = x
+        y = conv(self.filters, (1, 1), name="conv1")(x)
+        y = nn.relu(norm(name="bn1")(y))
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = nn.relu(norm(name="bn2")(y))
+        y = conv(self.filters * 4, (1, 1), name="conv3")(y)
+        y = norm(name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.filters * 4, (1, 1), strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetImageEncoder(nn.Module):
+    """torchvision-compatible ResNet trunk with the reference's head variants.
+
+    Head (reference image.py:69-83): if ``use_final_avgpool``, global average
+    pool + Dense(hidden); else a 1x1 conv to 32 channels over the final
+    spatial map, flattened, + Dense(hidden).
+    Input: (N, H, W, 3) ImageNet-normalized float. Output: (N, hidden).
+    """
+
+    hidden_dim: int
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)  # resnet18; resnet50 = (3, 4, 6, 3)
+    bottleneck: bool = False
+    use_final_avgpool: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        block = BottleneckBlock if self.bottleneck else BasicBlock
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for i in range(num_blocks):
+                strides = 2 if stage > 0 and i == 0 else 1
+                x = block(64 * 2**stage, strides=strides, dtype=self.dtype,
+                          name=f"layer{stage + 1}_{i}")(x, train)
+        if self.use_final_avgpool:
+            x = jnp.mean(x, axis=(1, 2))
+        else:
+            x = nn.Conv(32, (1, 1), dtype=self.dtype, name="spatial_head_conv")(x)
+            x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc")(x)
+
+
+class ViTImageEncoder(nn.Module):
+    """TPU-native patchified transformer image encoder (no reference
+    counterpart; BASELINE.json config[2] 'camera-image ViT encoder').
+
+    16x16 patch conv -> +pos -> pre-norm blocks (ff = 4x width) -> mean pool
+    -> LN -> Dense(hidden). Patch matmuls are large and MXU-friendly.
+    """
+
+    hidden_dim: int
+    patch_size: int = 16
+    width: int = 192
+    depth: int = 6
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        n, h, w, _ = x.shape
+        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        num_patches = (h // self.patch_size) * (w // self.patch_size)
+        x = x.reshape(n, num_patches, self.width)
+        x = PositionalEncoding(self.width, num_patches, dtype=self.dtype, name="pos")(x)
+        x = TransformerEncoder(self.width, self.num_heads, self.depth,
+                               ff_dim=4 * self.width, dtype=self.dtype,
+                               attention_impl=self.attention_impl, name="blocks")(x)
+        x = jnp.mean(x, axis=1)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc")(x)
+
+
+def make_image_encoder(
+    encoder_type: str,
+    hidden_dim: int,
+    use_final_avgpool: bool,
+    dtype: Any = jnp.float32,
+    attention_impl: str = "xla",
+) -> nn.Module:
+    """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
+    if encoder_type == "resnet18":
+        return ResNetImageEncoder(hidden_dim, (2, 2, 2, 2), bottleneck=False,
+                                  use_final_avgpool=use_final_avgpool, dtype=dtype,
+                                  name="image_encoder")
+    if encoder_type == "resnet50":
+        return ResNetImageEncoder(hidden_dim, (3, 4, 6, 3), bottleneck=True,
+                                  use_final_avgpool=use_final_avgpool, dtype=dtype,
+                                  name="image_encoder")
+    if encoder_type == "vit":
+        return ViTImageEncoder(hidden_dim, dtype=dtype, attention_impl=attention_impl,
+                               name="image_encoder")
+    if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
+        from soccerdiffusion_tpu.models.swin import SwinImageEncoder
+
+        return SwinImageEncoder(
+            hidden_dim,
+            variant="tiny" if encoder_type.endswith("tiny") else "small",
+            dtype=dtype,
+            name="image_encoder",
+        )
+    raise ValueError(f"unknown image encoder type: {encoder_type}")
+
+
+class ImageSequenceEncoder(nn.Module):
+    """(B, T, H, W, 3) frames -> (B, T, hidden) context tokens.
+
+    Folds time into batch for the per-frame encoder, then (optionally) runs a
+    small transformer across the T frame tokens — patch size 1, 8 heads
+    (reference image.py:103-121).
+    """
+
+    hidden_dim: int
+    encoder_type: str
+    sequence_encoder_type: str  # "transformer" | "none"
+    num_layers: int
+    max_seq_len: int
+    use_final_avgpool: bool = True
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        b, t = x.shape[0], x.shape[1]
+        frames = x.reshape((b * t,) + x.shape[2:])
+        encoder = make_image_encoder(self.encoder_type, self.hidden_dim,
+                                     self.use_final_avgpool, self.dtype,
+                                     self.attention_impl)
+        tokens = encoder(frames, train=train).reshape(b, t, self.hidden_dim)
+        if self.sequence_encoder_type == "transformer":
+            # The reference stacks a full BaseEncoder with patch_size=1 and
+            # 8 heads over the frame tokens (reference image.py:112-118).
+            tokens = SequenceEncoder(
+                hidden_dim=self.hidden_dim, patch_size=1,
+                num_layers=self.num_layers, num_heads=8,
+                max_seq_len=self.max_seq_len, dtype=self.dtype,
+                attention_impl=self.attention_impl, name="seq",
+            )(tokens)
+        return tokens

@@ -7,10 +7,20 @@ vars must be set before JAX is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the outer environment pins JAX_PLATFORMS to the TPU plugin
+# (and the plugin re-asserts "axon,cpu" over the env var at import time),
+# which would run tests on hardware with bf16 default matmul precision and
+# break float32 parity tolerances. XLA_FLAGS must be in the env before the
+# first backend initialization; the platform choice must be applied through
+# jax.config, which wins over the plugin's override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
