@@ -1,0 +1,302 @@
+"""Windowed training dataset over in-memory recording arrays.
+
+Counterpart of the reference's ``SoccerDiffusionDataset``
+(reference dataset/pytorch.py:40-398), re-designed for TPU input pipelines:
+instead of 4-6 SQL queries + cv2 work per sample in 32 worker processes, each
+recording's time series are loaded once into contiguous numpy arrays and
+windows are gathered with pure slicing. Padding semantics are behavioral API
+and match the reference exactly:
+
+  * history windows are left-padded with zeros     (pytorch.py:157-171)
+  * IMU windows are left-padded with identity quat (pytorch.py:249-262)
+  * image windows keep the last <=F frames at <=10 Hz, left-padded with
+    zero images and stamp end-context            (pytorch.py:218-227)
+  * game state is the last state at or before the stamp, UNKNOWN if none
+                                                   (pytorch.py:276-293)
+
+Index space: per-recording window count (n_commands - future_len) / stride,
+concatenated (pytorch.py:110-121).
+"""
+
+from __future__ import annotations
+
+import bisect
+import sqlite3
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.data.schema import RobotState, connect
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+IDENTITY_QUAT = np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
+
+
+def np_quats_to_5d(quats_xyzw: np.ndarray) -> np.ndarray:
+    """Vectorized numpy twin of utils.geometry.quats_to_5d (host pipeline)."""
+    q = quats_xyzw.astype(np.float64)
+    norm = np.linalg.norm(q, axis=-1, keepdims=True)
+    q = q / np.maximum(norm, 1e-12)
+    xyz, w = q[..., :3], q[..., 3]
+    len_xyz = np.linalg.norm(xyz, axis=-1)
+    axis = xyz / np.maximum(len_xyz, 1e-12)[..., None]
+    default_axis = np.zeros_like(axis)
+    default_axis[..., 0] = 1.0
+    degenerate = (len_xyz < 1e-6)[..., None]
+    axis = np.where(degenerate, default_axis, axis)
+    angle = 2.0 * np.arctan2(len_xyz, w)
+    angle = np.where(len_xyz < 1e-6, 0.0, angle)
+    return np.concatenate(
+        [axis, np.sin(angle)[..., None], np.cos(angle)[..., None]], axis=-1
+    ).astype(np.float32)
+
+
+def preprocess_image(raw_rgb8: np.ndarray, resolution: int) -> np.ndarray:
+    """uint8 (H, W, 3) RGB -> float32 NHWC-normalized (reference
+    pytorch.py:198-213: resize INTER_AREA, scale to [0,1], ImageNet stats)."""
+    img = raw_rgb8
+    if img.shape[0] != resolution or img.shape[1] != resolution:
+        import cv2
+
+        img = cv2.resize(img, (resolution, resolution), interpolation=cv2.INTER_AREA)
+    img = img.astype(np.float32) / 255.0
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+@dataclass
+class RecordingArrays:
+    """One recording's synchronized time series, in canonical joint order."""
+
+    joint_commands: np.ndarray  # (n, J)
+    joint_states: np.ndarray  # (n, J)
+    rotations: np.ndarray  # (n, 4) xyzw
+    game_states: np.ndarray  # (m,) int32 (already sorted by stamp)
+    game_state_stamps: np.ndarray  # (m,) float32
+    image_stamps: np.ndarray  # (k,) float32 sorted
+    images: np.ndarray | None  # (k, H, W, 3) uint8 decoded, or None
+    recording_id: int = 0
+
+
+class WindowedDataset:
+    def __init__(
+        self,
+        recordings: list[RecordingArrays],
+        config: ModelConfig,
+        trajectory_stride: int = 1,
+        sampling_rate: int = 100,
+        max_fps_video: int = 10,
+    ):
+        if not recordings:
+            raise ValueError("no recordings")
+        self.recordings = recordings
+        self.cfg = config
+        self.stride = trajectory_stride
+        self.sampling_rate = sampling_rate
+        self.max_fps_video = max_fps_video
+
+        future = config.trajectory_prediction_length
+        self.sample_boundaries: list[tuple[int, int, int]] = []
+        total = 0
+        for ri, rec in enumerate(recordings):
+            n = len(rec.joint_commands)
+            count = int((n - future) / trajectory_stride)
+            if count <= 0:
+                continue
+            self.sample_boundaries.append((total, total + count, ri))
+            total += count
+        self.num_samples = total
+        self._starts = [b[0] for b in self.sample_boundaries]
+
+    # ---------------------------------------------------------- construction
+
+    @classmethod
+    def from_sqlite(
+        cls,
+        db_path: str | Path | sqlite3.Connection,
+        config: ModelConfig,
+        trajectory_stride: int = 1,
+        sampling_rate: int = 100,
+        max_fps_video: int = 10,
+        decode_images: bool | None = None,
+    ) -> "WindowedDataset":
+        """Load every recording's time series from a reference-schema SQLite DB."""
+        conn = db_path if isinstance(db_path, sqlite3.Connection) else connect(db_path, read_only=True)
+        decode_images = config.use_images if decode_images is None else decode_images
+        joint_cols = ", ".join(f'"{n}"' for n in config.joint_names)
+        cur = conn.cursor()
+        rec_ids = [r[0] for r in cur.execute("SELECT _id FROM Recording ORDER BY _id")]
+        recordings = []
+        state_to_int = {s: i for i, s in enumerate(RobotState.values())}
+        for rid in rec_ids:
+            cmds = np.asarray(
+                cur.execute(
+                    f"SELECT {joint_cols} FROM JointCommands WHERE recording_id=? ORDER BY stamp ASC",
+                    (rid,),
+                ).fetchall(),
+                dtype=np.float32,
+            )
+            if cmds.size == 0:
+                continue
+            states = np.asarray(
+                cur.execute(
+                    f"SELECT {joint_cols} FROM JointStates WHERE recording_id=? ORDER BY stamp ASC",
+                    (rid,),
+                ).fetchall(),
+                dtype=np.float32,
+            )
+            rots = np.asarray(
+                cur.execute(
+                    "SELECT x, y, z, w FROM Rotation WHERE recording_id=? ORDER BY stamp ASC",
+                    (rid,),
+                ).fetchall(),
+                dtype=np.float32,
+            )
+            gs_rows = cur.execute(
+                "SELECT stamp, state FROM GameState WHERE recording_id=? ORDER BY stamp ASC",
+                (rid,),
+            ).fetchall()
+            gs_stamps = np.asarray([r[0] for r in gs_rows], dtype=np.float32)
+            gs_vals = np.asarray(
+                [state_to_int.get(r[1], int(RobotState.UNKNOWN)) for r in gs_rows],
+                dtype=np.int32,
+            )
+            img_rows = cur.execute(
+                "SELECT stamp, data FROM Image WHERE recording_id=? ORDER BY stamp ASC",
+                (rid,),
+            ).fetchall() if decode_images else []
+            img_stamps = np.asarray([r[0] for r in img_rows], dtype=np.float32)
+            images = None
+            if img_rows:
+                size = cur.execute(
+                    "SELECT img_width, img_height FROM Recording WHERE _id=?", (rid,)
+                ).fetchone()
+                w, h = int(size[0]), int(size[1])
+                images = np.stack(
+                    [np.frombuffer(r[1], dtype=np.uint8).reshape(h, w, 3) for r in img_rows]
+                )
+            recordings.append(
+                RecordingArrays(
+                    joint_commands=cmds, joint_states=states, rotations=rots,
+                    game_states=gs_vals, game_state_stamps=gs_stamps,
+                    image_stamps=img_stamps, images=images, recording_id=rid,
+                )
+            )
+        return cls(recordings, config, trajectory_stride, sampling_rate, max_fps_video)
+
+    @classmethod
+    def from_dummy(cls, dummy_recordings, config: ModelConfig, **kwargs) -> "WindowedDataset":
+        """Wrap ``generate_dummy_arrays`` output."""
+        recs = []
+        for i, d in enumerate(dummy_recordings):
+            n = len(d.game_states)
+            recs.append(
+                RecordingArrays(
+                    joint_commands=d.joint_commands[:, : config.num_joints],
+                    joint_states=d.joint_states[:, : config.num_joints],
+                    rotations=d.rotations,
+                    game_states=d.game_states,
+                    game_state_stamps=(np.arange(n) / 100).astype(np.float32),
+                    image_stamps=d.image_stamps,
+                    images=d.images,
+                    recording_id=i,
+                )
+            )
+        return cls(recs, config, **kwargs)
+
+    # ------------------------------------------------------------- retrieval
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    @staticmethod
+    def _pad_history(arr: np.ndarray, end: int, length: int, pad_row: np.ndarray) -> np.ndarray:
+        start = max(0, end - length)
+        window = arr[start:end]
+        if len(window) < length:
+            pad = np.tile(pad_row, (length - len(window), 1))
+            window = np.concatenate([pad, window], axis=0)
+        return window.astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        if not 0 <= idx < self.num_samples:
+            raise IndexError(idx)
+        b = bisect.bisect_right(self._starts, idx) - 1
+        start_sample, _, ri = self.sample_boundaries[b]
+        rec = self.recordings[ri]
+        cfg = self.cfg
+
+        cmd_idx = (idx - start_sample) * self.stride
+        stamp = cmd_idx / self.sampling_rate
+
+        out: dict[str, np.ndarray] = {}
+        out["joint_command"] = rec.joint_commands[
+            cmd_idx : cmd_idx + cfg.trajectory_prediction_length
+        ].astype(np.float32)
+
+        zero_row = np.zeros((1, cfg.num_joints), dtype=np.float32)
+        if cfg.use_action_history:
+            out["joint_command_history"] = self._pad_history(
+                rec.joint_commands, cmd_idx, cfg.action_context_length, zero_row
+            )
+        if cfg.use_joint_states:
+            out["joint_state"] = self._pad_history(
+                rec.joint_states, cmd_idx, cfg.joint_state_context_length, zero_row
+            )
+        if cfg.use_imu:
+            quats = self._pad_history(
+                rec.rotations, cmd_idx, cfg.imu_context_length, IDENTITY_QUAT[None]
+            )
+            if cfg.imu_orientation_embedding_method == "five_dim":
+                out["rotation"] = np_quats_to_5d(quats)
+            else:
+                out["rotation"] = quats
+        if cfg.use_images:
+            out["image_data"], out["image_stamps"] = self._image_window(rec, stamp)
+        if cfg.use_gamestate:
+            gi = np.searchsorted(rec.game_state_stamps, stamp, side="right") - 1
+            out["game_state"] = np.int32(
+                rec.game_states[gi] if gi >= 0 else int(RobotState.UNKNOWN)
+            )
+        return out
+
+    def _image_window(self, rec: RecordingArrays, stamp: float) -> tuple[np.ndarray, np.ndarray]:
+        cfg = self.cfg
+        num_frames = cfg.image_context_length
+        context_len = (num_frames + 1) / self.max_fps_video
+        res = cfg.image_resolution
+        lo = np.searchsorted(rec.image_stamps, stamp - context_len, side="left")
+        hi = np.searchsorted(rec.image_stamps, stamp, side="right")
+        sel = np.arange(lo, hi)[-num_frames:]
+        frames = np.zeros((num_frames, res, res, 3), dtype=np.float32)
+        stamps = np.full((num_frames,), stamp - context_len, dtype=np.float32)
+        n_sel = len(sel)
+        if n_sel and rec.images is not None:
+            for j, k in enumerate(sel):
+                frames[num_frames - n_sel + j] = preprocess_image(rec.images[k], res)
+            stamps[num_frames - n_sel :] = rec.image_stamps[sel]
+        return frames, stamps
+
+    # --------------------------------------------------------------- batching
+
+    def sample_targets(self, num_samples: int, seed: int = 0) -> np.ndarray:
+        """Random target chunks stacked along time, for Normalizer.fit
+        (reference train.py:106-110)."""
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, len(self), size=num_samples)
+        return np.concatenate([self[int(i)]["joint_command"] for i in idx], axis=0)
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_remainder: bool = True):
+        """Yield stacked numpy batch dicts for one epoch."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        limit = len(order) - (len(order) % batch_size if drop_remainder else 0)
+        for i in range(0, limit, batch_size):
+            chunk = [self[int(j)] for j in order[i : i + batch_size]]
+            yield {
+                k: np.stack([c[k] for c in chunk]) for k in chunk[0]
+            }

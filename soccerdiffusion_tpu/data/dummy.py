@@ -1,0 +1,175 @@
+"""Synthetic data generation — the framework's fake backend.
+
+Two tiers (reference dataset/dummy_data.py:23-197 is the model):
+
+  * ``insert_dummy_data``: fills a SQLite DB with the same procedural
+    content as the reference CLI's ``db dummy-data`` (sinusoid joints
+    shifted by +pi, sinusoid pseudo-quaternions, random game states,
+    procedurally drawn test images) so the whole SQLite -> dataset -> train
+    path can run without real recordings.
+  * ``generate_dummy_arrays``: the TPU-first shortcut — produces the same
+    statistical content directly as contiguous numpy arrays, skipping
+    SQLite entirely for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import math
+import sqlite3
+from dataclasses import dataclass
+
+import numpy as np
+
+from soccerdiffusion_tpu.config import CANONICAL_JOINT_NAMES_22
+from soccerdiffusion_tpu.data.schema import RobotState, TeamColor
+
+
+def _draw_test_image(width: int, height: int, timestamp: float) -> np.ndarray:
+    """Procedural RGB8 test pattern (reference dummy_data.py:49-69 look-alike:
+    colored quadrants, center circles, a time-varying dot). Uses pure numpy
+    so the generator works without cv2."""
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    img[: height // 2, : width // 2] = (0, 0, 255)  # blue quadrant (RGB)
+    img[height // 2 :, width // 2 :] = (255, 0, 0)  # red quadrant
+    yy, xx = np.mgrid[0:height, 0:width]
+    center = ((yy - height / 2) ** 2 + (xx - width / 2) ** 2) ** 0.5
+    img[center < 50] = (255, 255, 255)
+    dot_color = (
+        int(255 * (1 + math.sin(timestamp)) / 2),
+        int(255 * (1 + math.cos(timestamp)) / 2),
+        0,
+    )
+    img[center < 25] = dot_color
+    return img
+
+
+def _sinusoid_joints(n: int, num_joints: int, rng: np.random.Generator, speed: float = 0.2) -> np.ndarray:
+    """sin(speed * i + offset_j) + pi, per joint (reference dummy_data.py:107-137).
+
+    The +pi shift keeps every angle inside the schema's [0, 2*pi) constraint.
+    """
+    offsets = rng.random(num_joints)
+    i = np.arange(n, dtype=np.float64)[:, None]
+    return (np.sin(speed * i + offsets[None, :]) + math.pi).astype(np.float32)
+
+
+def _sinusoid_rotations(n: int, rng: np.random.Generator, speed: float = 0.1) -> np.ndarray:
+    """Per-component sinusoids in [-1, 1] (reference dummy_data.py:86-104 —
+    deliberately *not* unit quaternions, matching the reference's generator)."""
+    shifts = rng.random(4)
+    i = np.arange(n, dtype=np.float64)[:, None]
+    return np.sin(i * speed + shifts[None, :]).astype(np.float32)
+
+
+@dataclass
+class DummyRecording:
+    joint_commands: np.ndarray  # (n, J) float32, [0, 2pi)
+    joint_states: np.ndarray  # (n, J) float32, [0, 2pi)
+    rotations: np.ndarray  # (n, 4) float32 xyzw
+    game_states: np.ndarray  # (n,) int32 in [0, 4)
+    image_stamps: np.ndarray  # (n_img,) float32 seconds
+    images: np.ndarray | None  # (n_img, H, W, 3) uint8, or None
+
+
+def generate_dummy_arrays(
+    num_recordings: int = 2,
+    num_samples: int = 500,
+    num_joints: int = 20,
+    image_step: int = 10,
+    image_size: int = 480,
+    with_images: bool = False,
+    seed: int = 0,
+    sampling_rate: int = 100,
+) -> list[DummyRecording]:
+    """Array-tier dummy data; one entry per recording.
+
+    Timestamps follow the reference convention stamp = i / sampling_rate
+    (reference dummy_data.py:79,114; pytorch.py:314 assumes rate 100).
+    """
+    rng = np.random.default_rng(seed)
+    recordings = []
+    for _ in range(num_recordings):
+        n_img = len(range(0, num_samples, image_step))
+        stamps = (np.arange(0, num_samples, image_step) / sampling_rate).astype(np.float32)
+        images = None
+        if with_images:
+            images = np.stack(
+                [_draw_test_image(image_size, image_size, float(s)) for s in stamps]
+            )
+        recordings.append(
+            DummyRecording(
+                joint_commands=_sinusoid_joints(num_samples, num_joints, rng),
+                joint_states=_sinusoid_joints(num_samples, num_joints, rng),
+                rotations=_sinusoid_rotations(num_samples, rng),
+                game_states=rng.integers(0, 4, size=num_samples).astype(np.int32),
+                image_stamps=stamps,
+                images=images,
+            )
+        )
+    return recordings
+
+
+def insert_dummy_data(
+    conn: sqlite3.Connection,
+    num_recordings: int,
+    num_samples_per_rec: int,
+    image_step: int,
+    seed: int = 0,
+    image_size: int = 480,
+) -> list[int]:
+    """SQLite-tier dummy data (reference dummy_data.py:186-197 CLI behavior)."""
+    rng = np.random.default_rng(seed)
+    cur = conn.cursor()
+    recording_ids = []
+    colors = TeamColor.values()
+    for i in range(num_recordings):
+        cur.execute(
+            "INSERT INTO Recording (allow_public, original_file, team_name, team_color,"
+            " robot_type, location, simulated, img_width, img_height,"
+            " img_width_scaling, img_height_scaling)"
+            " VALUES (1, ?, ?, ?, ?, ?, 1, ?, ?, 1.0, 1.0)",
+            (
+                f"dummy_original_file{i}", f"dummy_team_name{i}",
+                colors[int(rng.integers(len(colors)))], f"dummy_robot_type{i}",
+                f"dummy_location{i}", image_size, image_size,
+            ),
+        )
+        recording_ids.append(cur.lastrowid)
+
+    joint_cols = ", ".join(f'"{n}"' for n in CANONICAL_JOINT_NAMES_22)
+    joint_ph = ", ".join("?" * len(CANONICAL_JOINT_NAMES_22))
+    states = RobotState.values()
+    for rec_id in recording_ids:
+        data = generate_dummy_arrays(
+            1, num_samples_per_rec, num_joints=len(CANONICAL_JOINT_NAMES_22),
+            image_step=image_step, image_size=image_size, with_images=True,
+            seed=int(rng.integers(2**31)),
+        )[0]
+        cur.executemany(
+            f"INSERT INTO JointCommands (stamp, recording_id, {joint_cols})"
+            f" VALUES (?, ?, {joint_ph})",
+            [(i / 100, rec_id, *map(float, row)) for i, row in enumerate(data.joint_commands)],
+        )
+        cur.executemany(
+            f"INSERT INTO JointStates (stamp, recording_id, {joint_cols})"
+            f" VALUES (?, ?, {joint_ph})",
+            [(i / 100, rec_id, *map(float, row)) for i, row in enumerate(data.joint_states)],
+        )
+        cur.executemany(
+            "INSERT INTO Rotation (stamp, recording_id, x, y, z, w) VALUES (?, ?, ?, ?, ?, ?)",
+            [(i / 100, rec_id, *map(float, row)) for i, row in enumerate(data.rotations)],
+        )
+        cur.executemany(
+            "INSERT INTO GameState (stamp, recording_id, state) VALUES (?, ?, ?)",
+            [(i / 100, rec_id, states[s]) for i, s in enumerate(data.game_states)],
+        )
+        assert data.images is not None
+        cur.executemany(
+            "INSERT INTO Image (stamp, recording_id, data) VALUES (?, ?, ?)",
+            [
+                (float(stamp), rec_id, img.tobytes())
+                for stamp, img in zip(data.image_stamps, data.images)
+            ],
+        )
+    conn.commit()
+    return recording_ids

@@ -99,7 +99,12 @@ class DiffusionPolicy(nn.Module):
         if cfg.use_gamestate:
             context.append(self.game_state_encoder(batch["game_state"].astype(jnp.int32)))
         if not context:
-            raise ValueError("model has no enabled context encoders")
+            # decoder_only tier: every encoder disabled — the denoiser
+            # conditions on the step token alone (reference
+            # config/decoder_only.yaml + model.py:173-176, where the context
+            # list may be empty).
+            bsz = batch["joint_command"].shape[0]
+            return jnp.zeros((bsz, 0, cfg.hidden_dim), dtype=self.dtype)
         return jnp.concatenate(context, axis=1)
 
     def denoise(self, context: jnp.ndarray, noisy_chunk: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

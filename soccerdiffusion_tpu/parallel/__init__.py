@@ -1,0 +1,17 @@
+"""SPMD parallelism: device meshes, sharding rules, distributed init.
+
+The reference is strictly single-device (SURVEY.md §2.10: no DDP/NCCL
+anywhere); this subsystem is a new first-class component. Scaling is
+expressed the XLA way: pick a mesh, annotate shardings on params and data,
+and let the compiler insert psum/all-gather collectives over ICI — there is
+no NCCL-style explicit communication API to port.
+"""
+
+from soccerdiffusion_tpu.parallel.mesh import (
+    MeshRules,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "MeshRules", "shard_batch", "param_shardings"]

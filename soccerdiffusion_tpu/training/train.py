@@ -1,0 +1,199 @@
+"""End-to-end diffusion training script.
+
+CLI mirrors the reference (reference ml/training/train.py:31-39):
+
+  python -m soccerdiffusion_tpu.training.train -c config.yaml [-p ckpt_dir]
+      [-o out_dir] [--decoder-pretraining] [--pretrained-decoder ckpt_dir]
+
+plus TPU-native additions: ``--dummy-data`` (train on the synthetic backend,
+no SQLite needed), ``--db path``, ``--epochs/--steps-per-epoch`` overrides
+for smokes, ``--mesh data=8`` style mesh shapes.
+
+Semantics preserved from the reference: config-or-checkpoint hyperparams
+with key-by-key diff warnings (train.py:57-70), normalizer fitted on
+``num_normalization_samples`` random target chunks (train.py:106-110),
+per-epoch checkpoints embedding hyperparams (train.py:242-250), resume
+restores model+optimizer but deliberately not the LR schedule
+(train.py:177 ``and False``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import numpy as np
+import yaml
+
+from soccerdiffusion_tpu import logger
+from soccerdiffusion_tpu.config import Config
+from soccerdiffusion_tpu.data import Normalizer, WindowedDataset, generate_dummy_arrays
+from soccerdiffusion_tpu.data.pipeline import prefetch_to_device
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.parallel import make_mesh
+from soccerdiffusion_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from soccerdiffusion_tpu.training.metrics import MetricsLogger
+from soccerdiffusion_tpu.training.trainer import (
+    create_train_state,
+    lr_at_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train the diffusion policy")
+    parser.add_argument("--config", "-c", type=str, default=None)
+    parser.add_argument("--checkpoint", "-p", type=str, default=None)
+    parser.add_argument("--output", "-o", type=str, default="trajectory_transformer_model.ckpt")
+    parser.add_argument("--decoder-pretraining", action="store_true")
+    parser.add_argument("--pretrained-decoder", type=str, default=None)
+    # TPU-native additions
+    parser.add_argument("--dummy-data", action="store_true",
+                        help="train on the synthetic array backend")
+    parser.add_argument("--db", type=str, default=None, help="sqlite db path")
+    parser.add_argument("--epochs", type=int, default=None, help="override epochs")
+    parser.add_argument("--steps-per-epoch", type=int, default=None,
+                        help="cap steps per epoch (smoke tests)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help='mesh shape, e.g. "data=8" or "data=4,model=2"')
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--metrics", type=str, default=None, help="metrics JSONL path")
+    parser.add_argument("--wandb", action="store_true")
+    return parser.parse_args(argv)
+
+
+def resolve_params(args) -> dict:
+    """Config-or-checkpoint resolution with diff warnings (reference train.py:44-70)."""
+    assert args.config or args.checkpoint, "either a config file or a checkpoint is required"
+    params: dict = {}
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint)["hyperparams"]
+    if args.config:
+        with open(args.config) as f:
+            config_params = yaml.safe_load(f)
+        if args.checkpoint:
+            logger.warning("both config and checkpoint given; config wins")
+            for key, value in config_params.items():
+                if key not in params:
+                    logger.warning(f"key '{key}' is not present in the checkpoint")
+                elif value != params[key]:
+                    logger.warning(
+                        f"key '{key}' differs from checkpoint: {params[key]} != {value}"
+                    )
+        params = config_params
+    return params
+
+
+def build_dataset(args, config: Config) -> WindowedDataset:
+    if args.dummy_data:
+        n = max(
+            600,
+            config.model.action_context_length + config.model.trajectory_prediction_length + 200,
+        )
+        dummy = generate_dummy_arrays(
+            num_recordings=2, num_samples=n, num_joints=config.model.num_joints,
+            with_images=config.model.use_images, image_size=config.model.image_resolution,
+            seed=args.seed,
+        )
+        return WindowedDataset.from_dummy(dummy, config.model)
+    from soccerdiffusion_tpu import DB_PATH
+
+    return WindowedDataset.from_sqlite(args.db or DB_PATH, config.model)
+
+
+def parse_mesh(spec: str | None) -> dict[str, int]:
+    if not spec:
+        return {}
+    return {k: int(v) for k, v in (kv.split("=") for kv in spec.split(","))}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    params = resolve_params(args)
+    config = Config.from_dict(params)
+    if args.epochs is not None:
+        params["epochs"] = args.epochs
+    epochs = params.get("epochs", config.train.epochs)
+    batch_size = config.train.batch_size
+
+    logger.info(f"devices: {jax.devices()}")
+    mesh = make_mesh(parse_mesh(args.mesh) or config.train.mesh_shape or None)
+
+    dataset = build_dataset(args, config)
+    logger.info(f"dataset: {len(dataset)} samples")
+    steps_per_epoch = len(dataset) // batch_size
+    if args.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+    total_steps = max(1, epochs * steps_per_epoch)
+
+    # Normalizer fitted on random target chunks (reference train.py:106-110).
+    normalizer = Normalizer.fit(
+        dataset.sample_targets(config.train.num_normalization_samples, seed=args.seed)
+    )
+
+    model = DiffusionPolicy(config.model)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay)
+
+    sample_batch = next(dataset.batches(batch_size, shuffle=False))
+    with mesh:
+        state = create_train_state(
+            model, jax.device_put(sample_batch), optimizer, jax.random.key(args.seed),
+            config.model.trajectory_prediction_length, config.model.num_joints,
+        )
+
+    start_epoch = 0
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint, state_template=state)
+        state = ckpt["state"]
+        normalizer = ckpt["norm"]
+        start_epoch = ckpt["current_epoch"] + 1
+        logger.info(f"resumed from {args.checkpoint} at epoch {start_epoch}")
+    if args.pretrained_decoder:
+        dec = load_checkpoint(args.pretrained_decoder)["state"]["params"]
+        merged = dict(state.params)
+        for key in ("diffusion_action_generator", "step_encoding"):
+            if key in dec:
+                merged[key] = jax.tree.map(jax.numpy.asarray, dec[key])
+        state = state.replace(params=merged)
+        logger.info("loaded pretrained decoder weights")
+
+    train_step = make_train_step(
+        model, schedule, optimizer, normalizer,
+        decoder_pretraining=args.decoder_pretraining,
+    )
+    metrics_logger = MetricsLogger(
+        args.metrics, log_every=config.train.log_every,
+        use_wandb=args.wandb, wandb_config=params,
+    )
+
+    with mesh:
+        for epoch in range(start_epoch, epochs):
+            for i, host_batch in enumerate(
+                prefetch_to_device(
+                    dataset.batches(batch_size, shuffle=True, seed=args.seed + epoch), mesh
+                )
+            ):
+                if i >= steps_per_epoch:
+                    break
+                state, metrics = train_step(state, host_batch, args.seed)
+                metrics_logger.log(
+                    int(state.step) - 1,
+                    {
+                        "loss": metrics["loss"],
+                        "grad_norm": metrics["grad_norm"],
+                        "lr": lr_at_step(config.train.lr, total_steps, int(state.step) - 1),
+                        "epoch": epoch,
+                    },
+                )
+            save_checkpoint(args.output, state, normalizer, params, epoch)
+            logger.info(f"epoch {epoch} done; checkpoint -> {args.output}")
+    metrics_logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -95,13 +95,18 @@ class TestShapes:
         # 20/5 per modality * 3 + 1 game state
         assert ctx.shape == (2, 13, 16)
 
-    def test_no_encoders_raises(self, rng):
+    def test_all_encoders_off_uses_step_token_only(self, rng):
+        # decoder_only tier (reference config/decoder_only.yaml): context is
+        # just the diffusion step token.
         cfg = ModelConfig(**{**PROPRIO, "use_action_history": False, "use_imu": False,
                              "use_joint_states": False, "use_gamestate": False})
         model = DiffusionPolicy(cfg)
-        noisy = jnp.zeros((1, 5, 6))
-        with pytest.raises(ValueError, match="no enabled context encoders"):
-            model.init(jax.random.key(0), {}, noisy, jnp.array([0]))
+        noisy = jnp.asarray(rng.standard_normal((2, 5, 6)).astype(np.float32))
+        batch = {"joint_command": jnp.zeros((2, 5, 6))}
+        variables = model.init(jax.random.key(0), batch, noisy, jnp.array([0, 1]))
+        out = model.apply(variables, batch, noisy, jnp.array([0, 1]))
+        assert out.shape == (2, 5, 6)
+        assert np.isfinite(np.asarray(out)).all()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,173 @@
+"""Training engine tests: loss decreases on dummy data, checkpoint round
+trip, resume determinism, and data-parallel sharding over the 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soccerdiffusion_tpu.config import Config, ModelConfig, TrainConfig
+from soccerdiffusion_tpu.data import Normalizer, WindowedDataset, generate_dummy_arrays
+from soccerdiffusion_tpu.data.pipeline import prefetch_to_device
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.parallel import MeshRules, make_mesh, param_shardings, shard_batch
+from soccerdiffusion_tpu.training import (
+    create_train_state,
+    load_checkpoint,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)
+
+TINY = ModelConfig(
+    num_joints=8, hidden_dim=32, trajectory_prediction_length=10,
+    action_context_length=40, joint_state_context_length=40, imu_context_length=40,
+    use_images=False, use_gamestate=True,
+    num_action_history_encoder_layers=1, num_imu_encoder_layers=1,
+    joint_state_encoder_layers=1, num_decoder_layers=2,
+)
+
+
+def make_env(batch_size=16, steps=None, cfg=TINY):
+    dummy = generate_dummy_arrays(1, 400, num_joints=cfg.num_joints, with_images=False)
+    ds = WindowedDataset.from_dummy(dummy, cfg)
+    norm = Normalizer.fit(ds.sample_targets(200))
+    model = DiffusionPolicy(cfg)
+    sched = make_schedule(100)
+    opt = make_optimizer(1e-3, total_steps=steps or 100)
+    batch = next(ds.batches(batch_size, shuffle=False))
+    state = create_train_state(
+        model, jax.device_put(batch), opt, jax.random.key(0),
+        cfg.trajectory_prediction_length, cfg.num_joints,
+    )
+    return ds, norm, model, sched, opt, state
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        ds, norm, model, sched, opt, state = make_env()
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        losses = []
+        for epoch in range(3):
+            for batch in ds.batches(16, shuffle=True, seed=epoch):
+                state, metrics = step(state, jax.device_put(batch), 0)
+                losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        # epsilon-MSE starts near 1.0 (unit gaussian target); it must drop.
+        assert np.mean(losses[-10:]) < 0.75 * np.mean(losses[:5])
+
+    def test_step_deterministic_given_seed(self):
+        ds, norm, model, sched, opt, state = make_env()
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        batch = jax.device_put(next(ds.batches(16, shuffle=False)))
+        s1, m1 = step(state, batch, 7)
+        s2, m2 = step(state, batch, 7)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_decoder_pretraining_mode(self):
+        ds, norm, model, sched, opt, state = make_env()
+        step = make_train_step(model, sched, opt, norm, decoder_pretraining=True, donate=False)
+        batch = jax.device_put(next(ds.batches(16, shuffle=False)))
+        state, metrics = step(state, batch, 0)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        ds, norm, model, sched, opt, state = make_env()
+        hp = {"hidden_dim": 32, "num_joints": 8}
+        save_checkpoint(tmp_path / "ckpt", state, norm, hp, epoch=3)
+        restored = load_checkpoint(tmp_path / "ckpt")
+        assert restored["hyperparams"] == hp
+        assert restored["current_epoch"] == 3
+        np.testing.assert_allclose(np.asarray(restored["norm"].mean), np.asarray(norm.mean))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            restored["state"]["params"], jax.device_get(state.params),
+        )
+
+    def test_atomic_overwrite(self, tmp_path):
+        ds, norm, model, sched, opt, state = make_env()
+        save_checkpoint(tmp_path / "ckpt", state, norm, {"a": 1}, epoch=0)
+        save_checkpoint(tmp_path / "ckpt", state, norm, {"a": 2}, epoch=1)
+        restored = load_checkpoint(tmp_path / "ckpt")
+        assert restored["hyperparams"] == {"a": 2}
+        assert restored["current_epoch"] == 1
+
+
+class TestSharding:
+    def test_train_step_on_8_device_mesh(self):
+        assert len(jax.devices()) == 8
+        mesh = make_mesh({"data": 8})
+        ds, norm, model, sched, opt, state = make_env(batch_size=16)
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        with mesh:
+            batch = shard_batch(mesh, next(ds.batches(16, shuffle=False)))
+            state, metrics = step(state, batch, 0)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_equals_single_device(self):
+        mesh = make_mesh({"data": 8})
+        ds, norm, model, sched, opt, state = make_env(batch_size=16)
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        host_batch = next(ds.batches(16, shuffle=False))
+        _, m_single = step(state, jax.device_put(host_batch), 0)
+        with mesh:
+            _, m_sharded = step(state, shard_batch(mesh, host_batch), 0)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-5
+        )
+
+    def test_tensor_parallel_param_shardings(self):
+        mesh = make_mesh({"data": 4, "model": 2})
+        ds, norm, model, sched, opt, state = make_env()
+        rules = MeshRules(model_axis="model")
+        shardings = param_shardings(mesh, state.params, rules)
+        # q_proj kernels column-sharded over "model"
+        qspec = jax.tree_util.tree_leaves_with_path(shardings)
+        found_col = any(
+            "q_proj" in jax.tree_util.keystr(path) and "kernel" in jax.tree_util.keystr(path)
+            and s.spec == jax.sharding.PartitionSpec(None, "model")
+            for path, s in qspec
+        )
+        found_row = any(
+            "out_proj" in jax.tree_util.keystr(path) and "kernel" in jax.tree_util.keystr(path)
+            and s.spec == jax.sharding.PartitionSpec("model", None)
+            for path, s in qspec
+        )
+        assert found_col and found_row
+
+    def test_tp_train_step_runs_and_matches(self):
+        mesh = make_mesh({"data": 4, "model": 2})
+        ds, norm, model, sched, opt, state = make_env(batch_size=16)
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        host_batch = next(ds.batches(16, shuffle=False))
+        _, m_single = step(state, jax.device_put(host_batch), 0)
+
+        rules = MeshRules(data_axis="data", model_axis="model")
+        p_shard = param_shardings(mesh, state.params, rules)
+        with mesh:
+            sharded_params = jax.device_put(state.params, p_shard)
+            tp_state = state.replace(params=sharded_params)
+            batch = shard_batch(mesh, host_batch, rules)
+            _, m_tp = step(tp_state, batch, 0)
+        np.testing.assert_allclose(float(m_single["loss"]), float(m_tp["loss"]), rtol=1e-4)
+
+
+class TestPipeline:
+    def test_prefetch_yields_all_batches(self):
+        ds, *_ = make_env()
+        batches = list(ds.batches(16, shuffle=False))
+        fetched = list(prefetch_to_device(iter(batches)))
+        assert len(fetched) == len(batches)
+        np.testing.assert_allclose(
+            np.asarray(fetched[0]["joint_command"]), batches[0]["joint_command"]
+        )
+
+    def test_prefetch_with_mesh(self):
+        mesh = make_mesh({"data": 8})
+        ds, *_ = make_env()
+        fetched = next(prefetch_to_device(ds.batches(16, shuffle=False), mesh))
+        sharding = fetched["joint_command"].sharding
+        assert sharding.spec == jax.sharding.PartitionSpec("data")
