@@ -1,0 +1,123 @@
+"""Benchmark: batched closed-loop rollout throughput on one TPU chip.
+
+Workload (BASELINE.json headline metric "action chunks/sec/chip (batched
+rollout); p50 30-step DDIM sampling latency"): N simulated robots per chip
+run the full perception->plan->act loop — controller buffers, context
+encoding, 30-step DDIM action-chunk sampling fused as one lax.scan, chunk
+feedback, 10 plant ticks — with the default.yaml proprioceptive+gamestate
+architecture (h128, 100-step contexts, 10-step chunks).
+
+vs_baseline is measured against the north-star target derived from
+BASELINE.json (>=4096 rollouts on a v5e-8 at <10 ms per 30-step chunk
+=> 4096/8 robots * 100 chunks/s = 51200 chunks/s/chip). The reference
+itself publishes no numbers (BASELINE.md).
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=512, help="robots per chip")
+    parser.add_argument("--chunks", type=int, default=20, help="replan periods per timed iteration")
+    parser.add_argument("--iters", type=int, default=5, help="timed iterations")
+    parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
+    parser.add_argument("--distilled", action="store_true")
+    parser.add_argument("--hidden", type=int, default=128)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--fp32", dest="bf16", action="store_false")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from soccerdiffusion_tpu.config import ModelConfig
+    from soccerdiffusion_tpu.data import Normalizer
+    from soccerdiffusion_tpu.diffusion import make_schedule
+    from soccerdiffusion_tpu.inference import RolloutEngine
+    from soccerdiffusion_tpu.models import DiffusionPolicy
+
+    log(f"devices: {jax.devices()}")
+
+    cfg = ModelConfig(
+        num_joints=20,
+        hidden_dim=args.hidden,
+        trajectory_prediction_length=10,
+        action_context_length=100,
+        joint_state_context_length=100,
+        imu_context_length=100,
+        use_images=False,  # proprioceptive serving loop (images arrive at 10 Hz off the hot path)
+        use_gamestate=True,
+        num_action_history_encoder_layers=2,
+        num_imu_encoder_layers=2,
+        joint_state_encoder_layers=2,
+        num_decoder_layers=4,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+    )
+    model = DiffusionPolicy(cfg)
+    schedule = make_schedule(1000)
+    normalizer = Normalizer.identity(cfg.num_joints)
+
+    engine = RolloutEngine(
+        model, schedule, normalizer,
+        num_inference_steps=args.steps, distilled=args.distilled,
+    )
+    carry = engine.init(args.batch, jax.random.key(0))
+
+    from soccerdiffusion_tpu.inference.controller import make_controller_batch
+
+    init_batch = make_controller_batch(cfg, carry.controller)
+    variables = model.init(
+        jax.random.key(1), init_batch,
+        jnp.zeros((args.batch, 10, 20)), jnp.zeros((args.batch,), jnp.int32),
+    )
+
+    rollout = engine.make_rollout_fn(num_chunks=args.chunks, jit=True)
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    carry, chunks = rollout(variables, carry)
+    jax.block_until_ready(chunks)
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        carry, chunks = rollout(variables, carry)
+        jax.block_until_ready(chunks)
+        times.append(time.perf_counter() - t0)
+        log(f"iter {i}: {times[-1] * 1e3:.1f} ms for {args.chunks} chunks x {args.batch} robots")
+
+    per_period_ms = [t / args.chunks * 1e3 for t in times]
+    p50_period_ms = statistics.median(per_period_ms)
+    chunks_per_sec_per_chip = args.batch * args.chunks / statistics.median(times)
+
+    north_star_chunks_per_sec = 4096 / 8 * (1000.0 / 10.0)  # 51200
+    result = {
+        "metric": "ddim%d_action_chunks_per_sec_per_chip" % args.steps,
+        "value": round(chunks_per_sec_per_chip, 1),
+        "unit": "chunks/s/chip",
+        "vs_baseline": round(chunks_per_sec_per_chip / north_star_chunks_per_sec, 3),
+        "p50_replan_period_ms": round(p50_period_ms, 3),
+        "batch_robots": args.batch,
+        "ddim_steps": args.steps,
+        "hidden_dim": args.hidden,
+        "compute_dtype": cfg.compute_dtype,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Batched closed-loop rollout engine.
+
+Steps N simulated robots per device through the full perception->plan->act
+loop (a new first-class component; BASELINE.json north star: >=4096 parallel
+rollouts on a v5e-8, <10 ms per 30-step chunk). The entire replan period —
+build batch from controller buffers, encode context once, 30-step DDIM (or
+1-step distilled) chunk sampling, feed the chunk back into the buffers, and
+``pred_len`` 50 Hz plant ticks — is ONE jitted function; multi-chunk rollouts
+scan over it.
+
+The plant is a deliberately simple first-order joint-tracking stub (commands
+low-pass into positions, IMU follows a smooth sinusoid): this engine measures
+serving capacity and closes the observation loop with the same buffer
+semantics as the real robot (reference ros.py:205-257), it is not a physics
+simulator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.data.normalizer import Normalizer
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample
+from soccerdiffusion_tpu.inference.controller import (
+    ControllerState,
+    init_controller_state,
+    make_controller_batch,
+    observe,
+    push_action_chunk,
+)
+
+
+@struct.dataclass
+class PlantState:
+    positions: jnp.ndarray  # (B, J) joint positions, [-pi, pi] domain
+    phase: jnp.ndarray  # (B,) sinusoid phase for the IMU stub
+
+
+@struct.dataclass
+class RolloutCarry:
+    controller: ControllerState
+    plant: PlantState
+    rng: jax.Array
+
+
+class RolloutEngine:
+    def __init__(
+        self,
+        model,
+        schedule: DiffusionSchedule,
+        normalizer: Normalizer,
+        num_inference_steps: int = 30,
+        distilled: bool = False,
+        tracking_alpha: float = 0.5,
+    ):
+        self.model = model
+        self.cfg: ModelConfig = model.config
+        self.schedule = schedule
+        self.normalizer = normalizer
+        self.num_inference_steps = num_inference_steps
+        self.distilled = distilled
+        self.tracking_alpha = tracking_alpha
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, batch_size: int, rng: jax.Array) -> RolloutCarry:
+        return RolloutCarry(
+            controller=init_controller_state(self.cfg, batch_size),
+            plant=PlantState(
+                positions=jnp.zeros((batch_size, self.cfg.num_joints)),
+                phase=jnp.linspace(0.0, 2 * jnp.pi, batch_size, endpoint=False),
+            ),
+            rng=rng,
+        )
+
+    # ----------------------------------------------------------- one replan
+
+    def _sample_chunk(self, variables, controller: ControllerState, rng) -> jnp.ndarray:
+        batch = make_controller_batch(self.cfg, controller)
+        context = self.model.apply(variables, batch, False, method=self.model.encode_context)
+        bsz = context.shape[0]
+        shape = (bsz, self.cfg.trajectory_prediction_length, self.cfg.num_joints)
+        noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+        if self.distilled:
+            traj = self.model.apply(
+                variables, context, noise, jnp.zeros((bsz,), jnp.int32),
+                method=self.model.denoise,
+            )
+        else:
+            def denoise_fn(x, t):
+                return self.model.apply(
+                    variables, context, x, jnp.full((bsz,), t, dtype=jnp.int32),
+                    method=self.model.denoise,
+                )
+
+            traj = ddim_sample(self.schedule, denoise_fn, noise, self.num_inference_steps)
+        return self.normalizer.denormalize(traj)  # [0, 2*pi) domain
+
+    def _plant_tick(self, plant: PlantState, command: jnp.ndarray) -> tuple[PlantState, jnp.ndarray, jnp.ndarray]:
+        """First-order tracking toward the command; returns (plant, joint_state, imu)."""
+        target = command - jnp.pi  # back to symmetric domain
+        positions = plant.positions + self.tracking_alpha * (target - plant.positions)
+        phase = plant.phase + 0.02
+        if self.cfg.imu_input_dim == 4:
+            # Small-angle rotation about x as a quaternion (xyzw).
+            half = 0.05 * jnp.sin(phase)
+            imu = jnp.stack(
+                [jnp.sin(half), jnp.zeros_like(half), jnp.zeros_like(half), jnp.cos(half)],
+                axis=-1,
+            )
+        else:
+            angle = 0.1 * jnp.sin(phase)
+            ax = jnp.stack(
+                [jnp.ones_like(angle), jnp.zeros_like(angle), jnp.zeros_like(angle)], axis=-1
+            )
+            imu = jnp.concatenate(
+                [ax, jnp.sin(angle)[:, None], jnp.cos(angle)[:, None]], axis=-1
+            )
+        return PlantState(positions=positions, phase=phase), positions, imu
+
+    def replan_period(self, variables, carry: RolloutCarry) -> tuple[RolloutCarry, jnp.ndarray]:
+        """One full 200 ms period: sample a chunk, play it for pred_len ticks
+        while feeding plant observations back into the buffers. Returns the
+        executed chunk (B, P, J)."""
+        rng, sub = jax.random.split(carry.rng)
+        chunk = self._sample_chunk(variables, carry.controller, sub)
+        controller = push_action_chunk(carry.controller, chunk)
+
+        def tick(state, command):
+            controller, plant = state
+            plant, joint_state, imu = self._plant_tick(plant, command)
+            controller = observe(controller, joint_state=joint_state, imu=imu)
+            return (controller, plant), None
+
+        (controller, plant), _ = jax.lax.scan(
+            tick, (controller, carry.plant), jnp.swapaxes(chunk, 0, 1)
+        )
+        return RolloutCarry(controller=controller, plant=plant, rng=rng), chunk
+
+    # --------------------------------------------------------------- rollout
+
+    def make_rollout_fn(self, num_chunks: int, jit: bool = True):
+        """Returns ``rollout(variables, carry) -> (carry, chunks)`` executing
+        ``num_chunks`` replan periods; chunks has shape (num_chunks, B, P, J)."""
+
+        def rollout(variables, carry):
+            def body(c, _):
+                c, chunk = self.replan_period(variables, c)
+                return c, chunk
+
+            return jax.lax.scan(body, carry, None, length=num_chunks)
+
+        return jax.jit(rollout, donate_argnums=(1,)) if jit else rollout

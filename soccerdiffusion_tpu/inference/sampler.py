@@ -1,0 +1,60 @@
+"""Action-chunk sampling: the serving-side denoising path.
+
+Factorization matches the reference's real-time loop
+(reference ros.py:287-313): encode the context ONCE, then either run the
+30-step DDIM reverse process (teacher) or a single distilled forward at t=0,
+then denormalize. Here the whole thing is one jitted function with the DDIM
+loop as ``lax.scan``, so a chunk is one device program — no per-step Python
+dispatch on the critical path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from soccerdiffusion_tpu.data.normalizer import Normalizer
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample
+
+
+def make_chunk_sampler(
+    model,
+    schedule: DiffusionSchedule,
+    normalizer: Normalizer,
+    num_inference_steps: int = 30,
+    distilled: bool = False,
+    jit: bool = True,
+) -> Callable:
+    """Returns ``sample_fn(variables, batch, rng) -> (B, pred_len, J)`` action
+    chunks in the [0, 2*pi) joint domain (denormalized)."""
+
+    def sample_fn(variables, batch, rng):
+        context = model.apply(variables, batch, False, method=model.encode_context)
+        bsz = context.shape[0]
+        shape = (
+            bsz,
+            model.config.trajectory_prediction_length,
+            model.config.num_joints,
+        )
+        noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+
+        if distilled:
+            # Single forward at t=0 from pure noise (reference ros.py:293-298,
+            # matching the distilled student's training; distill.py:191-195).
+            traj = model.apply(
+                variables, context, noise, jnp.zeros((bsz,), jnp.int32),
+                method=model.denoise,
+            )
+        else:
+            def denoise_fn(x, t):
+                return model.apply(
+                    variables, context, x, jnp.full((bsz,), t, dtype=jnp.int32),
+                    method=model.denoise,
+                )
+
+            traj = ddim_sample(schedule, denoise_fn, noise, num_inference_steps)
+        return normalizer.denormalize(traj)
+
+    return jax.jit(sample_fn) if jit else sample_fn

@@ -1,0 +1,145 @@
+"""Inference tests: chunk sampler, controller buffer semantics
+(reference ros.py:264-318), chunk player, batched rollout engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.data import Normalizer
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.inference import (
+    RolloutEngine,
+    init_controller_state,
+    make_chunk_sampler,
+    make_controller_batch,
+    observe,
+    push_action_chunk,
+    select_action,
+)
+from soccerdiffusion_tpu.models import DiffusionPolicy
+
+CFG = ModelConfig(
+    num_joints=8, hidden_dim=32, trajectory_prediction_length=5,
+    action_context_length=20, joint_state_context_length=20, imu_context_length=20,
+    use_images=False, use_gamestate=True,
+    num_action_history_encoder_layers=1, num_imu_encoder_layers=1,
+    joint_state_encoder_layers=1, num_decoder_layers=1,
+)
+
+
+def make_model():
+    model = DiffusionPolicy(CFG)
+    state = init_controller_state(CFG, batch_size=2)
+    batch = make_controller_batch(CFG, state)
+    noisy = jnp.zeros((2, 5, 8))
+    variables = model.init(jax.random.key(0), batch, noisy, jnp.zeros((2,), jnp.int32))
+    return model, variables
+
+
+class TestController:
+    def test_observe_rolls_buffers(self):
+        state = init_controller_state(CFG, batch_size=2)
+        js = jnp.ones((2, 8)) * 0.5
+        state = observe(state, joint_state=js, imu=jnp.ones((2, 4)) * 0.1)
+        assert state.joint_state_history.shape == (2, 20, 8)
+        np.testing.assert_allclose(np.asarray(state.joint_state_history[:, -1]), 0.5)
+        np.testing.assert_allclose(np.asarray(state.joint_state_history[:, 0]), 0.0)
+        np.testing.assert_allclose(np.asarray(state.imu_history[:, -1]), 0.1)
+
+    def test_batch_shift_to_positive_range(self):
+        state = init_controller_state(CFG, batch_size=1)
+        state = observe(state, joint_state=jnp.full((1, 8), -jnp.pi / 2))
+        batch = make_controller_batch(CFG, state)
+        # (x + 3*pi) % 2*pi is an x -> x + pi shift: -pi/2 -> pi/2
+        # (reference ros.py:266-273, utils/utils.py:47-54)
+        np.testing.assert_allclose(
+            np.asarray(batch["joint_state"][0, -1]), np.pi / 2, rtol=1e-6
+        )
+        # zero-filled history maps to +pi
+        np.testing.assert_allclose(np.asarray(batch["joint_state"][0, 0]), np.pi, rtol=1e-6)
+
+    def test_push_action_chunk_applies_minus_pi(self):
+        state = init_controller_state(CFG, batch_size=1)
+        chunk = jnp.full((1, 5, 8), jnp.pi + 0.25)  # [0, 2pi) domain
+        state = push_action_chunk(state, chunk)
+        np.testing.assert_allclose(
+            np.asarray(state.joint_command_history[0, -5:]), 0.25, rtol=1e-6
+        )
+
+    def test_default_game_state_is_stopped(self):
+        state = init_controller_state(CFG, batch_size=3)
+        np.testing.assert_array_equal(np.asarray(state.game_state), [2, 2, 2])
+
+
+class TestSampler:
+    def test_chunk_sampler_shapes_and_determinism(self):
+        model, variables = make_model()
+        sched = make_schedule(100)
+        norm = Normalizer.identity(8)
+        sampler = make_chunk_sampler(model, sched, norm, num_inference_steps=5)
+        state = init_controller_state(CFG, batch_size=2)
+        batch = make_controller_batch(CFG, state)
+        a = sampler(variables, batch, jax.random.key(1))
+        b = sampler(variables, batch, jax.random.key(1))
+        assert a.shape == (2, 5, 8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_distilled_single_step(self):
+        model, variables = make_model()
+        sched = make_schedule(100)
+        norm = Normalizer.identity(8)
+        sampler = make_chunk_sampler(model, sched, norm, distilled=True)
+        state = init_controller_state(CFG, batch_size=2)
+        batch = make_controller_batch(CFG, state)
+        out = sampler(variables, batch, jax.random.key(0))
+        assert out.shape == (2, 5, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_denormalization_applied(self):
+        model, variables = make_model()
+        sched = make_schedule(100)
+        norm = Normalizer(mean=jnp.full((8,), 100.0), std=jnp.ones(8))
+        sampler = make_chunk_sampler(model, sched, norm, num_inference_steps=2)
+        state = init_controller_state(CFG, batch_size=1)
+        out = sampler(variables, make_controller_batch(CFG, state), jax.random.key(0))
+        assert float(np.asarray(out).mean()) > 50.0
+
+
+class TestPlayer:
+    def test_select_action_by_wall_clock(self):
+        chunk = jnp.arange(5 * 2, dtype=jnp.float32).reshape(5, 2)
+        # at start -> first point
+        np.testing.assert_array_equal(np.asarray(select_action(chunk, 0.0, 0.0)), [0, 1])
+        # 60 ms in at 50 Hz -> index 3
+        np.testing.assert_array_equal(np.asarray(select_action(chunk, 0.0, 0.061)), [6, 7])
+        # past the end -> clamp to last
+        np.testing.assert_array_equal(np.asarray(select_action(chunk, 0.0, 1.0)), [8, 9])
+
+
+class TestRolloutEngine:
+    def test_rollout_runs_and_updates_buffers(self):
+        model, variables = make_model()
+        engine = RolloutEngine(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=3
+        )
+        carry = engine.init(batch_size=4, rng=jax.random.key(0))
+        rollout = engine.make_rollout_fn(num_chunks=2, jit=True)
+        carry, chunks = rollout(variables, carry)
+        assert chunks.shape == (2, 4, 5, 8)
+        assert np.isfinite(np.asarray(chunks)).all()
+        # action history must now contain fed-back predictions (non-zero)
+        hist = np.asarray(carry.controller.joint_command_history)
+        assert np.any(hist != 0)
+
+    def test_rollout_batch_members_differ(self):
+        # different rng per robot phase => plant IMU differs across batch
+        model, variables = make_model()
+        engine = RolloutEngine(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        carry = engine.init(batch_size=3, rng=jax.random.key(0))
+        rollout = engine.make_rollout_fn(num_chunks=1, jit=False)
+        carry, chunks = rollout(variables, carry)
+        imu = np.asarray(carry.controller.imu_history[:, -1])
+        assert not np.allclose(imu[0], imu[1])
