@@ -1,0 +1,120 @@
+"""Offline open-loop evaluation plots.
+
+Counterpart of reference ml/inference/plot.py: load a checkpoint (the
+hyperparams ride inside), sample dataset items, run the full DDIM sampler —
+or the single distilled forward if the checkpoint carries
+``distilled_decoder`` — and plot per joint: action-history context, the
+initial noise, the denoised prediction, and the ground-truth target.
+
+  python -m soccerdiffusion_tpu.inference.plot <ckpt_dir> [--steps 30]
+      [--num-samples 5] [--dummy-data] [--db path] [-o out_dir]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu import logger
+from soccerdiffusion_tpu.config import Config
+from soccerdiffusion_tpu.data import Normalizer, WindowedDataset, generate_dummy_arrays
+from soccerdiffusion_tpu.diffusion import ddim_sample, make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.training.checkpoint import load_checkpoint
+
+
+def sample_open_loop(model, variables, normalizer, schedule, batch, steps, distilled, rng):
+    """Returns (denoised, initial_noise) in the denormalized joint domain."""
+    bsz = batch["joint_command"].shape[0]
+    shape = (bsz, model.config.trajectory_prediction_length, model.config.num_joints)
+    noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+    context = model.apply(variables, batch, False, method=model.encode_context)
+    if distilled:
+        traj = model.apply(variables, context, noise, jnp.zeros((bsz,), jnp.int32),
+                           method=model.denoise)
+    else:
+        def denoise_fn(x, t):
+            return model.apply(variables, context, x, jnp.full((bsz,), t, jnp.int32),
+                               method=model.denoise)
+
+        traj = ddim_sample(schedule, denoise_fn, noise, steps)
+    return normalizer.denormalize(traj), normalizer.denormalize(noise)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Plot open-loop samples")
+    parser.add_argument("checkpoint", type=str)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--num-samples", type=int, default=5)
+    parser.add_argument("--dummy-data", action="store_true")
+    parser.add_argument("--db", type=str, default=None)
+    parser.add_argument("--output", "-o", type=str, default="plots")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    ckpt = load_checkpoint(args.checkpoint)
+    params = ckpt["hyperparams"]
+    config = Config.from_dict(params)
+    distilled = params.get("distilled_decoder", False)
+
+    model = DiffusionPolicy(config.model)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    normalizer: Normalizer = ckpt["norm"]
+    variables = {"params": ckpt["state"]["params"]}
+    if ckpt["state"].get("batch_stats"):
+        variables["batch_stats"] = ckpt["state"]["batch_stats"]
+
+    from soccerdiffusion_tpu.training.train import build_dataset
+
+    dataset = build_dataset(args, config)
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(args.seed)
+    pred_len = config.model.trajectory_prediction_length
+    for s in range(args.num_samples):
+        idx = int(rng.integers(len(dataset)))
+        item = dataset[idx]
+        batch = {k: jnp.asarray(v)[None] for k, v in item.items()}
+        traj, noisy = sample_open_loop(
+            model, variables, normalizer, schedule, batch, args.steps, distilled,
+            jax.random.key(args.seed + s),
+        )
+        traj, noisy = np.asarray(traj)[0], np.asarray(noisy)[0]
+        target = item["joint_command"]
+        history = item.get("joint_command_history")
+
+        n = config.model.num_joints
+        ncols = 4
+        nrows = -(-n // ncols)
+        fig, axes = plt.subplots(nrows, ncols, figsize=(16, 3 * nrows), squeeze=False)
+        hist_len = len(history) if history is not None else 0
+        t_hist = np.arange(-hist_len, 0)
+        t_pred = np.arange(pred_len)
+        for j in range(n):
+            ax = axes[j // ncols][j % ncols]
+            if history is not None:
+                ax.plot(t_hist, history[:, j], label="context", color="gray")
+            ax.plot(t_pred, noisy[:, j], label="noisy", color="orange", alpha=0.5)
+            ax.plot(t_pred, traj[:, j], label="denoised", color="tab:blue")
+            ax.plot(t_pred, target[:, j], label="target", color="tab:green")
+            ax.set_title(config.model.joint_names[j], fontsize=8)
+        axes[0][0].legend(fontsize=6)
+        fig.tight_layout()
+        path = out_dir / f"sample_{s}.png"
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        logger.info(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

