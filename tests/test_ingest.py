@@ -1,0 +1,367 @@
+"""Ingest pipeline tests, modeled on the reference's test strategy
+(tests/dataset/: table-driven resampler state machines, converter contracts
+with fake SimpleNamespace ROS messages, end-to-end import smoke)."""
+
+import math
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.data import WindowedDataset, connect, create_schema
+from soccerdiffusion_tpu.data.schema import RobotState
+from soccerdiffusion_tpu.ingest import (
+    BitBotsGameStateConverter,
+    BitbotsImageConverter,
+    ImportMetadata,
+    InputData,
+    MaxRateResampler,
+    ModelImporter,
+    OriginalRateResampler,
+    PreviousInterpolationResampler,
+    Sample,
+    SyncedDataConverter,
+)
+from soccerdiffusion_tpu.ingest.bhuman import (
+    BHumanFrame,
+    BHumanImportStrategy,
+    compute_jpeg_time_offset,
+    euler_sxyz_to_quat,
+    infer_missing_times,
+    map_nao_angles,
+)
+from soccerdiffusion_tpu.ingest.bitbots import BitBotsImportStrategy, RecordingInfo
+from soccerdiffusion_tpu.ingest.converters import (
+    BHumanGameStateConverter,
+    BHumanImageConverter,
+)
+from soccerdiffusion_tpu.ingest.rows import Quaternion, snake_to_column
+
+METADATA = ImportMetadata(
+    allow_public=True, team_name="Test", robot_type="Wolfgang-OP",
+    location="lab", simulated=True,
+)
+
+SNAKE_20 = [
+    "r_shoulder_pitch", "l_shoulder_pitch", "r_shoulder_roll", "l_shoulder_roll",
+    "r_elbow", "l_elbow", "r_hip_yaw", "l_hip_yaw", "r_hip_roll", "l_hip_roll",
+    "r_hip_pitch", "l_hip_pitch", "r_knee", "l_knee", "r_ankle_pitch",
+    "l_ankle_pitch", "r_ankle_roll", "l_ankle_roll", "head_pan", "head_tilt",
+]
+
+
+def make_input(value=0.1):
+    data = InputData()
+    data.joint_state = {j: value for j in SNAKE_20}
+    for j in SNAKE_20:
+        data.joint_command_values[j] = value
+    data.rotation = Quaternion(x=0.0, y=0.0, z=0.0, w=1.0)
+    return data
+
+
+class TestPreviousInterpolationResampler:
+    def test_initial_sample_passthrough(self):
+        r = PreviousInterpolationResampler(50)
+        out = r.resample("a", 0.25)
+        assert out == [Sample(data="a", timestamp=0.25)]
+
+    def test_before_next_step_emits_nothing(self):
+        r = PreviousInterpolationResampler(50)
+        r.resample("a", 0.0)
+        assert r.resample("b", 0.01) == []
+
+    def test_at_step_boundary_emits_new_data(self):
+        r = PreviousInterpolationResampler(50)
+        r.resample("a", 0.0)
+        out = r.resample("b", 0.02)
+        assert out == [Sample(data="b", timestamp=0.02)]
+
+    def test_after_next_step_holds_old_value(self):
+        # reference test_resampling_after_next_sampling_step: the observation
+        # is more than one step past the grid point, so the held value repeats.
+        r = PreviousInterpolationResampler(50)
+        r.resample("a", 0.0)
+        out = r.resample("b", 0.03)
+        assert [(s.data, s.timestamp) for s in out] == [("a", 0.02)]
+
+    def test_multi_step_catch_up(self):
+        # reference test_resampling_multiple_steps: held value at the first
+        # grid point, the new observation at the one it lands on.
+        r = PreviousInterpolationResampler(50)
+        r.resample("a", 0.0)
+        out = r.resample("b", 0.04)
+        assert [s.data for s in out] == ["a", "b"]
+        np.testing.assert_allclose([s.timestamp for s in out], [0.02, 0.04])
+
+
+class TestMaxRateResampler:
+    def test_initial_sample(self):
+        r = MaxRateResampler(10)
+        assert r.resample("a", 1.0) == [Sample(data="a", timestamp=1.0)]
+
+    def test_rate_limit(self):
+        r = MaxRateResampler(10)
+        r.resample("a", 0.0)
+        assert r.resample("b", 0.05) == []
+        out = r.resample("c", 0.1)
+        assert out == [Sample(data="c", timestamp=0.1)]
+
+    def test_original_rate_passthrough(self):
+        r = OriginalRateResampler()
+        assert r.resample("x", 3.0) == [Sample(data="x", timestamp=3.0)]
+
+
+class TestSyncedDataConverter:
+    def converter(self):
+        return SyncedDataConverter(PreviousInterpolationResampler(50))
+
+    def test_missing_joint_state_raises(self):
+        data = make_input()
+        data.joint_state = None
+        with pytest.raises(AssertionError, match="joint_states"):
+            self.converter().convert_to_model(data, 0.0, None)
+
+    def test_missing_command_raises(self):
+        data = make_input()
+        data.joint_command_values["head_pan"] = None
+        with pytest.raises(AssertionError, match="joint_commands"):
+            self.converter().convert_to_model(data, 0.0, None)
+
+    def test_missing_rotation_raises(self):
+        data = make_input()
+        data.rotation = None
+        with pytest.raises(AssertionError, match="rotation"):
+            self.converter().convert_to_model(data, 0.0, None)
+
+    @pytest.mark.parametrize(
+        "angle,expected",
+        [(0.0, math.pi), (-math.pi, 0.0), (math.pi - 1e-9, 2 * math.pi - 1e-9),
+         (math.pi / 2, 3 * math.pi / 2), (-math.pi / 2, math.pi / 2)],
+    )
+    def test_angle_shift(self, angle, expected):
+        data = make_input(angle)
+        models = self.converter().convert_to_model(data, 0.0, None)
+        assert len(models.joint_states) == 1
+        np.testing.assert_allclose(
+            models.joint_states[0].joints["head_pan"], expected, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            models.joint_commands[0].joints["head_pan"], expected, atol=1e-7
+        )
+
+    def test_emits_rotation_rows(self):
+        models = self.converter().convert_to_model(make_input(), 0.0, None)
+        assert len(models.rotations) == 1
+        assert models.rotations[0].w == 1.0
+
+
+def bitbots_stream(n=120, with_images=True, image_size=32):
+    """Synthesized mcap-like message stream at 100 Hz joints / 10 Hz images."""
+    img = np.zeros((image_size, image_size, 3), dtype=np.uint8)
+    img[:, :, 0] = 255
+    for i in range(n):
+        t_ns = int(i * 1e7)  # 100 Hz
+        joints = [(snake_to_column(j), 0.1 * math.sin(i / 10)) for j in SNAKE_20]
+        yield ("/joint_states", t_ns, SimpleNamespace(
+            name=[j for j, _ in joints], position=[p for _, p in joints]))
+        yield ("/DynamixelController/command", t_ns + 1000, SimpleNamespace(
+            joint_names=[j for j, _ in joints], positions=[p + 0.01 for _, p in joints]))
+        yield ("/imu/data", t_ns + 2000, SimpleNamespace(
+            orientation=SimpleNamespace(x=0.0, y=0.0, z=0.0, w=1.0)))
+        if i % 20 == 0:
+            yield ("/gamestate", t_ns + 3000, SimpleNamespace(
+                game_state=3, penalized=False, team_color=0))
+        if with_images and i % 10 == 0:
+            yield ("/camera/image_proc", t_ns + 4000, SimpleNamespace(
+                height=image_size, width=image_size, encoding="rgb8",
+                data=img.tobytes()))
+
+
+def make_bitbots_strategy():
+    return BitBotsImportStrategy(
+        METADATA,
+        BitbotsImageConverter(MaxRateResampler(10)),
+        BitBotsGameStateConverter(OriginalRateResampler()),
+        SyncedDataConverter(PreviousInterpolationResampler(50)),
+    )
+
+
+class TestBitBotsStrategy:
+    def test_stream_conversion(self):
+        info = RecordingInfo(0, int(2e9), has_imu_data=True, available_topics=[])
+        md = make_bitbots_strategy().convert_stream(info, bitbots_stream())
+        assert md.recording is not None
+        assert md.recording.team_name == "Test"
+        assert len(md.joint_commands) == len(md.joint_states) == len(md.rotations)
+        assert len(md.joint_commands) > 40  # ~50 Hz over ~1.2 s
+        assert len(md.images) >= 10
+        assert len(md.game_states) >= 5
+        # head command interpolation workaround: commands carry the state's head values
+        for cmd, st in zip(md.joint_commands, md.joint_states):
+            assert cmd.joints["head_pan"] == st.joints["head_pan"]
+        # angles shifted into [0, 2pi)
+        arr = np.array([list(c.joints.values()) for c in md.joint_commands])
+        assert (arr >= 0).all() and (arr < 2 * math.pi).all()
+
+    def test_tf_fallback_inverts_quaternion(self):
+        info = RecordingInfo(0, int(1e9), has_imu_data=False, available_topics=[])
+
+        def stream():
+            joints = [(snake_to_column(j), 0.0) for j in SNAKE_20]
+            yield ("/joint_states", 0, SimpleNamespace(
+                name=[j for j, _ in joints], position=[0.0] * 20))
+            yield ("/DynamixelController/command", 1000, SimpleNamespace(
+                joint_names=[j for j, _ in joints], positions=[0.0] * 20))
+            quat = SimpleNamespace(x=0.3, y=0.0, z=0.0, w=math.sqrt(1 - 0.09))
+            yield ("/tf", 2000, SimpleNamespace(transforms=[SimpleNamespace(
+                child_frame_id="base_footprint",
+                header=SimpleNamespace(frame_id="base_link"),
+                transform=SimpleNamespace(rotation=quat))]))
+            yield ("/joint_states", int(1e8), SimpleNamespace(
+                name=[j for j, _ in joints], position=[0.0] * 20))
+
+        md = make_bitbots_strategy().convert_stream(info, stream())
+        assert len(md.rotations) >= 1
+        # inverted quaternion: vector part negated (unit quat)
+        np.testing.assert_allclose(md.rotations[0].x, -0.3, atol=1e-6)
+
+    def test_import_to_db_end_to_end(self, tmp_path):
+        """CI-style smoke: stream -> strategy -> sqlite -> WindowedDataset."""
+        db = tmp_path / "db.sqlite3"
+        conn = connect(db)
+        create_schema(conn)
+        strategy = make_bitbots_strategy()
+        info = RecordingInfo(0, int(2e9), has_imu_data=True, available_topics=[])
+
+        class StreamStrategy(BitBotsImportStrategy):
+            def convert_to_model_data(self, file_path):
+                return self.convert_stream(info, bitbots_stream(240), "test.mcap")
+
+        strategy.__class__ = StreamStrategy
+        rec_id = ModelImporter(conn, strategy).import_to_db(Path("test.mcap"))
+        assert rec_id == 1
+        n = conn.execute("SELECT COUNT(*) FROM JointCommands").fetchone()[0]
+        assert n > 80
+        cfg = ModelConfig(num_joints=20, trajectory_prediction_length=10,
+                          action_context_length=50, joint_state_context_length=50,
+                          imu_context_length=50, use_images=False)
+        ds = WindowedDataset.from_sqlite(db, cfg)
+        item = ds[5]
+        assert item["joint_command"].shape == (10, 20)
+
+    def test_empty_stream_fails_validation(self, tmp_path):
+        db = tmp_path / "db.sqlite3"
+        conn = connect(db)
+        create_schema(conn)
+        strategy = make_bitbots_strategy()
+        info = RecordingInfo(0, int(1e9), has_imu_data=True, available_topics=[])
+
+        class EmptyStrategy(BitBotsImportStrategy):
+            def convert_to_model_data(self, file_path):
+                return self.convert_stream(info, iter([]), "empty.mcap")
+
+        strategy.__class__ = EmptyStrategy
+        with pytest.raises(AssertionError):
+            ModelImporter(conn, strategy).import_to_db(Path("empty.mcap"))
+
+
+class TestBHuman:
+    def test_map_nao_angles_covers_22_joints(self):
+        angles = {k: i * 0.01 for i, k in enumerate([
+            "rShoulderPitch", "lShoulderPitch", "rShoulderRoll", "lShoulderRoll",
+            "rElbowRoll", "rElbowYaw", "lElbowRoll", "lElbowYaw",
+            "rHipYawPitch", "lHipYawPitch", "rHipRoll", "lHipRoll",
+            "rHipPitch", "lHipPitch", "rKneePitch", "lKneePitch",
+            "rAnklePitch", "lAnklePitch", "rAnkleRoll", "lAnkleRoll",
+            "headYaw", "headPitch",
+        ])}
+        mapped = map_nao_angles(angles)
+        assert len(mapped) == 22
+        assert mapped["r_elbow"] == angles["rElbowRoll"]
+        assert mapped["r_hip_yaw"] == angles["rHipYawPitch"]
+        assert mapped["head_pan"] == angles["headYaw"]
+
+    @pytest.mark.parametrize("ax,ay", [(0.3, 0.0), (0.0, -0.4), (0.2, 0.1)])
+    def test_euler_to_quat_roundtrip(self, ax, ay):
+        w, x, y, z = euler_sxyz_to_quat(ax, ay, 0.0)
+        assert abs(w * w + x * x + y * y + z * z - 1.0) < 1e-9
+        # recover roll/pitch from the quaternion
+        roll = math.atan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        pitch = math.asin(2 * (w * y - z * x))
+        np.testing.assert_allclose([roll, pitch], [ax, ay], atol=1e-9)
+
+    def test_time_offset_and_inference(self):
+        assert compute_jpeg_time_offset([0, 10, 20], [1000, 1010, 1020]) == 1000.0
+        assert infer_missing_times([0, None, 20, None, 40]) == [0, 10, 20, 30, 40]
+
+    def test_frame_stream_conversion(self):
+        frames = []
+        angles = {k: 0.2 for k in map_nao_angles({k: 0 for k in (
+            "rShoulderPitch lShoulderPitch rShoulderRoll lShoulderRoll rElbowRoll "
+            "rElbowYaw lElbowRoll lElbowYaw rHipYawPitch lHipYawPitch rHipRoll "
+            "lHipRoll rHipPitch lHipPitch rKneePitch lKneePitch rAnklePitch "
+            "lAnklePitch rAnkleRoll lAnkleRoll headYaw headPitch").split()}).values()}
+        bh_angles = {k: 0.2 for k in (
+            "rShoulderPitch lShoulderPitch rShoulderRoll lShoulderRoll rElbowRoll "
+            "rElbowYaw lElbowRoll lElbowYaw rHipYawPitch lHipYawPitch rHipRoll "
+            "lHipRoll rHipPitch lHipPitch rKneePitch lKneePitch rAnklePitch "
+            "lAnklePitch rAnkleRoll lAnkleRoll headYaw headPitch").split()}
+        for i in range(50):
+            frames.append(BHumanFrame(
+                time_ms=i * 10,
+                game_state={"state": 4, "playerState": 15,
+                            "ownTeam": {"fieldPlayerColor": 1}} if i % 10 == 0 else None,
+                inertial_angles={"x": 0.01 * i, "y": 0.0, "z": 0.0},
+                joint_request_angles=bh_angles,
+                joint_sensor_angles=bh_angles,
+            ))
+        strategy = BHumanImportStrategy(
+            METADATA,
+            BHumanImageConverter(MaxRateResampler(10)),
+            BHumanGameStateConverter(OriginalRateResampler()),
+            SyncedDataConverter(PreviousInterpolationResampler(50)),
+        )
+        md = strategy.convert_frames(frames)
+        assert md.recording.team_color == "RED"
+        assert len(md.joint_commands) > 10
+        assert len(md.game_states) >= 4
+        assert all(g.state == RobotState.PLAYING.value for g in md.game_states)
+
+
+class TestCLI:
+    def test_db_create_and_dummy(self, tmp_path):
+        from soccerdiffusion_tpu.cli import main
+
+        db = str(tmp_path / "db.sqlite3")
+        assert main(["db", "create-schema", "--db", db]) == 0
+        assert main(["db", "dummy-data", "-n", "1", "-s", "60", "-i", "20", "--db", db]) == 0
+        conn = connect(db)
+        assert conn.execute("SELECT COUNT(*) FROM Recording").fetchone()[0] == 1
+
+    def test_import_missing_file_fails(self, tmp_path):
+        from soccerdiffusion_tpu.cli import main
+
+        assert main(["import", "bit-bots", "/nonexistent.mcap", "lab"]) == 1
+
+    def test_import_wrong_suffix_fails(self, tmp_path):
+        from soccerdiffusion_tpu.cli import main
+
+        f = tmp_path / "foo.txt"
+        f.write_text("x")
+        assert main(["import", "bit-bots", str(f), "lab"]) == 1
+
+    def test_recording2mcap_gated(self, tmp_path):
+        from soccerdiffusion_tpu.cli import main
+
+        db = str(tmp_path / "db.sqlite3")
+        main(["db", "create-schema", "--db", db])
+        # mcap package not installed in CI -> clean error exit
+        try:
+            import mcap  # noqa: F401
+
+            pytest.skip("mcap installed; gating not exercised")
+        except ImportError:
+            pass
+        assert main(["db", "recording2mcap", "1", str(tmp_path / "o.mcap"), "--db", db]) == 1
