@@ -53,6 +53,8 @@ def parse_args(argv=None):
     # TPU-native additions
     parser.add_argument("--dummy-data", action="store_true",
                         help="train on the synthetic array backend")
+    parser.add_argument("--packed", action="store_true",
+                        help="use the native packed-array batch assembler")
     parser.add_argument("--db", type=str, default=None, help="sqlite db path")
     parser.add_argument("--epochs", type=int, default=None, help="override epochs")
     parser.add_argument("--steps-per-epoch", type=int, default=None,
@@ -87,7 +89,7 @@ def resolve_params(args) -> dict:
     return params
 
 
-def build_dataset(args, config: Config) -> WindowedDataset:
+def build_dataset(args, config: Config):
     if args.dummy_data:
         n = max(
             600,
@@ -98,10 +100,16 @@ def build_dataset(args, config: Config) -> WindowedDataset:
             with_images=config.model.use_images, image_size=config.model.image_resolution,
             seed=args.seed,
         )
-        return WindowedDataset.from_dummy(dummy, config.model)
-    from soccerdiffusion_tpu import DB_PATH
+        dataset = WindowedDataset.from_dummy(dummy, config.model)
+    else:
+        from soccerdiffusion_tpu import DB_PATH
 
-    return WindowedDataset.from_sqlite(args.db or DB_PATH, config.model)
+        dataset = WindowedDataset.from_sqlite(args.db or DB_PATH, config.model)
+    if getattr(args, "packed", False):
+        from soccerdiffusion_tpu.data.packed import PackedDataset
+
+        dataset = PackedDataset.from_windowed(dataset)
+    return dataset
 
 
 def parse_mesh(spec: str | None) -> dict[str, int]:
