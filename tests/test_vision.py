@@ -1,0 +1,117 @@
+"""Vision encoder tests: shapes, head variants, swin windows, factory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soccerdiffusion_tpu.models.swin import (
+    SwinImageEncoder,
+    relative_position_index,
+    shift_attn_mask,
+    window_partition,
+    window_unpartition,
+)
+from soccerdiffusion_tpu.models.vision import (
+    ImageSequenceEncoder,
+    ResNetImageEncoder,
+    ViTImageEncoder,
+    make_image_encoder,
+)
+
+
+class TestResNet:
+    def test_resnet18_shapes_avgpool(self, rng):
+        enc = ResNetImageEncoder(hidden_dim=32, use_final_avgpool=True)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x, train=False)
+        out = enc.apply(variables, x, train=False)
+        assert out.shape == (2, 32)
+        assert "batch_stats" in variables
+
+    def test_resnet18_spatial_head(self, rng):
+        # reference image.py:81-83: avgpool replaced by 1x1 conv to 32ch.
+        enc = ResNetImageEncoder(hidden_dim=16, use_final_avgpool=False)
+        x = jnp.asarray(rng.standard_normal((1, 224, 224, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x, train=False)
+        # final feature map for 224 input is 7x7 (reference output-size calc
+        # image.py:76-83); spatial head = 7*7*32 -> hidden
+        kernel = variables["params"]["fc"]["kernel"]
+        assert kernel.shape == (7 * 7 * 32, 16)
+        out = enc.apply(variables, x, train=False)
+        assert out.shape == (1, 16)
+
+    def test_batchnorm_updates_in_train_mode(self, rng):
+        enc = ResNetImageEncoder(hidden_dim=8, use_final_avgpool=True)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x, train=True)
+        _, mutated = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = variables["batch_stats"]["bn1"]["mean"]
+        after = mutated["batch_stats"]["bn1"]["mean"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestViT:
+    def test_shapes(self, rng):
+        enc = ViTImageEncoder(hidden_dim=32, patch_size=8, width=64, depth=2)
+        x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x)
+        out = enc.apply(variables, x)
+        assert out.shape == (3, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSwin:
+    def test_window_partition_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+        back = window_unpartition(window_partition(x, 4), 4, 8, 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_relative_position_index_range(self):
+        idx = relative_position_index(7)
+        assert idx.shape == (49, 49)
+        assert idx.min() >= 0 and idx.max() < 13 * 13
+
+    def test_shift_mask_blocks_cross_region(self):
+        mask = shift_attn_mask(8, 8, 4, 2)
+        assert mask.shape == (4, 16, 16)
+        assert (mask == 0).any() and (mask == -100.0).any()
+
+    def test_swin_tiny_forward(self, rng):
+        enc = SwinImageEncoder(hidden_dim=16, variant="tiny", embed_dim=24,
+                               num_heads=(2, 2, 2, 2), window=4)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x)
+        out = enc.apply(variables, x)
+        assert out.shape == (1, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFactoryAndSequence:
+    @pytest.mark.parametrize("kind", ["resnet18", "resnet50", "vit", "swin_transformer_tiny"])
+    def test_factory_builds(self, kind):
+        enc = make_image_encoder(kind, hidden_dim=8, use_final_avgpool=True)
+        assert enc is not None
+
+    def test_factory_rejects_unknown(self):
+        with pytest.raises(ValueError):
+            make_image_encoder("nope", 8, True)
+
+    def test_sequence_encoder_tokens(self, rng):
+        enc = ImageSequenceEncoder(
+            hidden_dim=16, encoder_type="vit", sequence_encoder_type="transformer",
+            num_layers=1, max_seq_len=4,
+        )
+        x = jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x)
+        out = enc.apply(variables, x)
+        assert out.shape == (2, 4, 16)
+
+    def test_sequence_encoder_none_passthrough(self, rng):
+        enc = ImageSequenceEncoder(
+            hidden_dim=16, encoder_type="vit", sequence_encoder_type="none",
+            num_layers=1, max_seq_len=4,
+        )
+        x = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 3)).astype(np.float32))
+        variables = enc.init(jax.random.key(0), x)
+        assert enc.apply(variables, x).shape == (1, 2, 16)
