@@ -40,7 +40,14 @@ def main():
     parser.add_argument("--fp32", dest="bf16", action="store_false")
     args = parser.parse_args()
 
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from soccerdiffusion_tpu.config import ModelConfig

@@ -34,7 +34,10 @@ def save_checkpoint(
     normalizer: Normalizer,
     hyperparams: dict[str, Any],
     epoch: int,
+    backend: str = "msgpack",
 ) -> None:
+    if backend == "orbax":
+        return _save_checkpoint_orbax(path, state, normalizer, hyperparams, epoch)
     path = Path(path)
     tmp = path.with_name(path.name + ".tmp")
     if tmp.exists():
@@ -70,8 +73,10 @@ def load_checkpoint(path: str | Path, state_template=None) -> dict[str, Any]:
     namedtuples included); otherwise the raw nested dict is returned.
     """
     path = Path(path)
-    raw = serialization.msgpack_restore((path / "state.msgpack").read_bytes())
     meta = json.loads((path / "hyperparams.json").read_text())
+    if meta.get("backend") == "orbax":
+        return _load_checkpoint_orbax(path, state_template)
+    raw = serialization.msgpack_restore((path / "state.msgpack").read_bytes())
     norm = Normalizer(
         mean=np.asarray(raw["norm"]["mean"]), std=np.asarray(raw["norm"]["std"])
     )
@@ -87,6 +92,89 @@ def load_checkpoint(path: str | Path, state_template=None) -> dict[str, Any]:
             template, {k: raw[k] for k in template}
         )
         state = state_template.replace(**restored)
+    return {
+        "state": state,
+        "norm": norm,
+        "hyperparams": meta["hyperparams"],
+        "current_epoch": meta["current_epoch"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (async, multi-host-capable)
+# ---------------------------------------------------------------------------
+
+_ORBAX_CHECKPOINTER = None
+
+
+def _orbax_checkpointer():
+    """Process-wide async checkpointer (waits are per-save)."""
+    global _ORBAX_CHECKPOINTER
+    if _ORBAX_CHECKPOINTER is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CHECKPOINTER = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ORBAX_CHECKPOINTER
+
+
+def _save_checkpoint_orbax(path, state, normalizer, hyperparams, epoch) -> None:
+    """Async Orbax save of the array state; hyperparams ride alongside as
+    JSON (same embedded-hyperparams contract). The previous async save is
+    awaited before starting a new one."""
+    path = Path(path).resolve()
+    ckpt = _orbax_checkpointer()
+    ckpt.wait_until_finished()
+    arrays = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "norm": {"mean": normalizer.mean, "std": normalizer.std},
+    }
+    array_dir = path / "arrays"
+    if array_dir.exists():
+        shutil.rmtree(array_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    ckpt.save(array_dir, arrays)
+    (path / "hyperparams.json").write_text(
+        json.dumps({"hyperparams": hyperparams, "current_epoch": epoch,
+                    "backend": "orbax"}, indent=2)
+    )
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight orbax save has landed (call before exit)."""
+    if _ORBAX_CHECKPOINTER is not None:
+        _ORBAX_CHECKPOINTER.wait_until_finished()
+
+
+def _load_checkpoint_orbax(path: Path, state_template=None) -> dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    wait_for_async_saves()
+    meta = json.loads((path / "hyperparams.json").read_text())
+    restored = ocp.StandardCheckpointer().restore(path.resolve() / "arrays")
+    norm = Normalizer(
+        mean=np.asarray(restored["norm"]["mean"]), std=np.asarray(restored["norm"]["std"])
+    )
+    state: Any = restored
+    if state_template is not None:
+        template = {
+            "step": state_template.step,
+            "params": state_template.params,
+            "batch_stats": state_template.batch_stats,
+            "opt_state": state_template.opt_state,
+        }
+        pieces = serialization.from_state_dict(
+            template,
+            {
+                "step": restored["step"],
+                "params": restored["params"],
+                "batch_stats": restored.get("batch_stats") or {},
+                "opt_state": restored["opt_state"],
+            },
+        )
+        state = state_template.replace(**pieces)
     return {
         "state": state,
         "norm": norm,

@@ -178,6 +178,15 @@ def main(argv=None):
         use_wandb=args.wandb, wandb_config=params,
     )
 
+    # MFU accounting (north-star metric; BASELINE.md).
+    from soccerdiffusion_tpu.utils.profiling import MFUMeter, estimate_flops
+
+    flops_per_step = estimate_flops(
+        train_step, state, jax.device_put(sample_batch), args.seed
+    )
+    mfu = MFUMeter(flops_per_step, num_devices=len(jax.devices()))
+    logger.info(f"train step FLOPs (cost analysis): {flops_per_step:.3e}")
+
     with mesh:
         for epoch in range(start_epoch, epochs):
             for i, host_batch in enumerate(
@@ -187,7 +196,10 @@ def main(argv=None):
             ):
                 if i >= steps_per_epoch:
                     break
+                mfu.start()
                 state, metrics = train_step(state, host_batch, args.seed)
+                jax.block_until_ready(metrics["loss"])
+                mfu.stop()
                 metrics_logger.log(
                     int(state.step) - 1,
                     {
@@ -195,6 +207,8 @@ def main(argv=None):
                         "grad_norm": metrics["grad_norm"],
                         "lr": lr_at_step(config.train.lr, total_steps, int(state.step) - 1),
                         "epoch": epoch,
+                        "mfu": mfu.mfu,
+                        "steps_per_sec": mfu.steps_per_sec,
                     },
                 )
             save_checkpoint(args.output, state, normalizer, params, epoch)

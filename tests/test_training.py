@@ -171,3 +171,22 @@ class TestPipeline:
         fetched = next(prefetch_to_device(ds.batches(16, shuffle=False), mesh))
         sharding = fetched["joint_command"].sharding
         assert sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        ds, norm, model, sched, opt, state = make_env()
+        from soccerdiffusion_tpu.training.checkpoint import wait_for_async_saves
+
+        save_checkpoint(tmp_path / "ockpt", state, norm, {"hidden_dim": 32},
+                        epoch=2, backend="orbax")
+        wait_for_async_saves()
+        restored = load_checkpoint(tmp_path / "ockpt", state_template=state)
+        assert restored["hyperparams"] == {"hidden_dim": 32}
+        assert restored["current_epoch"] == 2
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            restored["state"].params, jax.device_get(state.params),
+        )
+        # optimizer state restored into the optax namedtuple structure
+        assert type(restored["state"].opt_state) is type(state.opt_state)
