@@ -30,9 +30,9 @@ def log(*a):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=512, help="robots per chip")
-    parser.add_argument("--chunks", type=int, default=20, help="replan periods per timed iteration")
-    parser.add_argument("--iters", type=int, default=5, help="timed iterations")
+    parser.add_argument("--batch", type=int, default=1024, help="robots per chip")
+    parser.add_argument("--chunks", type=int, default=5, help="replan periods per timed iteration")
+    parser.add_argument("--iters", type=int, default=3, help="timed iterations")
     parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
     parser.add_argument("--distilled", action="store_true")
     parser.add_argument("--hidden", type=int, default=128)

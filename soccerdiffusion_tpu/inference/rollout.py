@@ -92,10 +92,13 @@ class RolloutEngine:
                 method=self.model.denoise,
             )
         else:
+            context_kv = self.model.apply(variables, context,
+                                          method=self.model.precompute_context_kv)
+
             def denoise_fn(x, t):
                 return self.model.apply(
-                    variables, context, x, jnp.full((bsz,), t, dtype=jnp.int32),
-                    method=self.model.denoise,
+                    variables, context_kv, x, jnp.full((bsz,), t, dtype=jnp.int32),
+                    method=self.model.denoise_with_kv,
                 )
 
             traj = ddim_sample(self.schedule, denoise_fn, noise, self.num_inference_steps)

@@ -48,10 +48,15 @@ def make_chunk_sampler(
                 method=model.denoise,
             )
         else:
+            # Project the context's cross-attention K/V once; every denoise
+            # step only projects the fresh step token.
+            context_kv = model.apply(variables, context,
+                                     method=model.precompute_context_kv)
+
             def denoise_fn(x, t):
                 return model.apply(
-                    variables, context, x, jnp.full((bsz,), t, dtype=jnp.int32),
-                    method=model.denoise,
+                    variables, context_kv, x, jnp.full((bsz,), t, dtype=jnp.int32),
+                    method=model.denoise_with_kv,
                 )
 
             traj = ddim_sample(schedule, denoise_fn, noise, num_inference_steps)

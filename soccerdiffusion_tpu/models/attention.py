@@ -1,4 +1,4 @@
-"""Multi-head attention with a pluggable compute backend.
+"""Multi-head attention with a pluggable compute backend and KV caching.
 
 The projection layout maps 1:1 onto torch ``nn.MultiheadAttention``
 (q/k/v projections are the three row-chunks of ``in_proj_weight``) so the
@@ -7,12 +7,15 @@ reference's weights port directly and fidelity tests are bit-comparable.
 The inner attention computation is a backend function with signature
 ``f(q, k, v) -> o`` over (B, T, H, D) tensors:
 
-  * "xla"    — einsum + softmax; XLA fuses this well for the short
-               (~100-token) sequences this model family uses.
-  * "pallas" — fused flash-attention kernel (soccerdiffusion_tpu.ops) that
-               keeps the whole score tile in VMEM; used on TPU for larger
-               batch*heads where it avoids HBM round trips.
-  * "auto"   — pallas on TPU when shapes qualify, else xla.
+  * "xla"    — einsum + softmax; fastest for this model family's short
+               (10-200 token) sequences (batched matmuls fill the MXU).
+  * "pallas" — fused flash-attention kernel (soccerdiffusion_tpu.ops)
+               keeping the score tile in VMEM; wins on long sequences.
+  * "auto"   — shape-aware: pallas on TPU for long sequences, else xla.
+
+Cross-attention K/V can be precomputed once per memory
+(``compute_kv``/``precomputed_kv``) — the serving path caches the context's
+KV across all 30 denoising steps.
 """
 
 from __future__ import annotations
@@ -45,21 +48,19 @@ def resolve_attention_fn(impl: str) -> AttentionFn:
 
         return flash_attention
     if impl == "auto":
-        if jax.default_backend() == "tpu":
-            from soccerdiffusion_tpu.ops.flash_attention import flash_attention_auto
+        from soccerdiffusion_tpu.ops.flash_attention import flash_attention_auto
 
-            return flash_attention_auto
-        return xla_attention
+        return flash_attention_auto
     raise ValueError(f"unknown attention impl: {impl}")
 
 
 class MultiHeadAttention(nn.Module):
     """torch-``nn.MultiheadAttention``-compatible MHA (batch_first semantics).
 
-    ``__call__(x_q, x_kv=None)``: self-attention when ``x_kv`` is None,
-    cross-attention otherwise. No masking — the reference model denoises the
-    whole action chunk jointly with full bidirectional attention
-    (reference ml/model/decoder.py:36-54).
+    ``__call__(x_q, x_kv=None, precomputed_kv=None)``: self-attention when
+    both kv inputs are None, cross-attention otherwise. No masking — the
+    reference model denoises the whole action chunk jointly with full
+    bidirectional attention (reference ml/model/decoder.py:36-54).
     """
 
     hidden_dim: int
@@ -67,23 +68,44 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x_q: jnp.ndarray, x_kv: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def setup(self) -> None:
         if self.hidden_dim % self.num_heads != 0:
             raise ValueError("hidden_dim must be divisible by num_heads")
-        x_kv = x_q if x_kv is None else x_kv
-        head_dim = self.hidden_dim // self.num_heads
         dense = lambda name: nn.Dense(self.hidden_dim, dtype=self.dtype, name=name)
-        q = dense("q_proj")(x_q)
-        k = dense("k_proj")(x_kv)
-        v = dense("v_proj")(x_kv)
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
 
-        batch, q_len = q.shape[0], q.shape[1]
-        kv_len = k.shape[1]
-        q = q.reshape(batch, q_len, self.num_heads, head_dim)
-        k = k.reshape(batch, kv_len, self.num_heads, head_dim)
-        v = v.reshape(batch, kv_len, self.num_heads, head_dim)
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x.reshape(x.shape[0], x.shape[1], self.num_heads, self.head_dim)
+
+    def compute_kv(self, x_kv: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Project memory to (k, v), each (B, S, H, D) — cacheable."""
+        return self._split(self.k_proj(x_kv)), self._split(self.v_proj(x_kv))
+
+    def __call__(
+        self,
+        x_q: jnp.ndarray,
+        x_kv: Optional[jnp.ndarray] = None,
+        precomputed_kv: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        q = self._split(self.q_proj(x_q))
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+            if x_kv is not None:
+                # Cached static part + freshly projected tail (e.g. the
+                # per-step diffusion step token appended to the context).
+                k_tail, v_tail = self.compute_kv(x_kv)
+                k = jnp.concatenate([k, k_tail], axis=1)
+                v = jnp.concatenate([v, v_tail], axis=1)
+        else:
+            k, v = self.compute_kv(x_q if x_kv is None else x_kv)
 
         out = resolve_attention_fn(self.attention_impl)(q, k, v)
-        out = out.reshape(batch, q_len, self.hidden_dim)
-        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_proj")(out)
+        out = out.reshape(x_q.shape[0], x_q.shape[1], self.hidden_dim)
+        return self.out_proj(out)

@@ -27,13 +27,32 @@ class DiffusionActionGenerator(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        """x: noisy chunk (B, pred_len, joints); context: (B, S, hidden)."""
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding")(x)
-        x = PositionalEncoding(self.hidden_dim, self.max_seq_len, dtype=self.dtype, name="pos")(x)
-        x = TransformerDecoder(
+    def setup(self) -> None:
+        self.embedding = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding")
+        self.pos = PositionalEncoding(self.hidden_dim, self.max_seq_len,
+                                      dtype=self.dtype, name="pos")
+        self.decoder = TransformerDecoder(
             self.hidden_dim, self.num_heads, self.num_layers, dtype=self.dtype,
             attention_impl=self.attention_impl, name="decoder",
-        )(x, context)
-        return nn.Dense(self.num_joints, dtype=self.dtype, name="fc_out")(x)
+        )
+        self.fc_out = nn.Dense(self.num_joints, dtype=self.dtype, name="fc_out")
+
+    def compute_context_kv(self, context: jnp.ndarray) -> list:
+        """Per-layer cross-attention K/V of the static context tokens —
+        computed once per chunk on the serving path and reused across every
+        denoising step."""
+        return self.decoder.compute_memory_kv(context)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray | None = None,
+        context_kv: list | None = None,
+    ) -> jnp.ndarray:
+        """x: noisy chunk (B, pred_len, joints); context: (B, S, hidden).
+        With ``context_kv`` given, ``context`` may hold only the per-step
+        tail tokens (the diffusion step token)."""
+        x = self.embedding(x)
+        x = self.pos(x)
+        x = self.decoder(x, context, context_kv)
+        return self.fc_out(x)

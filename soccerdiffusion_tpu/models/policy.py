@@ -114,6 +114,25 @@ class DiffusionPolicy(nn.Module):
         out = self.diffusion_action_generator(noisy_chunk.astype(self.dtype), full_context)
         return out.astype(jnp.float32)
 
+    def precompute_context_kv(self, context: jnp.ndarray) -> list:
+        """Per-layer cross-attention K/V of the static context tokens.
+
+        Serving-path optimization with no reference counterpart: the
+        context's K/V projections are identical across all denoising steps
+        (only the step token changes), so they are projected once per chunk.
+        """
+        return self.diffusion_action_generator.compute_context_kv(context)
+
+    def denoise_with_kv(self, context_kv: list, noisy_chunk: jnp.ndarray,
+                        t: jnp.ndarray) -> jnp.ndarray:
+        """``denoise`` against cached context K/V; only the per-step step
+        token is projected fresh. Numerically identical to ``denoise``."""
+        step_token = self.step_encoding(t)
+        out = self.diffusion_action_generator(
+            noisy_chunk.astype(self.dtype), step_token, context_kv
+        )
+        return out.astype(jnp.float32)
+
     def __call__(
         self,
         batch: dict[str, jnp.ndarray],

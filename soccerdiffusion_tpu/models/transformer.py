@@ -64,21 +64,36 @@ class TransformerDecoderLayer(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
-        self_attn = MultiHeadAttention(
+    def setup(self) -> None:
+        self.self_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, dtype=self.dtype,
             attention_impl=self.attention_impl, name="self_attn",
         )
-        cross_attn = MultiHeadAttention(
+        self.cross_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, dtype=self.dtype,
             attention_impl=self.attention_impl, name="cross_attn",
         )
-        mlp = Mlp(self.hidden_dim, self.ff_dim or self.hidden_dim, dtype=self.dtype, name="mlp")
-        x = x + self_attn(ln("norm1")(x))
-        x = x + cross_attn(ln("norm2")(x), memory)
-        x = x + mlp(ln("norm3")(x))
+        self.mlp = Mlp(self.hidden_dim, self.ff_dim or self.hidden_dim,
+                       dtype=self.dtype, name="mlp")
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        self.norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+
+    def compute_memory_kv(self, memory: jnp.ndarray):
+        """Cacheable cross-attention K/V of a (B, S, H) memory. In the
+        pre-norm torch layer the memory enters cross-attention un-normed, so
+        its projections depend only on the memory itself."""
+        return self.cross_attn.compute_kv(memory)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        memory: jnp.ndarray | None = None,
+        memory_kv=None,
+    ) -> jnp.ndarray:
+        x = x + self.self_attn(self.norm1(x))
+        x = x + self.cross_attn(self.norm2(x), memory, precomputed_kv=memory_kv)
+        x = x + self.mlp(self.norm3(x))
         return x
 
 
@@ -108,11 +123,25 @@ class TransformerDecoder(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
-        for i in range(self.num_layers):
-            x = TransformerDecoderLayer(
+    def setup(self) -> None:
+        self.layers = [
+            TransformerDecoderLayer(
                 self.hidden_dim, self.num_heads, self.ff_dim, dtype=self.dtype,
                 attention_impl=self.attention_impl, name=f"layer_{i}",
-            )(x, memory)
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def compute_memory_kv(self, memory: jnp.ndarray) -> list:
+        """Per-layer cacheable cross-attention K/V for a static memory."""
+        return [layer.compute_memory_kv(memory) for layer in self.layers]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        memory: jnp.ndarray | None = None,
+        memory_kv: list | None = None,
+    ) -> jnp.ndarray:
+        for i, layer in enumerate(self.layers):
+            x = layer(x, memory, memory_kv[i] if memory_kv is not None else None)
         return x

@@ -154,8 +154,16 @@ def flash_attention(
 
 
 def flash_attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Pallas on TPU; XLA fallback elsewhere (keeps tests hermetic on CPU)."""
-    if jax.default_backend() == "tpu":
+    """Shape-aware dispatch.
+
+    The fused kernel pays off when each (batch, head) program has real work —
+    long sequences whose (T, T) score tile would otherwise spill to HBM. For
+    this model family's short contexts (~10-200 tokens, head_dim 32) XLA's
+    batched-matmul attention is faster (measured 4x on v5e at batch 256), so
+    short shapes route to XLA and long ones to Pallas.
+    """
+    long_seq = q.shape[1] * k.shape[1] >= 256 * 256
+    if jax.default_backend() == "tpu" and long_seq:
         return flash_attention(q, k, v)
     from soccerdiffusion_tpu.models.attention import xla_attention
 

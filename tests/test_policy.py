@@ -252,3 +252,18 @@ class TestReferencePortParity:
             batch, jnp.asarray(noisy), jnp.asarray(steps),
         )
         np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=5e-4, atol=1e-5)
+
+
+class TestKVCache:
+    def test_denoise_with_kv_matches_denoise(self, rng):
+        cfg = ModelConfig(**PROPRIO)
+        model = DiffusionPolicy(cfg)
+        batch = make_batch(rng)
+        noisy = jnp.asarray(rng.standard_normal((2, 5, 6)).astype(np.float32))
+        t = jnp.array([3, 70])
+        variables = model.init(jax.random.key(0), batch, noisy, t)
+        ctx = model.apply(variables, batch, method=model.encode_context)
+        full = model.apply(variables, ctx, noisy, t, method=model.denoise)
+        kv = model.apply(variables, ctx, method=model.precompute_context_kv)
+        cached = model.apply(variables, kv, noisy, t, method=model.denoise_with_kv)
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=1e-5, atol=1e-6)
