@@ -50,7 +50,8 @@ def _build_db_parser(sub):
     r = db_sub.add_parser("recording2mcap")
     r.add_argument("recording_id", type=int)
     r.add_argument("output", type=str)
-    for leaf in (c, d, r):
+    m = db_sub.add_parser("migrate")
+    for leaf in (c, d, r, m):
         leaf.add_argument("--db", type=str, default=None)
 
 
@@ -136,6 +137,14 @@ def cmd_db(args) -> int:
         create_schema(conn)
         ids = insert_dummy_data(conn, args.num_recordings, args.num_samples, args.image_step)
         logger.info(f"inserted dummy recordings: {ids}")
+        return 0
+    if args.db_command == "migrate":
+        from soccerdiffusion_tpu.data.migrations import migrate, schema_version
+
+        conn = connect(db)
+        before = schema_version(conn)
+        after = migrate(conn)
+        logger.info(f"schema migrated: v{before} -> v{after}")
         return 0
     if args.db_command == "recording2mcap":
         from soccerdiffusion_tpu.ingest.recording2mcap import recording2mcap

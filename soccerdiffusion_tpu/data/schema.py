@@ -149,5 +149,9 @@ def connect(db_path: str | Path, read_only: bool = False) -> sqlite3.Connection:
 
 
 def create_schema(conn: sqlite3.Connection) -> None:
+    """Create the full latest-version schema and stamp it."""
+    from soccerdiffusion_tpu.data.migrations import LATEST_VERSION, stamp
+
     conn.executescript(_SCHEMA_SQL)
+    stamp(conn, LATEST_VERSION)
     conn.commit()

@@ -1,0 +1,204 @@
+"""Host-side realtime control driver.
+
+Counterpart of the reference's ROS 2 deployment pair — the ``Inference``
+node's three timers (50 Hz buffer update, 10 Hz image update, 200 ms
+``step()``; reference ml/inference/ros.py:155-203) and the
+``TrajectoryPlayer``'s wall-clock point selection
+(trajectory_player.py:43-79) — re-expressed as a transport-agnostic driver:
+the robot side is an abstract ``RobotIO`` (implementations can wrap rclpy,
+a UDP bridge, or the built-in simulated plant), and all compute runs through
+the jitted chunk sampler with controller state as a pytree.
+
+The replan step runs in a worker thread so the 50 Hz actuation tick never
+blocks on the accelerator: while a new chunk is being sampled, the player
+keeps serving points from the previous chunk (the same overlap the ROS
+node gets from its MutuallyExclusiveCallbackGroup + multithreaded executor;
+ros.py:155-159, :338-344).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu import DEFAULT_RESAMPLE_RATE_HZ, IMAGE_MAX_RESAMPLE_RATE_HZ, logger
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.inference.controller import (
+    init_controller_state,
+    make_controller_batch,
+    observe,
+    push_action_chunk,
+)
+from soccerdiffusion_tpu.inference.player import select_action
+
+
+class RobotIO(Protocol):
+    """Transport seam between the driver and a robot (or simulator)."""
+
+    def read_joint_state(self) -> Optional[np.ndarray]:
+        """(J,) latest joint positions in [-pi, pi], or None."""
+
+    def read_imu(self) -> Optional[np.ndarray]:
+        """(4,) or (5,) latest orientation, or None."""
+
+    def read_image(self) -> Optional[np.ndarray]:
+        """(H, W, 3) preprocessed float frame, or None."""
+
+    def read_game_state(self) -> Optional[int]:
+        """Robot state id, or None."""
+
+    def write_command(self, command: np.ndarray) -> None:
+        """(J,) joint command in [-pi, pi]."""
+
+
+@dataclass
+class ChunkSlot:
+    chunk: np.ndarray  # (P, J), [0, 2*pi) domain
+    start_time: float
+
+
+class RealtimeController:
+    def __init__(
+        self,
+        config: ModelConfig,
+        sample_fn: Callable,  # (variables, batch, rng) -> (1, P, J), e.g. make_chunk_sampler(...)
+        variables,
+        io: RobotIO,
+        control_rate_hz: float = DEFAULT_RESAMPLE_RATE_HZ,
+        image_rate_hz: float = IMAGE_MAX_RESAMPLE_RATE_HZ,
+        seed: int = 0,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self.cfg = config
+        self.sample_fn = sample_fn
+        self.variables = variables
+        self.io = io
+        self.control_rate = control_rate_hz
+        self.image_period = 1.0 / image_rate_hz
+        self.clock = clock
+        # Replan every pred_len control ticks = 200 ms at the default rates
+        # (reference ros.py:156-159).
+        self.replan_period = config.trajectory_prediction_length / control_rate_hz
+
+        self._state = init_controller_state(config, batch_size=1)
+        self._state_lock = threading.Lock()
+        self._rng = jax.random.key(seed)
+        self._slot: Optional[ChunkSlot] = None
+        self._last_image_time = -np.inf
+        self._plan_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.plan_latencies_ms: list[float] = []
+
+    # ------------------------------------------------------------- plumbing
+
+    def _observe_tick(self, now: float) -> None:
+        joint_state = self.io.read_joint_state()
+        imu = self.io.read_imu()
+        game_state = self.io.read_game_state()
+        image = None
+        if self.cfg.use_images and now - self._last_image_time >= self.image_period:
+            image = self.io.read_image()
+            if image is not None:
+                self._last_image_time = now
+        with self._state_lock:
+            self._state = observe(
+                self._state,
+                joint_state=None if joint_state is None else jnp.asarray(joint_state)[None],
+                imu=None if imu is None else jnp.asarray(imu)[None],
+                image=None if image is None else jnp.asarray(image)[None],
+                game_state=None if game_state is None else jnp.full((1,), game_state, jnp.int32),
+            )
+
+    def _plan_once(self) -> None:
+        t0 = self.clock()
+        with self._state_lock:
+            batch = make_controller_batch(self.cfg, self._state)
+        self._rng, sub = jax.random.split(self._rng)
+        chunk = np.asarray(jax.block_until_ready(
+            self.sample_fn(self.variables, batch, sub)
+        ))[0]
+        with self._state_lock:
+            self._state = push_action_chunk(self._state, jnp.asarray(chunk)[None])
+        self._slot = ChunkSlot(chunk=chunk, start_time=self.clock())
+        self.plan_latencies_ms.append((self.clock() - t0) * 1e3)
+
+    def _maybe_replan(self) -> None:
+        if self._plan_thread is not None and self._plan_thread.is_alive():
+            return  # previous plan still in flight — keep playing the old chunk
+        self._plan_thread = threading.Thread(target=self._plan_once, daemon=True)
+        self._plan_thread.start()
+
+    def _actuate(self, now: float) -> None:
+        if self._slot is None:
+            return
+        command = np.asarray(
+            select_action(jnp.asarray(self._slot.chunk), self._slot.start_time, now,
+                          self.control_rate)
+        )
+        # Chunks live in [0, 2*pi); commands go out in [-pi, pi]
+        # (reference ros.py:331 publishes positions - pi).
+        self.io.write_command(command - np.pi)
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, duration_s: float) -> None:
+        """Blocking control loop at ``control_rate`` for ``duration_s``."""
+        period = 1.0 / self.control_rate
+        start = self.clock()
+        next_tick = start
+        next_plan = start
+        while not self._stop.is_set() and self.clock() - start < duration_s:
+            now = self.clock()
+            self._observe_tick(now)
+            if now >= next_plan:
+                self._maybe_replan()
+                next_plan += self.replan_period
+            self._actuate(now)
+            next_tick += period
+            sleep = next_tick - self.clock()
+            if sleep > 0:
+                time.sleep(sleep)
+            elif sleep < -period:
+                logger.warning(f"control loop overran by {-sleep * 1e3:.1f} ms")
+                next_tick = self.clock()
+        if self._plan_thread is not None:
+            self._plan_thread.join(timeout=5.0)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+class SimulatedRobotIO:
+    """Built-in plant for driver tests/demos: first-order joint tracking."""
+
+    def __init__(self, num_joints: int, imu_dim: int = 4, alpha: float = 0.5):
+        self.positions = np.zeros(num_joints, dtype=np.float32)
+        self.imu_dim = imu_dim
+        self.alpha = alpha
+        self.commands_received: int = 0
+
+    def read_joint_state(self):
+        return self.positions
+
+    def read_imu(self):
+        imu = np.zeros(self.imu_dim, dtype=np.float32)
+        imu[-1] = 1.0
+        return imu
+
+    def read_image(self):
+        return None
+
+    def read_game_state(self):
+        return 2
+
+    def write_command(self, command: np.ndarray) -> None:
+        self.commands_received += 1
+        self.positions = self.positions + self.alpha * (
+            command.astype(np.float32) - self.positions
+        )

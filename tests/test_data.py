@@ -168,3 +168,60 @@ class TestNormalizer:
         norm = Normalizer.fit(data)
         tstd = torch.tensor(data).std(dim=0).numpy()
         np.testing.assert_allclose(np.asarray(norm.std), tstd, rtol=1e-5)
+
+
+class TestMigrations:
+    def _make_v1_db(self, path):
+        """A base-revision DB as the reference's first migration made it:
+        20-joint tables, no elbow yaw, no version stamp."""
+        import sqlite3
+
+        from soccerdiffusion_tpu.config import CANONICAL_JOINT_NAMES_20
+
+        conn = sqlite3.connect(path)
+        cols = ", ".join(f'"{n}" FLOAT DEFAULT 0.0' for n in CANONICAL_JOINT_NAMES_20)
+        for table in ("JointStates", "JointCommands"):
+            conn.execute(
+                f"CREATE TABLE {table} (_id INTEGER PRIMARY KEY, stamp FLOAT,"
+                f" recording_id INTEGER, {cols})"
+            )
+        conn.execute(
+            'INSERT INTO JointStates (stamp, recording_id, "HeadPan") VALUES (0, 1, 1.5)'
+        )
+        conn.commit()
+        return conn
+
+    def test_fresh_db_stamped_latest(self, tmp_path):
+        from soccerdiffusion_tpu.data.migrations import LATEST_VERSION, schema_version
+
+        conn = connect(tmp_path / "db.sqlite3")
+        create_schema(conn)
+        assert schema_version(conn) == LATEST_VERSION
+
+    def test_v1_inferred_and_migrated(self, tmp_path):
+        from soccerdiffusion_tpu.data.migrations import migrate, schema_version
+
+        conn = self._make_v1_db(tmp_path / "old.sqlite3")
+        assert schema_version(conn) == 1
+        assert migrate(conn) == 2
+        cols = {r[1] for r in conn.execute("PRAGMA table_info(JointCommands)")}
+        assert {"RElbowYaw", "LElbowYaw"} <= cols
+        # existing rows get the 0.0 default
+        val = conn.execute('SELECT "RElbowYaw" FROM JointStates').fetchone()[0]
+        assert val == 0.0
+
+    def test_migrate_idempotent(self, tmp_path):
+        from soccerdiffusion_tpu.data.migrations import migrate
+
+        conn = self._make_v1_db(tmp_path / "old.sqlite3")
+        assert migrate(conn) == 2
+        assert migrate(conn) == 2
+
+    def test_migrate_without_schema_raises(self, tmp_path):
+        import sqlite3
+
+        from soccerdiffusion_tpu.data.migrations import migrate
+
+        conn = sqlite3.connect(tmp_path / "empty.sqlite3")
+        with pytest.raises(ValueError, match="no schema"):
+            migrate(conn)

@@ -143,3 +143,29 @@ class TestRolloutEngine:
         carry, chunks = rollout(variables, carry)
         imu = np.asarray(carry.controller.imu_history[:, -1])
         assert not np.allclose(imu[0], imu[1])
+
+
+class TestRealtimeController:
+    def test_closed_loop_run(self):
+        from soccerdiffusion_tpu.inference.realtime import (
+            RealtimeController,
+            SimulatedRobotIO,
+        )
+
+        model, variables = make_model()
+        sampler = make_chunk_sampler(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        io = SimulatedRobotIO(num_joints=8)
+        ctrl = RealtimeController(CFG, sampler, variables, io, control_rate_hz=100)
+        # Pre-warm the jit so the first in-loop plan isn't a compile.
+        state = init_controller_state(CFG, batch_size=1)
+        jax.block_until_ready(
+            sampler(variables, make_controller_batch(CFG, state), jax.random.key(9))
+        )
+        ctrl.run(duration_s=1.0)
+        # the plant received commands and at least one replan happened
+        assert io.commands_received > 10
+        assert len(ctrl.plan_latencies_ms) >= 1
+        # untrained model -> arbitrary magnitudes, but the loop must stay finite
+        assert np.isfinite(io.positions).all()
