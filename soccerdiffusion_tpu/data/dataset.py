@@ -279,6 +279,20 @@ class WindowedDataset:
             stamps[num_frames - n_sel :] = rec.image_stamps[sel]
         return frames, stamps
 
+    def describe(self) -> str:
+        """Human-readable recording summary table (the reference logs a rich
+        table of recording metadata; reference pytorch.py:97-101)."""
+        header = f"{'rec':>4} {'rows':>8} {'rotations':>10} {'images':>7} {'game states':>12}"
+        lines = [header, "-" * len(header)]
+        for rec in self.recordings:
+            lines.append(
+                f"{rec.recording_id:>4} {len(rec.joint_commands):>8}"
+                f" {len(rec.rotations):>10} {len(rec.image_stamps):>7}"
+                f" {len(rec.game_states):>12}"
+            )
+        lines.append(f"total windows: {self.num_samples}")
+        return "\n".join(lines)
+
     # --------------------------------------------------------------- batching
 
     def sample_targets(self, num_samples: int, seed: int = 0) -> np.ndarray:

@@ -243,6 +243,28 @@ class BHumanImportStrategy(ImportStrategy):
         return commands_ready and data.joint_state is not None and data.rotation is not None
 
 
+def frame_statistics(frames: list[BHumanFrame]) -> str:
+    """Per-representation frame counts and rates (the reference prints a rich
+    statistics table; reference b_human.py:640-682)."""
+    counts = {
+        "GameState": sum(f.game_state is not None for f in frames),
+        "InertialSensorData": sum(f.inertial_angles is not None for f in frames),
+        "JointRequest": sum(f.joint_request_angles is not None for f in frames),
+        "JointSensorData": sum(f.joint_sensor_angles is not None for f in frames),
+        "Image(upper)": sum(f.upper_image is not None for f in frames),
+        "Image(lower)": sum(f.lower_image is not None for f in frames),
+    }
+    times = [f.time_ms for f in frames if f.time_ms is not None]
+    duration_s = (max(times) - min(times)) / 1e3 if len(times) > 1 else 0.0
+    header = f"{'representation':<20} {'frames':>8} {'rate [Hz]':>10}"
+    lines = [header, "-" * len(header)]
+    for name, count in counts.items():
+        rate = count / duration_s if duration_s > 0 else 0.0
+        lines.append(f"{name:<20} {count:>8} {rate:>10.1f}")
+    lines.append(f"total frames: {len(frames)}, duration: {duration_s:.1f}s")
+    return "\n".join(lines)
+
+
 def read_bhuman_log(path: Path, caching: bool = False) -> list[BHumanFrame]:
     """Read a proprietary ``.log`` via the optional pybh bindings."""
     try:

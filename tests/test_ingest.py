@@ -365,3 +365,24 @@ class TestCLI:
         except ImportError:
             pass
         assert main(["db", "recording2mcap", "1", str(tmp_path / "o.mcap"), "--db", db]) == 1
+
+
+class TestStatistics:
+    def test_bhuman_frame_statistics(self):
+        from soccerdiffusion_tpu.ingest.bhuman import frame_statistics
+
+        frames = [BHumanFrame(time_ms=i * 10, inertial_angles={"x": 0, "y": 0})
+                  for i in range(100)]
+        table = frame_statistics(frames)
+        assert "InertialSensorData" in table
+        assert "100" in table and "0.5s" not in table
+
+    def test_windowed_describe(self):
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.data import WindowedDataset, generate_dummy_arrays
+
+        cfg = ModelConfig(num_joints=20, use_images=False,
+                          trajectory_prediction_length=10)
+        ds = WindowedDataset.from_dummy(generate_dummy_arrays(2, 100), cfg)
+        table = ds.describe()
+        assert "total windows: 180" in table
