@@ -169,3 +169,33 @@ class TestRealtimeController:
         assert len(ctrl.plan_latencies_ms) >= 1
         # untrained model -> arbitrary magnitudes, but the loop must stay finite
         assert np.isfinite(io.positions).all()
+
+
+class TestShardedRollout:
+    def test_rollout_on_data_mesh(self):
+        """Rollout engine with robots sharded over the 8-device data axis."""
+        from soccerdiffusion_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh({"data": 8})
+        model, variables = make_model()
+        engine = RolloutEngine(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        carry = engine.init(batch_size=16, rng=jax.random.key(0))
+        with mesh:
+            # shard every controller/plant buffer over the robot axis
+            sharded_controller = shard_batch(
+                mesh,
+                {
+                    "joint_command_history": carry.controller.joint_command_history,
+                    "joint_state_history": carry.controller.joint_state_history,
+                    "imu_history": carry.controller.imu_history,
+                },
+            )
+            carry = carry.replace(
+                controller=carry.controller.replace(**sharded_controller)
+            )
+            rollout = engine.make_rollout_fn(num_chunks=2, jit=True)
+            carry, chunks = rollout(variables, carry)
+        assert chunks.shape == (2, 16, 5, 8)
+        assert np.isfinite(np.asarray(chunks)).all()
