@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--iters", type=int, default=3, help="timed iterations")
     parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
     parser.add_argument("--distilled", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fused Pallas denoiser kernel")
+    parser.add_argument("--fused-block", type=int, default=8)
     parser.add_argument("--hidden", type=int, default=128)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
@@ -80,6 +83,7 @@ def main():
     engine = RolloutEngine(
         model, schedule, normalizer,
         num_inference_steps=args.steps, distilled=args.distilled,
+        fused=args.fused, fused_block_robots=args.fused_block,
     )
     carry = engine.init(args.batch, jax.random.key(0))
 
@@ -122,6 +126,7 @@ def main():
         "ddim_steps": args.steps,
         "hidden_dim": args.hidden,
         "compute_dtype": cfg.compute_dtype,
+        "fused_kernel": args.fused,
     }
     print(json.dumps(result), flush=True)
 

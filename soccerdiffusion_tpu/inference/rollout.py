@@ -57,6 +57,8 @@ class RolloutEngine:
         num_inference_steps: int = 30,
         distilled: bool = False,
         tracking_alpha: float = 0.5,
+        fused: bool = False,
+        fused_block_robots: int = 8,
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -65,6 +67,10 @@ class RolloutEngine:
         self.num_inference_steps = num_inference_steps
         self.distilled = distilled
         self.tracking_alpha = tracking_alpha
+        # Run the denoiser through the fused Pallas program
+        # (ops/fused_denoise.py) instead of the XLA op graph.
+        self.fused = fused
+        self.fused_block_robots = fused_block_robots
 
     # ------------------------------------------------------------------ init
 
@@ -91,6 +97,23 @@ class RolloutEngine:
                 variables, context, noise, jnp.zeros((bsz,), jnp.int32),
                 method=self.model.denoise,
             )
+        elif self.fused:
+            from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser
+
+            fused = FusedDenoiser(self.model, variables["params"],
+                                  block_robots=min(self.fused_block_robots, bsz))
+            context_kv = self.model.apply(variables, context,
+                                          method=self.model.precompute_context_kv)
+            packed = fused.pack_context_kv(context_kv)
+
+            def denoise_fn(x, t):
+                step_tok = self.model.apply(
+                    variables, jnp.full((bsz,), t, jnp.int32),
+                    method=lambda m, tt: m.step_encoding(tt),
+                )[:, 0]
+                return fused(packed, x, step_tok)
+
+            traj = ddim_sample(self.schedule, denoise_fn, noise, self.num_inference_steps)
         else:
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)
