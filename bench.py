@@ -37,6 +37,9 @@ def main():
     parser.add_argument("--distilled", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused Pallas denoiser kernel")
+    parser.add_argument("--auto-fused", action="store_true",
+                        help="try the fused kernel in a subprocess first (~15 min cold"
+                             " compile; falls back to the XLA path on timeout)")
     parser.add_argument("--fused-block", type=int, default=8)
     parser.add_argument("--hidden", type=int, default=128)
     parser.add_argument("--bf16", action="store_true", default=True)
@@ -44,6 +47,28 @@ def main():
     args = parser.parse_args()
 
     import os
+
+    # Auto mode: try the fused Pallas kernel in a subprocess (its first
+    # compile can take ~15 min through a tunneled backend); on timeout or
+    # failure fall back to the XLA path inline. With a warm compilation
+    # cache the fused attempt finishes in ~2 min.
+    if not args.fused and args.auto_fused:
+        import subprocess
+
+        cmd = [sys.executable, __file__, "--fused", "--fused-block", "32",
+               "--batch", str(args.batch), "--chunks", str(args.chunks),
+               "--iters", str(args.iters), "--steps", str(args.steps)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                                  cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                log("fused-kernel attempt succeeded")
+                print(line, flush=True)
+                return
+            log(f"fused attempt failed (rc={proc.returncode}); falling back to XLA path")
+        except subprocess.TimeoutExpired:
+            log("fused attempt timed out (cold kernel compile); falling back to XLA path")
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     import jax

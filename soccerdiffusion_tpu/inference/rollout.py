@@ -98,6 +98,7 @@ class RolloutEngine:
                 method=self.model.denoise,
             )
         elif self.fused:
+            from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
             from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser
 
             fused = FusedDenoiser(self.model, variables["params"],
@@ -105,15 +106,15 @@ class RolloutEngine:
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)
             packed = fused.pack_context_kv(context_kv)
-
-            def denoise_fn(x, t):
-                step_tok = self.model.apply(
-                    variables, jnp.full((bsz,), t, jnp.int32),
-                    method=lambda m, tt: m.step_encoding(tt),
-                )[:, 0]
-                return fused(packed, x, step_tok)
-
-            traj = ddim_sample(self.schedule, denoise_fn, noise, self.num_inference_steps)
+            # Step tokens for the whole timestep sequence in one op — they
+            # are robot-independent during sampling.
+            ts = jnp.asarray(ddim_timesteps(
+                self.schedule.num_train_timesteps, self.num_inference_steps))
+            st_table = self.model.apply(
+                variables, ts, method=lambda m, tt: m.step_encoding(tt)
+            )[:, 0]  # (T, E)
+            traj = fused.sample(packed, noise, st_table, self.schedule,
+                                self.num_inference_steps)
         else:
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)

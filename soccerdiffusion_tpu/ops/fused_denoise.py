@@ -70,8 +70,9 @@ def _head_attention(qh, kh, vh, extra_kh=None, extra_vh=None):
         qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale  # (R, Q, S)
     if extra_kh is not None:
+        # robot-shared extra token: extra_kh (D, 1), extra_vh (1, D)
         s_x = jax.lax.dot_general(
-            qh, extra_kh, (((2,), (2,)), ((0,), (0,))),
+            qh, extra_kh, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (R, Q, 1)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
@@ -83,7 +84,7 @@ def _head_attention(qh, kh, vh, extra_kh=None, extra_vh=None):
             preferred_element_type=jnp.float32,
         )
         out = out + jax.lax.dot_general(
-            p_x.astype(vh.dtype), extra_vh, (((2,), (1,)), ((0,), (0,))),
+            p_x.astype(vh.dtype), extra_vh, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return (out / denom).astype(vh.dtype)
@@ -103,8 +104,8 @@ def _make_kernel(num_layers: int, num_heads: int, head_dim: int, pred_len: int,
 
     def kernel(
         noisy_ref,      # (R, P, J)
-        st_k_ref,       # (L, R, 1, E) step-token cross K (precomputed)
-        st_v_ref,       # (L, R, 1, E)
+        st_k_ref,       # (L, E, 1) step-token cross K (shared across robots)
+        st_v_ref,       # (L, 1, E)
         ctx_k_ref,      # (L, R, S, E) heads packed in lanes
         ctx_v_ref,      # (L, R, S, E)
         pe_ref,         # (P, E)
@@ -120,6 +121,7 @@ def _make_kernel(num_layers: int, num_heads: int, head_dim: int, pred_len: int,
         out_ref,        # (R, P, J)
         *,
         qkv_b3_ref=None,
+        coef_ref=None,  # SMEM (1, 4) fp32 DDIM coefs; present => output x_prev
     ):
         r = noisy_ref.shape[0]
         compute_dtype = ctx_k_ref.dtype
@@ -132,8 +134,8 @@ def _make_kernel(num_layers: int, num_heads: int, head_dim: int, pred_len: int,
         h = (h + emb_b_ref[...]).astype(compute_dtype)
         h = h.reshape(r, P, E) + pe_ref[...][None].astype(compute_dtype)
 
-        st_k_all4 = st_k_ref[...].astype(compute_dtype)  # (L, R, 1, E)
-        st_v_all4 = st_v_ref[...].astype(compute_dtype)
+        st_k_all3 = st_k_ref[...].astype(compute_dtype)  # (L, E, 1)
+        st_v_all3 = st_v_ref[...].astype(compute_dtype)  # (L, 1, E)
         # Load the stacked context K/V once as values; static per-(layer,
         # head) slices of a value are compile-time views (ref integer
         # indexing does not lower through Mosaic's gather path).
@@ -177,8 +179,8 @@ def _make_kernel(num_layers: int, num_heads: int, head_dim: int, pred_len: int,
             q2 = jax.lax.dot_general(n2_2d, at(cq_w_all, l), (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)
-            st_k3 = at(st_k_all4, l)  # (R, 1, E)
-            st_v3 = at(st_v_all4, l)
+            st_k2 = at(st_k_all3, l)  # (E, 1)
+            st_v2 = at(st_v_all3, l)  # (1, E)
             ctx_k_l = at(ctx_k_all, l)  # (R, S, E)
             ctx_v_l = at(ctx_v_all, l)
             heads_out = []
@@ -186,8 +188,8 @@ def _make_kernel(num_layers: int, num_heads: int, head_dim: int, pred_len: int,
                 qh = jax.lax.slice_in_dim(q2, hh * D, (hh + 1) * D, axis=1).reshape(r, P, D)
                 ctx_kh = jax.lax.slice_in_dim(ctx_k_l, hh * D, (hh + 1) * D, axis=2)
                 ctx_vh = jax.lax.slice_in_dim(ctx_v_l, hh * D, (hh + 1) * D, axis=2)
-                st_kh = jax.lax.slice_in_dim(st_k3, hh * D, (hh + 1) * D, axis=2)
-                st_vh = jax.lax.slice_in_dim(st_v3, hh * D, (hh + 1) * D, axis=2)
+                st_kh = jax.lax.slice_in_dim(st_k2, hh * D, (hh + 1) * D, axis=0)
+                st_vh = jax.lax.slice_in_dim(st_v2, hh * D, (hh + 1) * D, axis=1)
                 heads_out.append(
                     _head_attention(qh, ctx_kh, ctx_vh, extra_kh=st_kh, extra_vh=st_vh))
             attn = jnp.concatenate(heads_out, axis=-1).reshape(r * P, E)
@@ -210,8 +212,19 @@ def _make_kernel(num_layers: int, num_heads: int, head_dim: int, pred_len: int,
         out = jax.lax.dot_general(h.reshape(r * P, E), fc_w_ref[...],
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        out = out + fc_b_ref[...]
-        out_ref[...] = out.reshape(r, P, -1).astype(out_ref.dtype)
+        eps = (out + fc_b_ref[...]).reshape(r, P, -1)
+        if coef_ref is None:
+            out_ref[...] = eps.astype(out_ref.dtype)
+        else:
+            # In-kernel DDIM step (eta=0, eps prediction): coefs =
+            # [1/sqrt(abar_t), sqrt(1-abar_t), sqrt(abar_prev), sqrt(1-abar_prev)]
+            x_t = noisy_ref[...].astype(jnp.float32)
+            inv_sq_abar = coef_ref[0, 0]
+            sq_1m_abar = coef_ref[0, 1]
+            sq_abar_prev = coef_ref[0, 2]
+            sq_1m_abar_prev = coef_ref[0, 3]
+            x0_hat = (x_t - sq_1m_abar * eps) * inv_sq_abar
+            out_ref[...] = (sq_abar_prev * x0_hat + sq_1m_abar_prev * eps).astype(out_ref.dtype)
 
     return kernel
 
@@ -291,21 +304,27 @@ class FusedDenoiser:
         vs = jnp.stack([v.reshape(v.shape[0], v.shape[1], -1) for _, v in context_kv])
         return ks.astype(self.dtype), vs.astype(self.dtype)
 
-    def __call__(self, packed_kv, noisy: jnp.ndarray, step_token: jnp.ndarray) -> jnp.ndarray:
-        """noisy (B, P, J); step_token (B, E) [the (B, 1, E) StepToken output
-        squeezed]; returns epsilon (B, P, J) float32."""
+    def step_token_kv(self, step_token: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(E,) shared step token -> per-layer cross K (L, E, 1) / V (L, 1, E).
+
+        Sampling uses ONE timestep for the whole batch (reference
+        ros.py:301-310), so the step token — and therefore its K/V — is
+        robot-independent."""
+        st = step_token.astype(self.dtype)
+        k = (jnp.einsum("e,lef->lf", st, self.ck_w, preferred_element_type=jnp.float32)
+             + self.ck_b)[:, :, None].astype(self.dtype)  # (L, E, 1)
+        v = (jnp.einsum("e,lef->lf", st, self.cv_w, preferred_element_type=jnp.float32)
+             + self.cv_b)[:, None, :].astype(self.dtype)  # (L, 1, E)
+        return k, v
+
+    def __call__(self, packed_kv, noisy: jnp.ndarray, step_token: jnp.ndarray,
+                 ddim_coefs: jnp.ndarray | None = None) -> jnp.ndarray:
+        """noisy (B, P, J); step_token (E,) shared across the batch; with
+        ``ddim_coefs`` (1, 4) the kernel returns x_prev instead of epsilon."""
         cfg = self.cfg
         ctx_k, ctx_v = packed_kv
         b = noisy.shape[0]
-        # Step-token cross K/V for every layer in two ops (the only per-step
-        # work outside the kernel): (B, E) x (L, E, E) -> (L, B, 1, E).
-        st = step_token.astype(self.dtype)
-        st_k_all = (jnp.einsum("be,lef->lbf", st, self.ck_w,
-                               preferred_element_type=jnp.float32)
-                    + self.ck_b[:, None, :])[:, :, None, :].astype(self.dtype)
-        st_v_all = (jnp.einsum("be,lef->lbf", st, self.cv_w,
-                               preferred_element_type=jnp.float32)
-                    + self.cv_b[:, None, :])[:, :, None, :].astype(self.dtype)
+        st_k_all, st_v_all = self.step_token_kv(step_token)
         R = min(self.block_robots, b)
         assert b % R == 0, f"batch {b} not divisible by robot block {R}"
         L_, _, S, E_ = ctx_k.shape
@@ -320,24 +339,118 @@ class FusedDenoiser:
 
         grid = (b // R,)
         L = self.num_layers
+        with_coefs = ddim_coefs is not None
         in_specs = [
             pl.BlockSpec((R, P, J), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, 1, E), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, 1, E), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, E), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, R, S, E), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, R, S, E), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 19
+        inputs = [
+            noisy.astype(self.dtype), st_k_all, st_v_all, ctx_k, ctx_v,
+            self.pe, self.emb_w, self.emb_b, self.qkv_w, self.qkv_b,
+            self.so_w, self.so_b, self.cq_w, self.cq_b, self.co_w, self.co_b,
+            self.mlp1_w, self.mlp1_b, self.mlp2_w, self.mlp2_b,
+            self.ln_s, self.ln_b, self.fc_w, self.fc_b,
+        ]
+        if with_coefs:
+            in_specs.append(pl.BlockSpec((1, 4), memory_space=pltpu.SMEM))
+            inputs.append(ddim_coefs.astype(jnp.float32))
 
         def wrapped(noisy_r, stk_r, stv_r, ck_r, cv_r, pe_r, ew_r, eb_r, qw_r, qb_r,
                     sow_r, sob_r, cqw_r, cqb_r, cow_r, cob_r,
                     m1w_r, m1b_r, m2w_r, m2b_r, lns_r, lnb_r,
-                    fw_r, fb_r, out_r):
+                    fw_r, fb_r, *rest):
+            coef_r, out_r = (rest[0], rest[1]) if with_coefs else (None, rest[0])
             kernel(noisy_r, stk_r, stv_r, ck_r, cv_r, pe_r, ew_r, eb_r, qw_r, None,
                    sow_r, sob_r, cqw_r, cqb_r, cow_r, cob_r,
                    m1w_r, m1b_r, m2w_r, m2b_r, lns_r, lnb_r,
-                   fw_r, fb_r, out_r, qkv_b3_ref=qb_r)
+                   fw_r, fb_r, out_r, qkv_b3_ref=qb_r, coef_ref=coef_r)
 
         out = pl.pallas_call(
+            wrapped,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((R, P, J), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, P, J), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )(*inputs)
+        return out
+
+    def sample(self, packed_kv, noise: jnp.ndarray, step_token_table: jnp.ndarray,
+               schedule, num_inference_steps: int) -> jnp.ndarray:
+        """Full DDIM rollout with ONE kernel op per step.
+
+        step_token_table: (T, E) precomputed step tokens for the timestep
+        sequence (shared across robots). All per-step glue — step-token K/V
+        projection, DDIM coefficient lookup, and the x-update — happens once
+        per chunk or inside the kernel, so the scan body is a single op.
+        """
+        from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
+
+        ts = np.asarray(ddim_timesteps(schedule.num_train_timesteps, num_inference_steps))
+        acp = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+        prev = ts - schedule.num_train_timesteps // num_inference_steps
+        abar_t = acp[ts]
+        abar_prev = np.where(prev >= 0, acp[np.maximum(prev, 0)], schedule.final_alpha_cumprod)
+        coefs = jnp.asarray(np.stack([
+            1.0 / np.sqrt(abar_t), np.sqrt(1.0 - abar_t),
+            np.sqrt(abar_prev), np.sqrt(1.0 - abar_prev),
+        ], axis=1)[:, None, :], dtype=jnp.float32)  # (T, 1, 4)
+
+        # Per-step K/V tables in two einsums (T, L, E, 1) / (T, L, 1, E).
+        stt = step_token_table.astype(self.dtype)  # (T, E)
+        k_tab = (jnp.einsum("te,lef->tlf", stt, self.ck_w,
+                            preferred_element_type=jnp.float32)
+                 + self.ck_b[None])[:, :, :, None].astype(self.dtype)
+        v_tab = (jnp.einsum("te,lef->tlf", stt, self.cv_w,
+                            preferred_element_type=jnp.float32)
+                 + self.cv_b[None])[:, :, None, :].astype(self.dtype)
+
+        def body(x, per_step):
+            st_k, st_v, coef = per_step
+            x = self._call_with_precomputed(packed_kv, x, st_k, st_v, coef)
+            return x, None
+
+        x0, _ = jax.lax.scan(body, noise, (k_tab, v_tab, coefs))
+        return x0
+
+    def _call_with_precomputed(self, packed_kv, noisy, st_k_all, st_v_all, ddim_coefs):
+        """One kernel op given precomputed per-step tensors."""
+        cfg = self.cfg
+        ctx_k, ctx_v = packed_kv
+        b = noisy.shape[0]
+        R = min(self.block_robots, b)
+        assert b % R == 0
+        L_, _, S, E_ = ctx_k.shape
+        P, E, J = cfg.trajectory_prediction_length, cfg.hidden_dim, cfg.num_joints
+        kernel = _make_kernel(self.num_layers, self.num_heads, self.head_dim, P, E, J)
+        grid = (b // R,)
+        L = self.num_layers
+        in_specs = [
+            pl.BlockSpec((R, P, J), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, E), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, R, S, E), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, R, S, E), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 19 + [
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM)
+        ]
+
+        def wrapped(noisy_r, stk_r, stv_r, ck_r, cv_r, pe_r, ew_r, eb_r, qw_r, qb_r,
+                    sow_r, sob_r, cqw_r, cqb_r, cow_r, cob_r,
+                    m1w_r, m1b_r, m2w_r, m2b_r, lns_r, lnb_r,
+                    fw_r, fb_r, coef_r, out_r):
+            kernel(noisy_r, stk_r, stv_r, ck_r, cv_r, pe_r, ew_r, eb_r, qw_r, None,
+                   sow_r, sob_r, cqw_r, cqb_r, cow_r, cob_r,
+                   m1w_r, m1b_r, m2w_r, m2b_r, lns_r, lnb_r,
+                   fw_r, fb_r, out_r, qkv_b3_ref=qb_r, coef_ref=coef_r)
+
+        return pl.pallas_call(
             wrapped,
             grid=grid,
             in_specs=in_specs,
@@ -352,6 +465,5 @@ class FusedDenoiser:
             self.pe, self.emb_w, self.emb_b, self.qkv_w, self.qkv_b,
             self.so_w, self.so_b, self.cq_w, self.cq_b, self.co_w, self.co_b,
             self.mlp1_w, self.mlp1_b, self.mlp2_w, self.mlp2_b,
-            self.ln_s, self.ln_b, self.fc_w, self.fc_b,
+            self.ln_s, self.ln_b, self.fc_w, self.fc_b, ddim_coefs,
         )
-        return out
