@@ -92,7 +92,22 @@ class RolloutEngine:
         bsz = context.shape[0]
         shape = (bsz, self.cfg.trajectory_prediction_length, self.cfg.num_joints)
         noise = jax.random.normal(rng, shape, dtype=jnp.float32)
-        if self.distilled:
+        if self.distilled and self.fused:
+            # Distilled single forward at t=0 through the fused kernel (the
+            # student's output IS the trajectory; reference ros.py:293-298).
+            from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser
+
+            fused = FusedDenoiser(self.model, variables["params"],
+                                  block_robots=min(self.fused_block_robots, bsz))
+            context_kv = self.model.apply(variables, context,
+                                          method=self.model.precompute_context_kv)
+            packed = fused.pack_context_kv(context_kv)
+            st = self.model.apply(
+                variables, jnp.zeros((1,), jnp.int32),
+                method=lambda m, tt: m.step_encoding(tt),
+            )[0, 0]
+            traj = fused(packed, noise, st)
+        elif self.distilled:
             traj = self.model.apply(
                 variables, context, noise, jnp.zeros((bsz,), jnp.int32),
                 method=self.model.denoise,

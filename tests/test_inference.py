@@ -199,3 +199,51 @@ class TestShardedRollout:
             carry, chunks = rollout(variables, carry)
         assert chunks.shape == (2, 16, 5, 8)
         assert np.isfinite(np.asarray(chunks)).all()
+
+
+class TestFusedRollout:
+    def test_fused_rollout_matches_xla_rollout(self):
+        """Fused-kernel rollout (interpret mode) vs the XLA rollout path."""
+        model, variables = make_model()
+        import soccerdiffusion_tpu.ops.fused_denoise as fd
+
+        engine_x = RolloutEngine(model, make_schedule(100), Normalizer.identity(8),
+                                 num_inference_steps=4)
+        engine_f = RolloutEngine(model, make_schedule(100), Normalizer.identity(8),
+                                 num_inference_steps=4, fused=True, fused_block_robots=2)
+        # force interpret mode for the CPU test
+        orig_init = fd.FusedDenoiser.__init__
+
+        def patched(self, m, p, interpret=False, block_robots=32):
+            orig_init(self, m, p, interpret=True, block_robots=block_robots)
+
+        fd.FusedDenoiser.__init__ = patched
+        try:
+            cx = engine_x.init(batch_size=4, rng=jax.random.key(0))
+            cf = engine_f.init(batch_size=4, rng=jax.random.key(0))
+            _, chunks_x = engine_x.make_rollout_fn(1, jit=False)(variables, cx)
+            _, chunks_f = engine_f.make_rollout_fn(1, jit=False)(variables, cf)
+        finally:
+            fd.FusedDenoiser.__init__ = orig_init
+        np.testing.assert_allclose(np.asarray(chunks_f), np.asarray(chunks_x),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_fused_distilled_rollout_runs(self):
+        model, variables = make_model()
+        import soccerdiffusion_tpu.ops.fused_denoise as fd
+
+        orig_init = fd.FusedDenoiser.__init__
+
+        def patched(self, m, p, interpret=False, block_robots=32):
+            orig_init(self, m, p, interpret=True, block_robots=block_robots)
+
+        fd.FusedDenoiser.__init__ = patched
+        try:
+            engine = RolloutEngine(model, make_schedule(100), Normalizer.identity(8),
+                                   distilled=True, fused=True, fused_block_robots=2)
+            carry = engine.init(batch_size=4, rng=jax.random.key(0))
+            _, chunks = engine.make_rollout_fn(1, jit=False)(variables, carry)
+        finally:
+            fd.FusedDenoiser.__init__ = orig_init
+        assert chunks.shape == (1, 4, 5, 8)
+        assert np.isfinite(np.asarray(chunks)).all()
