@@ -141,14 +141,15 @@ def main():
     chunks_per_sec_per_chip = args.batch * args.chunks / statistics.median(times)
 
     north_star_chunks_per_sec = 4096 / 8 * (1000.0 / 10.0)  # 51200
+    sampler_name = "distilled1" if args.distilled else "ddim%d" % args.steps
     result = {
-        "metric": "ddim%d_action_chunks_per_sec_per_chip" % args.steps,
+        "metric": "%s_action_chunks_per_sec_per_chip" % sampler_name,
         "value": round(chunks_per_sec_per_chip, 1),
         "unit": "chunks/s/chip",
         "vs_baseline": round(chunks_per_sec_per_chip / north_star_chunks_per_sec, 3),
         "p50_replan_period_ms": round(p50_period_ms, 3),
         "batch_robots": args.batch,
-        "ddim_steps": args.steps,
+        "ddim_steps": 1 if args.distilled else args.steps,
         "hidden_dim": args.hidden,
         "compute_dtype": cfg.compute_dtype,
         "fused_kernel": args.fused,
