@@ -74,6 +74,8 @@ class RealtimeController:
         image_rate_hz: float = IMAGE_MAX_RESAMPLE_RATE_HZ,
         seed: int = 0,
         clock: Callable[[], float] = time.monotonic,
+        sleep_fn: Callable[[float], None] = time.sleep,
+        plan_in_thread: bool = True,
     ):
         self.cfg = config
         self.sample_fn = sample_fn
@@ -82,6 +84,11 @@ class RealtimeController:
         self.control_rate = control_rate_hz
         self.image_period = 1.0 / image_rate_hz
         self.clock = clock
+        self.sleep_fn = sleep_fn
+        # With plan_in_thread=False the replan runs inline in the control
+        # loop (no overlap) — deterministic under a virtual clock, at the
+        # cost of blocking one actuation tick per replan.
+        self.plan_in_thread = plan_in_thread
         # Replan every pred_len control ticks = 200 ms at the default rates
         # (reference ros.py:156-159).
         self.replan_period = config.trajectory_prediction_length / control_rate_hz
@@ -129,6 +136,9 @@ class RealtimeController:
         self.plan_latencies_ms.append((self.clock() - t0) * 1e3)
 
     def _maybe_replan(self) -> None:
+        if not self.plan_in_thread:
+            self._plan_once()
+            return
         if self._plan_thread is not None and self._plan_thread.is_alive():
             return  # previous plan still in flight — keep playing the old chunk
         self._plan_thread = threading.Thread(target=self._plan_once, daemon=True)
@@ -163,7 +173,7 @@ class RealtimeController:
             next_tick += period
             sleep = next_tick - self.clock()
             if sleep > 0:
-                time.sleep(sleep)
+                self.sleep_fn(sleep)
             elif sleep < -period:
                 logger.warning(f"control loop overran by {-sleep * 1e3:.1f} ms")
                 next_tick = self.clock()

@@ -157,6 +157,8 @@ class BHumanImportStrategy(ImportStrategy):
 
     def convert_to_model_data(self, file_path: Path) -> ModelData:
         frames = read_bhuman_log(Path(file_path), caching=self.caching)
+        if self.video:
+            show_video(frames)
         return self.convert_frames(
             frames,
             original_file=Path(file_path).name,
@@ -265,16 +267,224 @@ def frame_statistics(frames: list[BHumanFrame]) -> str:
     return "\n".join(lines)
 
 
+# --------------------------------------------------------------------------
+# pybh log adapter
+#
+# The reference wraps every pybh Frame/Record in dict adapters and keeps the
+# native handles alive for the whole conversion (reference b_human.py:67-149).
+# Here pybh objects are converted eagerly into plain ``BHumanFrame``
+# dataclasses instead: the native log handle can be dropped frame-by-frame,
+# the result pickles cleanly for ``--caching`` (pybh handles do not), and the
+# whole transformation is duck-typed so unit tests drive it with fake
+# Frame/Record/Log objects without the native bindings installed.
+# --------------------------------------------------------------------------
+
+#: representations consumed from a B-Human log (reference b_human.py:34-44).
+PYBH_REPRESENTATIONS = (
+    "FrameInfo",
+    "GameState",
+    "InertialSensorData",
+    "JointRequest",
+    "JointSensorData",
+    "JPEGImage",
+)
+
+
+def pybh_value_to_py(value: Any) -> Any:
+    """pybh ``Record``/``Array``/scalar -> plain dict/list/scalar.
+
+    Dispatches on the class *name* so test fakes can stand in for the native
+    pybh types (reference SmartRecord does the same walk; b_human.py:68-106).
+    """
+    name = type(value).__name__
+    if name == "Record":
+        return {key: pybh_value_to_py(getattr(value, key)) for key in value}
+    if name == "Array":
+        return [pybh_value_to_py(v) for v in value]
+    return value
+
+
+def decode_bhuman_jpeg(data: bytes, width: int, height: int) -> np.ndarray:
+    """YUYV-packed JPEG bytes -> BGR uint8 image of shape (2*height, 2*width, 3).
+
+    B-Human stores camera frames as JPEG-compressed YUYV: the decoded JPEG is
+    (2*height, width, 4) where each 4-tuple packs Y0 U Y1 V for two horizontal
+    pixels (reference b_human.py:198-249). The final BGR image is inverted
+    (255 - x) exactly as the reference does.
+    """
+    import io as _io
+
+    import cv2
+    from PIL import Image as PILImage
+
+    img_yuyv = np.asarray(PILImage.open(_io.BytesIO(data)))
+    y0 = img_yuyv[:, :, 0]
+    u = img_yuyv[:, :, 1]
+    y1 = img_yuyv[:, :, 2]
+    v = img_yuyv[:, :, 3]
+    img_yuv = np.empty((height * 2, width * 2, 3), dtype=np.uint8)
+    img_yuv[:, ::2, 0] = y0
+    img_yuv[:, 1::2, 0] = y1
+    img_yuv[:, ::2, 1] = u
+    img_yuv[:, 1::2, 1] = u
+    img_yuv[:, ::2, 2] = v
+    img_yuv[:, 1::2, 2] = v
+    return 255 - cv2.cvtColor(img_yuv, cv2.COLOR_YUV2BGR)
+
+
+def _scrape_times(reps: dict[str, dict]) -> tuple[list[int], int | None]:
+    """(non-JPEG time/timestamp values, JPEG timestamp) from one frame's
+    representation dicts (reference b_human.py:184-197)."""
+    times: list[int] = []
+    jpeg_ts: int | None = None
+    for name, record in reps.items():
+        if name == "JPEGImage":
+            ts = record.get("timestamp")
+            if isinstance(ts, int):
+                jpeg_ts = ts
+            continue
+        for key in ("time", "timestamp"):
+            t = record.get(key)
+            if isinstance(t, int):
+                times.append(t)
+    return times, jpeg_ts
+
+
+def frames_from_pybh(log: Iterable[Any]) -> list[BHumanFrame]:
+    """Convert an iterable of pybh ``Frame`` objects into repaired, sorted
+    ``BHumanFrame`` dataclasses.
+
+    Performs the reference's two-clock-domain repair (b_human.py:542-622):
+    JPEG timestamps live ~25 days ahead of the frame clock, so their offset is
+    estimated as mean(JPEG times) - mean(other times) and removed; then all
+    times are zero-shifted to the global minimum, frames with no time at all
+    inherit the running maximum, and the result is sorted by time.
+    """
+    entries: list[tuple[BHumanFrame, list[int], int | None]] = []
+    upper_resolution: tuple[int, int] | None = None
+
+    for frame in log:
+        reps = {
+            name: pybh_value_to_py(frame[name])
+            for name in frame.representations
+            if name in PYBH_REPRESENTATIONS
+        }
+        if not reps:
+            continue
+        out = BHumanFrame()
+        gs = reps.get("GameState")
+        if gs is not None:
+            out.game_state = gs
+        inertial = reps.get("InertialSensorData")
+        if inertial is not None and "angle" in inertial:
+            out.inertial_angles = inertial["angle"]
+        request = reps.get("JointRequest")
+        if request is not None and "angles" in request:
+            out.joint_request_angles = request["angles"]
+        sensor = reps.get("JointSensorData")
+        if sensor is not None and "angles" in sensor:
+            out.joint_sensor_angles = sensor["angles"]
+        jpeg = reps.get("JPEGImage")
+        if jpeg is not None and jpeg.get("_data") is not None:
+            size, w, h = jpeg["size"], jpeg["width"], jpeg["height"]
+            img = decode_bhuman_jpeg(bytes(jpeg["_data"])[-size:], w, h)
+            if getattr(frame, "thread", "Upper") == "Lower":
+                if upper_resolution is not None and img.shape[:2] != upper_resolution:
+                    import cv2
+
+                    img = cv2.resize(img, (upper_resolution[1], upper_resolution[0]))
+                out.lower_image = img
+            else:
+                upper_resolution = img.shape[:2]
+                out.upper_image = img
+        entries.append((out, *_scrape_times(reps)))
+
+    if not entries:
+        return []
+
+    # Clock repair: remove the JPEG date offset, zero-shift, fill, sort.
+    other_times = [t for _, times, _ in entries for t in times]
+    jpeg_times = [ts for _, _, ts in entries if ts is not None]
+    jpeg_offset = 0
+    if other_times and jpeg_times:
+        jpeg_offset = int(np.mean(jpeg_times) - np.mean(other_times))
+
+    raw: list[int | None] = []
+    for _, times, jpeg_ts in entries:
+        if times:
+            raw.append(min(times))
+        elif jpeg_ts is not None:
+            raw.append(jpeg_ts - jpeg_offset)
+        else:
+            raw.append(None)
+    known = [t for t in raw if t is not None]
+    global_offset = min(known) if known else 0
+
+    running_max = 0
+    frames: list[BHumanFrame] = []
+    for (frame_out, _, _), t in zip(entries, raw):
+        if t is None:
+            t_ms = running_max
+        else:
+            t_ms = t - global_offset
+            running_max = max(running_max, t_ms)
+        frame_out.time_ms = t_ms
+        frames.append(frame_out)
+    frames.sort(key=lambda f: f.time_ms)
+    return frames
+
+
 def read_bhuman_log(path: Path, caching: bool = False) -> list[BHumanFrame]:
-    """Read a proprietary ``.log`` via the optional pybh bindings."""
+    """Read a proprietary ``.log`` via the optional pybh bindings.
+
+    With ``caching=True`` the extracted frame list is pickled to
+    ``/tmp/<name>.pkl`` and reused on the next run (reference
+    b_human.py:487-522 caches at the same granularity).
+    """
+    cache_file = Path("/tmp") / Path(path.name).with_suffix(".pkl").name
+    if caching and cache_file.exists():
+        import pickle
+
+        logger.info(f"reading cached B-Human frames from {cache_file}")
+        with open(cache_file, "rb") as fh:
+            return pickle.load(fh)
+
     try:
-        import pybh.logs as bhlogs  # noqa: F401
+        from pybh.logs import Log
     except ImportError as exc:  # pragma: no cover - optional native dependency
         raise ImportError(
             "B-Human log import requires the 'pybh' bindings built from "
             "BHumanCodeRelease (see the reference README for build steps)"
         ) from exc
-    raise NotImplementedError(
-        "pybh available but the adapter is not wired yet; feed BHumanFrame "
-        "streams to BHumanImportStrategy.convert_frames instead"
-    )
+
+    log = Log(str(path), keep_going=True)
+    frames = frames_from_pybh(log)
+    logger.info(f"read {len(frames)} frames from {path}")
+    logger.info("\n" + frame_statistics(frames))
+
+    if caching:
+        import pickle
+
+        with open(cache_file, "wb") as fh:
+            pickle.dump(frames, fh)
+        logger.info(f"cached B-Human frames to {cache_file}")
+    return frames
+
+
+def show_video(frames: Iterable[BHumanFrame], delay_ms: int = 1) -> bool:
+    """Play the camera stream with cv2 (reference ``--video``,
+    b_human.py:684-687). Returns False when no GUI is available."""
+    import cv2
+
+    try:
+        for frame in frames:
+            img = frame.upper_image if frame.upper_image is not None else frame.lower_image
+            if img is None:
+                continue
+            cv2.imshow("b-human import", img)
+            cv2.waitKey(delay_ms)
+        cv2.destroyAllWindows()
+    except cv2.error as exc:  # headless build / no display
+        logger.warning(f"--video requested but cv2 cannot display: {exc}")
+        return False
+    return True

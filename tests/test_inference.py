@@ -145,8 +145,22 @@ class TestRolloutEngine:
         assert not np.allclose(imu[0], imu[1])
 
 
+class VirtualClock:
+    """Deterministic clock: time advances only through sleep()."""
+
+    def __init__(self):
+        self.now = 0.0
+
+    def __call__(self) -> float:
+        return self.now
+
+    def sleep(self, dt: float) -> None:
+        self.now += dt
+
+
 class TestRealtimeController:
     def test_closed_loop_run(self):
+        """Deterministic closed loop on a virtual clock (no wall time)."""
         from soccerdiffusion_tpu.inference.realtime import (
             RealtimeController,
             SimulatedRobotIO,
@@ -157,17 +171,52 @@ class TestRealtimeController:
             model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
         )
         io = SimulatedRobotIO(num_joints=8)
-        ctrl = RealtimeController(CFG, sampler, variables, io, control_rate_hz=100)
+        clock = VirtualClock()
+        ctrl = RealtimeController(
+            CFG, sampler, variables, io, control_rate_hz=100,
+            clock=clock, sleep_fn=clock.sleep, plan_in_thread=False,
+        )
+        ctrl.run(duration_s=1.0)
+        # 100 ticks of virtual time: ~100 commands, pred_len/rate = 50 ms
+        # replan period => ~20 replans — all deterministic.
+        assert io.commands_received > 10
+        assert len(ctrl.plan_latencies_ms) >= 1
+        # untrained model -> arbitrary magnitudes, but the loop must stay finite
+        assert np.isfinite(io.positions).all()
+
+    def test_closed_loop_threaded_overlap(self):
+        """Plan-in-flight overlap: virtual control time, real plan thread."""
+        import time
+
+        from soccerdiffusion_tpu.inference.realtime import (
+            RealtimeController,
+            SimulatedRobotIO,
+        )
+
+        model, variables = make_model()
+        sampler = make_chunk_sampler(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        io = SimulatedRobotIO(num_joints=8)
+        clock = VirtualClock()
+
+        def sleep_both(dt):
+            clock.now += dt
+            time.sleep(0.001)  # give the plan thread real CPU time
+
+        ctrl = RealtimeController(
+            CFG, sampler, variables, io, control_rate_hz=100,
+            clock=clock, sleep_fn=sleep_both, plan_in_thread=True,
+        )
         # Pre-warm the jit so the first in-loop plan isn't a compile.
         state = init_controller_state(CFG, batch_size=1)
         jax.block_until_ready(
             sampler(variables, make_controller_batch(CFG, state), jax.random.key(9))
         )
         ctrl.run(duration_s=1.0)
-        # the plant received commands and at least one replan happened
-        assert io.commands_received > 10
+        # run() joins the in-flight plan thread, so at least one plan landed;
+        # the loop itself never blocked on it.
         assert len(ctrl.plan_latencies_ms) >= 1
-        # untrained model -> arbitrary magnitudes, but the loop must stay finite
         assert np.isfinite(io.positions).all()
 
 

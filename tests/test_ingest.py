@@ -386,3 +386,151 @@ class TestStatistics:
         ds = WindowedDataset.from_dummy(generate_dummy_arrays(2, 100), cfg)
         table = ds.describe()
         assert "total windows: 180" in table
+
+
+# --------------------------------------------------------------------------
+# pybh adapter (duck-typed fakes standing in for the native bindings)
+# --------------------------------------------------------------------------
+
+
+class Record:
+    """Fake pybh Record: iterable of keys + attribute access."""
+
+    def __init__(self, **fields):
+        self._fields = fields
+
+    def __iter__(self):
+        return iter(self._fields)
+
+    def __getattr__(self, key):
+        try:
+            return self._fields[key]
+        except KeyError as exc:
+            raise AttributeError(key) from exc
+
+
+class Array(list):
+    """Fake pybh Array."""
+
+
+class FakePybhFrame:
+    def __init__(self, thread="Upper", **reps):
+        self.thread = thread
+        self._reps = reps
+        self.representations = list(reps)
+
+    def __getitem__(self, name):
+        return self._reps[name]
+
+
+class TestPybhAdapter:
+    def test_value_conversion_walks_records_and_arrays(self):
+        from soccerdiffusion_tpu.ingest.bhuman import pybh_value_to_py
+
+        rec = Record(a=1, nested=Record(b=2.5), arr=Array([Record(c=3), 7]))
+        out = pybh_value_to_py(rec)
+        assert out == {"a": 1, "nested": {"b": 2.5}, "arr": [{"c": 3}, 7]}
+
+    def test_frames_from_pybh_repairs_two_clock_domains(self):
+        from soccerdiffusion_tpu.ingest.bhuman import frames_from_pybh
+
+        jpeg_offset = 25 * 24 * 3600 * 1000  # "~25 days"
+        angles = Record(headYaw=0.1)
+        frames = [
+            FakePybhFrame(FrameInfo=Record(time=1000),
+                          JointSensorData=Record(angles=angles)),
+            FakePybhFrame(FrameInfo=Record(time=1500)),
+            # out of order + no usable time
+            FakePybhFrame(JointRequest=Record(angles=angles)),
+            FakePybhFrame(FrameInfo=Record(time=1250)),
+        ]
+        out = frames_from_pybh(frames)
+        assert [f.time_ms for f in out] == [0, 250, 500, 500]
+        assert out[0].joint_sensor_angles == {"headYaw": 0.1}
+        # sorted: the timeless frame inherited the running max (500) and the
+        # 1250 frame sorted between the first two
+        assert out[3].joint_request_angles == {"headYaw": 0.1}
+        del jpeg_offset  # offset estimation covered in the JPEG test below
+
+    def test_frames_from_pybh_jpeg_clock_offset(self, monkeypatch):
+        from soccerdiffusion_tpu.ingest import bhuman
+
+        # Image frames carry only the shifted JPEG timestamp; decode is stubbed
+        # so this test is about the clock math, not JPEG bytes.
+        monkeypatch.setattr(
+            bhuman, "decode_bhuman_jpeg",
+            lambda data, w, h: np.zeros((2 * h, 2 * w, 3), np.uint8),
+        )
+        off = 2_160_000_000
+        frames = [
+            FakePybhFrame(FrameInfo=Record(time=0)),
+            FakePybhFrame(JPEGImage=Record(timestamp=off + 100, size=4,
+                                           width=4, height=3, _data=b"\0" * 8)),
+            FakePybhFrame(FrameInfo=Record(time=200)),
+            FakePybhFrame(JPEGImage=Record(timestamp=off + 300, size=4,
+                                           width=4, height=3, _data=b"\0" * 8)),
+        ]
+        out = bhuman.frames_from_pybh(frames)
+        times = [f.time_ms for f in out]
+        # mean(jpeg)=off+200, mean(other)=100 => offset estimate off+100;
+        # jpeg frames land at (ts - offset) before the global zero-shift.
+        assert times == sorted(times)
+        assert max(times) <= 300 and min(times) == 0
+        imgs = [f for f in out if f.upper_image is not None]
+        assert len(imgs) == 2 and imgs[0].upper_image.shape == (6, 8, 3)
+
+    def test_decode_bhuman_jpeg_shape_and_gray_value(self):
+        import io
+
+        from PIL import Image as PILImage
+
+        from soccerdiffusion_tpu.ingest.bhuman import decode_bhuman_jpeg
+
+        w, h = 8, 6  # YUYV packing: stored JPEG is (2h, w, 4)
+        # uniform mid-gray in YUV: Y=128, U=V=128
+        yuyv = np.full((2 * h, w, 4), 128, np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(yuyv, mode="CMYK").save(buf, "JPEG")
+        bgr = decode_bhuman_jpeg(buf.getvalue(), w, h)
+        assert bgr.shape == (2 * h, 2 * w, 3) and bgr.dtype == np.uint8
+        # mid-gray YUV -> BGR ~(128,128,128), then inverted by 255-x -> ~127
+        assert np.abs(bgr.astype(int) - 127).max() <= 12  # JPEG is lossy
+
+    def test_read_bhuman_log_uses_pybh_and_cache(self, tmp_path, monkeypatch):
+        import pickle
+        import sys
+        import types
+
+        from soccerdiffusion_tpu.ingest.bhuman import BHumanFrame, read_bhuman_log
+
+        calls = []
+
+        class FakeLog(list):
+            def __init__(self, path, keep_going=False):
+                calls.append(path)
+                super().__init__([
+                    FakePybhFrame(FrameInfo=Record(time=100)),
+                    FakePybhFrame(FrameInfo=Record(time=120)),
+                ])
+
+        pybh = types.ModuleType("pybh")
+        pybh_logs = types.ModuleType("pybh.logs")
+        pybh_logs.Log = FakeLog
+        pybh.logs = pybh_logs
+        monkeypatch.setitem(sys.modules, "pybh", pybh)
+        monkeypatch.setitem(sys.modules, "pybh.logs", pybh_logs)
+
+        log_path = tmp_path / "bhumand_2024-04-07_14-30.log"
+        log_path.write_bytes(b"")
+        cache = Path("/tmp") / "bhumand_2024-04-07_14-30.pkl"
+        cache.unlink(missing_ok=True)
+
+        frames = read_bhuman_log(log_path, caching=True)
+        assert len(frames) == 2 and frames[1].time_ms == 20
+        assert cache.exists() and len(calls) == 1
+        # second read comes from the cache, not pybh
+        frames2 = read_bhuman_log(log_path, caching=True)
+        assert len(calls) == 1
+        assert [f.time_ms for f in frames2] == [0, 20]
+        assert isinstance(pickle.loads(cache.read_bytes())[0], BHumanFrame)
+        cache.unlink()
