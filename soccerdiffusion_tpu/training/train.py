@@ -50,6 +50,10 @@ def parse_args(argv=None):
     parser.add_argument("--output", "-o", type=str, default="trajectory_transformer_model.ckpt")
     parser.add_argument("--decoder-pretraining", action="store_true")
     parser.add_argument("--pretrained-decoder", type=str, default=None)
+    parser.add_argument("--pretrained-weights", type=str, default=None,
+                        help="ImageNet init for the ResNet image encoder: a "
+                             "torchvision state-dict .pth, or 'auto' (the "
+                             "reference default; ml/model/encoder/image.py:64-66)")
     # TPU-native additions
     parser.add_argument("--dummy-data", action="store_true",
                         help="train on the synthetic array backend")
@@ -152,6 +156,27 @@ def main(argv=None):
             model, jax.device_put(sample_batch), optimizer, jax.random.key(args.seed),
             config.model.trajectory_prediction_length, config.model.num_joints,
         )
+
+    # The reference always starts the ResNet from ImageNet weights
+    # (ml/model/encoder/image.py:64-66); do the same by default, degrading
+    # to random init with a warning when no weights are reachable (offline).
+    pretrained = args.pretrained_weights
+    if (pretrained is None and config.model.use_images
+            and config.model.image_encoder_type in ("resnet18", "resnet50")):
+        pretrained = "auto"
+    if pretrained and pretrained != "none":
+        from soccerdiffusion_tpu.utils.torch_port import apply_pretrained_backbone
+
+        try:
+            state = apply_pretrained_backbone(state, config.model, pretrained)
+            logger.info(f"image encoder backbone initialized from {pretrained}")
+        except Exception as exc:
+            if args.pretrained_weights:  # explicitly requested -> hard error
+                raise
+            logger.warning(
+                f"could not load ImageNet weights ({exc}); image encoder "
+                "starts from random init (pass --pretrained-weights to require them)"
+            )
 
     start_epoch = 0
     if args.checkpoint:

@@ -242,3 +242,59 @@ def port_policy_state_dict(sd: Mapping[str, Any], config) -> tuple[Params, Param
         stats["image_sequence_encoder"] = ise_stats
     norm = {"mean": _np(sd["mean"]), "std": _np(sd["std"])}
     return params, stats, norm
+
+
+def load_imagenet_backbone(config, source: str) -> tuple[Params, Params]:
+    """ImageNet-pretrained torchvision weights -> (params, batch_stats) for
+    the policy's ResNet frame encoder backbone.
+
+    ``source`` is a ``.pth`` path holding a torchvision resnet18/50 state
+    dict, or ``"auto"`` to instantiate ``torchvision.models.resnetXX``
+    with its default ImageNet weights (requires the weights in the local
+    torch hub cache; the reference builds exactly this,
+    reference ml/model/encoder/image.py:64-66).
+
+    Returns only the backbone subtree (conv1/bn1/layerX_Y); the replaced
+    fc head (and optional spatial_head_conv) stay at their fresh init.
+    """
+    enc_type = config.image_encoder_type
+    assert enc_type in ("resnet18", "resnet50"), (
+        f"pretrained ImageNet init supports resnet18/50, not {enc_type}"
+    )
+    if source == "auto":
+        import torchvision
+
+        builder = getattr(torchvision.models, enc_type)
+        weights = getattr(
+            torchvision.models, f"ResNet{enc_type[6:]}_Weights"
+        ).IMAGENET1K_V1
+        sd = builder(weights=weights).state_dict()
+    else:
+        import torch
+
+        sd = torch.load(source, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    stage_sizes = (2, 2, 2, 2) if enc_type == "resnet18" else (3, 4, 6, 3)
+    return port_resnet(sd, stage_sizes, bottleneck=enc_type == "resnet50")
+
+
+def apply_pretrained_backbone(state, config, source: str):
+    """Merge ImageNet backbone weights into a fresh TrainState (in the
+    ``image_sequence_encoder/image_encoder`` subtree), keeping the model's
+    own head params. Returns the updated state."""
+    assert config.use_images, "--pretrained-weights requires use_images"
+    backbone_params, backbone_stats = load_imagenet_backbone(config, source)
+
+    def merged(tree, new):
+        sub = dict(tree["image_sequence_encoder"])
+        enc = dict(sub.get("image_encoder", {}))
+        enc.update(new)
+        sub["image_encoder"] = enc
+        out = dict(tree)
+        out["image_sequence_encoder"] = sub
+        return out
+
+    params = merged(state.params, backbone_params)
+    stats = merged(state.batch_stats, backbone_stats)
+    return state.replace(params=params, batch_stats=stats)

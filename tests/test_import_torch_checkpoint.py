@@ -90,3 +90,98 @@ class TestImport:
             assert False, "should raise"
         except ValueError as e:
             assert "hyperparams" in str(e)
+
+
+def make_torchvision_resnet18_sd():
+    """Synthesize a resnet18 state dict with torchvision's exact key layout
+    (torchvision is not installed in CI; shapes follow the standard
+    architecture the reference instantiates, ml/model/encoder/image.py:64)."""
+    torch.manual_seed(3)
+    sd = {}
+
+    # realistic magnitudes (fan-in scaled convs) so a forward pass through
+    # all 8 blocks stays finite
+    def conv(*shape):
+        fan_in = shape[1] * shape[2] * shape[3]
+        return torch.randn(*shape) / fan_in**0.5
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = 1.0 + 0.1 * torch.randn(c)
+        sd[f"{prefix}.bias"] = 0.1 * torch.randn(c)
+        sd[f"{prefix}.running_mean"] = 0.1 * torch.randn(c)
+        sd[f"{prefix}.running_var"] = torch.rand(c) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(100)
+
+    sd["conv1.weight"] = conv(64, 3, 7, 7)
+    bn("bn1", 64)
+    in_c = 64
+    for stage, (blocks, width) in enumerate(zip((2, 2, 2, 2), (64, 128, 256, 512))):
+        for i in range(blocks):
+            p = f"layer{stage + 1}.{i}"
+            stride_in = in_c if i == 0 else width
+            sd[f"{p}.conv1.weight"] = conv(width, stride_in, 3, 3)
+            bn(f"{p}.bn1", width)
+            sd[f"{p}.conv2.weight"] = conv(width, width, 3, 3)
+            bn(f"{p}.bn2", width)
+            if i == 0 and stage > 0:
+                sd[f"{p}.downsample.0.weight"] = conv(width, in_c, 1, 1)
+                bn(f"{p}.downsample.1", width)
+        in_c = width
+    sd["fc.weight"] = torch.randn(1000, 512)
+    sd["fc.bias"] = torch.randn(1000)
+    return sd
+
+
+class TestPretrainedBackbone:
+    def test_apply_pretrained_backbone(self, tmp_path):
+        from soccerdiffusion_tpu.training.trainer import create_train_state, make_optimizer
+        from soccerdiffusion_tpu.utils.torch_port import apply_pretrained_backbone
+
+        sd = make_torchvision_resnet18_sd()
+        pth = tmp_path / "resnet18-imagenet.pth"
+        torch.save(sd, pth)
+
+        cfg = ModelConfig(
+            num_joints=8, hidden_dim=16, trajectory_prediction_length=5,
+            action_context_length=10, joint_state_context_length=10,
+            imu_context_length=10, use_images=True,
+            image_encoder_type="resnet18", image_sequence_encoder_type="transformer",
+            image_context_length=2, image_resolution=32,
+            num_action_history_encoder_layers=1, num_imu_encoder_layers=1,
+            joint_state_encoder_layers=1, num_decoder_layers=1,
+        )
+        model = DiffusionPolicy(cfg)
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng, b=2, cfg=cfg)
+        batch["image_data"] = jnp.asarray(
+            rng.random((2, cfg.image_context_length, 32, 32, 3), dtype=np.float32))
+        batch["game_state"] = jnp.zeros((2,), jnp.int32)
+        state = create_train_state(
+            model, batch, make_optimizer(1e-4, 10), jax.random.key(0),
+            cfg.trajectory_prediction_length, cfg.num_joints,
+        )
+        fresh_fc = np.asarray(
+            state.params["image_sequence_encoder"]["image_encoder"]["fc"]["kernel"])
+
+        state = apply_pretrained_backbone(state, cfg, str(pth))
+        enc = state.params["image_sequence_encoder"]["image_encoder"]
+        # conv1: torch (out,in,kh,kw) -> flax (kh,kw,in,out)
+        np.testing.assert_allclose(
+            np.asarray(enc["conv1"]["kernel"]),
+            sd["conv1.weight"].numpy().transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(
+            np.asarray(enc["layer3_0"]["downsample_conv"]["kernel"]),
+            sd["layer3.0.downsample.0.weight"].numpy().transpose(2, 3, 1, 0))
+        stats = state.batch_stats["image_sequence_encoder"]["image_encoder"]
+        np.testing.assert_allclose(
+            np.asarray(stats["layer4_1"]["bn2"]["mean"]),
+            sd["layer4.1.bn2.running_mean"].numpy())
+        # the replaced head keeps its fresh init (reference image.py:69-83)
+        np.testing.assert_allclose(np.asarray(enc["fc"]["kernel"]), fresh_fc)
+
+        # the merged tree still runs a forward pass
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, jnp.zeros((2, 5, 8)), jnp.zeros((2,), jnp.int32), False,
+        )
+        assert np.isfinite(np.asarray(out)).all()
