@@ -66,6 +66,34 @@ def preprocess_image(raw_rgb8: np.ndarray, resolution: int) -> np.ndarray:
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
+class SqliteImageStore:
+    """Lazy per-frame image access backed by SQLite blob reads.
+
+    Presents the ``images[k] -> uint8 (H, W, 3)`` array interface of the
+    eager path while keeping only rowids in memory, so multi-hour recordings
+    (~25 GB/hour of RGB8 at 10 Hz) never materialize at once — the same
+    out-of-core behavior as the reference's per-sample queries
+    (reference dataset/pytorch.py:173-229).
+    """
+
+    def __init__(self, conn: sqlite3.Connection, rowids: np.ndarray, height: int, width: int):
+        self._conn = conn
+        self._rowids = np.asarray(rowids, dtype=np.int64)
+        self._hw = (height, width)
+        self.fetch_count = 0  # observability / tests
+
+    def __len__(self) -> int:
+        return len(self._rowids)
+
+    def __getitem__(self, k: int) -> np.ndarray:
+        row = self._conn.execute(
+            "SELECT data FROM Image WHERE _id=?", (int(self._rowids[k]),)
+        ).fetchone()
+        self.fetch_count += 1
+        h, w = self._hw
+        return np.frombuffer(row[0], dtype=np.uint8).reshape(h, w, 3)
+
+
 @dataclass
 class RecordingArrays:
     """One recording's synchronized time series, in canonical joint order."""
@@ -76,7 +104,7 @@ class RecordingArrays:
     game_states: np.ndarray  # (m,) int32 (already sorted by stamp)
     game_state_stamps: np.ndarray  # (m,) float32
     image_stamps: np.ndarray  # (k,) float32 sorted
-    images: np.ndarray | None  # (k, H, W, 3) uint8 decoded, or None
+    images: np.ndarray | SqliteImageStore | None  # (k, H, W, 3) uint8, lazy store, or None
     recording_id: int = 0
 
 
@@ -121,8 +149,16 @@ class WindowedDataset:
         sampling_rate: int = 100,
         max_fps_video: int = 10,
         decode_images: bool | None = None,
+        stream_images: bool = True,
     ) -> "WindowedDataset":
-        """Load every recording's time series from a reference-schema SQLite DB."""
+        """Load every recording's time series from a reference-schema SQLite DB.
+
+        With ``stream_images`` (the default) image blobs stay in the database
+        and are fetched lazily per window — proprioceptive arrays are the
+        only thing resident, so datasets larger than RAM train fine
+        (reference streams per sample the same way, pytorch.py:173-229).
+        ``stream_images=False`` decodes everything up front (small DBs).
+        """
         conn = db_path if isinstance(db_path, sqlite3.Connection) else connect(db_path, read_only=True)
         decode_images = config.use_images if decode_images is None else decode_images
         joint_cols = ", ".join(f'"{n}"' for n in config.joint_names)
@@ -163,20 +199,31 @@ class WindowedDataset:
                 [state_to_int.get(r[1], int(RobotState.UNKNOWN)) for r in gs_rows],
                 dtype=np.int32,
             )
-            img_rows = cur.execute(
-                "SELECT stamp, data FROM Image WHERE recording_id=? ORDER BY stamp ASC",
-                (rid,),
-            ).fetchall() if decode_images else []
-            img_stamps = np.asarray([r[0] for r in img_rows], dtype=np.float32)
+            img_stamps = np.zeros((0,), dtype=np.float32)
             images = None
-            if img_rows:
-                size = cur.execute(
-                    "SELECT img_width, img_height FROM Recording WHERE _id=?", (rid,)
-                ).fetchone()
-                w, h = int(size[0]), int(size[1])
-                images = np.stack(
-                    [np.frombuffer(r[1], dtype=np.uint8).reshape(h, w, 3) for r in img_rows]
-                )
+            if decode_images:
+                img_index = cur.execute(
+                    "SELECT _id, stamp FROM Image WHERE recording_id=? ORDER BY stamp ASC",
+                    (rid,),
+                ).fetchall()
+                if img_index:
+                    img_stamps = np.asarray([r[1] for r in img_index], dtype=np.float32)
+                    rowids = np.asarray([r[0] for r in img_index], dtype=np.int64)
+                    size = cur.execute(
+                        "SELECT img_width, img_height FROM Recording WHERE _id=?", (rid,)
+                    ).fetchone()
+                    w, h = int(size[0]), int(size[1])
+                    if stream_images:
+                        images = SqliteImageStore(conn, rowids, h, w)
+                    else:
+                        images = np.stack([
+                            np.frombuffer(
+                                cur.execute("SELECT data FROM Image WHERE _id=?",
+                                            (int(r),)).fetchone()[0],
+                                dtype=np.uint8,
+                            ).reshape(h, w, 3)
+                            for r in rowids
+                        ])
             recordings.append(
                 RecordingArrays(
                     joint_commands=cmds, joint_states=states, rotations=rots,

@@ -30,10 +30,15 @@ _FIVE_DIM_IDENTITY = np.array([1.0, 0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 
 class PackedDataset:
-    """Proprioceptive fast path with the WindowedDataset sample contract.
+    """Flat-array fast path with the WindowedDataset sample contract.
 
-    Images (if enabled) are delegated to the wrapped ``WindowedDataset``'s
-    Python path — they live on the 10 Hz side stream, not the 50 Hz hot path.
+    Proprioceptive rows are float32 shards windowed by the C++ assembler;
+    images are decoded + resized ONCE at pack time into a uint8 shard
+    (mmap-able on load, so datasets larger than RAM stream from disk) and
+    emitted as raw ``image_u8`` + ``image_valid`` — the [0,1]/ImageNet
+    normalization and the zero-masking of padded frames moves into the
+    jitted step (``device_normalize_images``), which also shrinks the
+    host->device transfer 4x vs float32.
     """
 
     def __init__(
@@ -48,6 +53,12 @@ class PackedDataset:
         trajectory_stride: int = 1,
         num_threads: int = 8,
         image_source: WindowedDataset | None = None,
+        images: np.ndarray | None = None,  # (total_imgs, res, res, 3) uint8
+        img_stamps: np.ndarray | None = None,  # (total_imgs,) float32
+        img_rec_starts: np.ndarray | None = None,  # (n_rec,) int64
+        img_rec_counts: np.ndarray | None = None,  # (n_rec,) int64
+        sampling_rate: int = 100,
+        max_fps_video: int = 10,
     ):
         self.cmds = np.ascontiguousarray(cmds, dtype=np.float32)
         self.states = np.ascontiguousarray(states, dtype=np.float32)
@@ -59,6 +70,18 @@ class PackedDataset:
         self.stride = trajectory_stride
         self.num_threads = num_threads
         self.image_source = image_source
+        self.images = images
+        self.img_stamps = (
+            None if img_stamps is None else np.asarray(img_stamps, dtype=np.float32)
+        )
+        self.img_rec_starts = (
+            None if img_rec_starts is None else np.asarray(img_rec_starts, dtype=np.int64)
+        )
+        self.img_rec_counts = (
+            None if img_rec_counts is None else np.asarray(img_rec_counts, dtype=np.int64)
+        )
+        self.sampling_rate = sampling_rate
+        self.max_fps_video = max_fps_video
         self.rot_dim = self.rots.shape[1]
         self.rot_pad = (
             _FIVE_DIM_IDENTITY if self.rot_dim == 5 else IDENTITY_QUAT
@@ -107,11 +130,42 @@ class PackedDataset:
                     pos >= 0, rec.game_states[np.maximum(pos, 0)], int(RobotState.UNKNOWN)
                 ).astype(np.int32)
             gs.append(filled)
+
+        # Pack images: decode + resize once, keep uint8 (normalization is
+        # deferred to the jitted step). Works with both the eager ndarray
+        # and the lazy SqliteImageStore source.
+        images = img_stamps = img_starts = img_counts = None
+        if cfg.use_images:
+            import cv2
+
+            res = cfg.image_resolution
+            frames, stamps_all, img_starts, img_counts = [], [], [], []
+            n_imgs = 0
+            for rec in ds.recordings:
+                img_starts.append(n_imgs)
+                count = 0 if rec.images is None else len(rec.image_stamps)
+                img_counts.append(count)
+                n_imgs += count
+                for k in range(count):
+                    raw = rec.images[k]
+                    if raw.shape[0] != res or raw.shape[1] != res:
+                        raw = cv2.resize(raw, (res, res), interpolation=cv2.INTER_AREA)
+                    frames.append(raw)
+                stamps_all.append(rec.image_stamps)
+            images = (np.stack(frames) if frames
+                      else np.zeros((0, res, res, 3), np.uint8))
+            img_stamps = (np.concatenate(stamps_all) if stamps_all
+                          else np.zeros((0,), np.float32))
+            img_starts = np.asarray(img_starts, dtype=np.int64)
+            img_counts = np.asarray(img_counts, dtype=np.int64)
+
         return cls(
             np.concatenate(cmds), np.concatenate(states), np.concatenate(rots),
             np.concatenate(gs), np.asarray(starts), np.asarray(lengths),
             cfg, ds.stride, num_threads,
-            image_source=ds if cfg.use_images else None,
+            images=images, img_stamps=img_stamps,
+            img_rec_starts=img_starts, img_rec_counts=img_counts,
+            sampling_rate=ds.sampling_rate, max_fps_video=ds.max_fps_video,
         )
 
     # ------------------------------------------------------------ persistence
@@ -123,18 +177,26 @@ class PackedDataset:
         np.save(path / "joint_states.npy", self.states)
         np.save(path / "rotations.npy", self.rots)
         np.save(path / "game_states.npy", self.gs)
+        if self.images is not None:
+            np.save(path / "images.npy", np.ascontiguousarray(self.images))
+            np.save(path / "image_stamps.npy", self.img_stamps)
         (path / "index.json").write_text(json.dumps({
             "rec_row_starts": self.rec_row_starts.tolist(),
             "rec_lengths": self.rec_lengths.tolist(),
             "num_joints": self.cfg.num_joints,
             "rot_dim": int(self.rot_dim),
             "trajectory_stride": self.stride,
+            "sampling_rate": self.sampling_rate,
+            "max_fps_video": self.max_fps_video,
+            "img_rec_starts": None if self.img_rec_starts is None else self.img_rec_starts.tolist(),
+            "img_rec_counts": None if self.img_rec_counts is None else self.img_rec_counts.tolist(),
         }))
 
     @classmethod
     def load(cls, path: str | Path, config: ModelConfig, num_threads: int = 8) -> "PackedDataset":
         path = Path(path)
         meta = json.loads((path / "index.json").read_text())
+        has_images = (path / "images.npy").exists()
         return cls(
             np.load(path / "joint_commands.npy", mmap_mode="r"),
             np.load(path / "joint_states.npy", mmap_mode="r"),
@@ -145,6 +207,13 @@ class PackedDataset:
             config,
             meta["trajectory_stride"],
             num_threads,
+            # uint8 shard stays on disk; windows are gathered through the mmap
+            images=np.load(path / "images.npy", mmap_mode="r") if has_images else None,
+            img_stamps=np.load(path / "image_stamps.npy") if has_images else None,
+            img_rec_starts=np.asarray(meta["img_rec_starts"]) if has_images else None,
+            img_rec_counts=np.asarray(meta["img_rec_counts"]) if has_images else None,
+            sampling_rate=meta.get("sampling_rate", 100),
+            max_fps_video=meta.get("max_fps_video", 10),
         )
 
     # --------------------------------------------------------------- batching
@@ -152,16 +221,16 @@ class PackedDataset:
     def __len__(self) -> int:
         return self.num_samples
 
-    def _locate(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _locate(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         rec = np.searchsorted(self._cum, idx, side="right") - 1
         local = (idx - self._cum[rec]) * self.stride
-        return self.rec_row_starts[rec], local.astype(np.int64)
+        return self.rec_row_starts[rec], local.astype(np.int64), rec
 
     def assemble(self, indices: np.ndarray) -> dict[str, np.ndarray]:
         """Assemble a batch for global sample indices."""
         cfg = self.cfg
         b = len(indices)
-        rec_starts, local_idx = self._locate(np.asarray(indices, dtype=np.int64))
+        rec_starts, local_idx, rec_ids = self._locate(np.asarray(indices, dtype=np.int64))
         rec_starts = np.ascontiguousarray(rec_starts)
         local_idx = np.ascontiguousarray(local_idx)
 
@@ -210,7 +279,9 @@ class PackedDataset:
         else:
             self._assemble_numpy(rec_starts, local_idx, out)
 
-        if self.image_source is not None and cfg.use_images:
+        if cfg.use_images and self.images is not None:
+            self._assemble_images(rec_ids, local_idx, out)
+        elif self.image_source is not None and cfg.use_images:
             images, stamps = [], []
             for i in indices:
                 item = self.image_source[int(i)]
@@ -219,6 +290,40 @@ class PackedDataset:
             out["image_data"] = np.stack(images)
             out["image_stamps"] = np.stack(stamps)
         return out
+
+    def _assemble_images(self, rec_ids, local_idx, out) -> None:
+        """Gather uint8 image windows from the (possibly mmap'd) shard.
+
+        Same selection as WindowedDataset._image_window: the last <=F frames
+        within (stamp - (F+1)/max_fps, stamp], right-aligned; padded slots are
+        zero with ``image_valid`` 0 so the device-side normalization can zero
+        them exactly (reference pytorch.py:218-227 pads with zero images).
+        """
+        cfg = self.cfg
+        F = cfg.image_context_length
+        res = cfg.image_resolution
+        b = len(rec_ids)
+        context_len = (F + 1) / self.max_fps_video
+        u8 = np.zeros((b, F, res, res, 3), dtype=np.uint8)
+        valid = np.zeros((b, F), dtype=np.float32)
+        stamps_out = np.empty((b, F), dtype=np.float32)
+        for i, (ri, li) in enumerate(zip(rec_ids, local_idx)):
+            stamp = float(li) / self.sampling_rate
+            g0 = self.img_rec_starts[ri]
+            cnt = self.img_rec_counts[ri]
+            rec_stamps = self.img_stamps[g0 : g0 + cnt]
+            lo = np.searchsorted(rec_stamps, stamp - context_len, side="left")
+            hi = np.searchsorted(rec_stamps, stamp, side="right")
+            sel = np.arange(lo, hi)[-F:]
+            stamps_out[i] = stamp - context_len
+            n_sel = len(sel)
+            if n_sel:
+                u8[i, F - n_sel :] = self.images[g0 + sel[0] : g0 + sel[-1] + 1]
+                valid[i, F - n_sel :] = 1.0
+                stamps_out[i, F - n_sel :] = rec_stamps[sel]
+        out["image_u8"] = u8
+        out["image_valid"] = valid
+        out["image_stamps"] = stamps_out
 
     def _assemble_numpy(self, rec_starts, local_idx, out) -> None:
         cfg = self.cfg

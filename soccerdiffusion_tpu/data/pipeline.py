@@ -51,3 +51,32 @@ def prefetch_to_device(
         if item is _SENTINEL:
             break
         yield item
+
+
+def device_normalize_images(u8, valid):
+    """uint8 image windows + validity mask -> normalized float image_data.
+
+    The packed pipeline ships raw uint8 (4x smaller transfers, decode/resize
+    done once at pack time); the [0,1] scale + ImageNet stats + zeroing of
+    padded frames (reference pytorch.py:198-213, :218-227) run inside the
+    jitted step where XLA fuses them into the encoder's first conv.
+    """
+    import jax.numpy as jnp
+
+    from soccerdiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+    x = u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x * valid[..., None, None, None]
+
+
+def prepare_batch(batch: dict) -> dict:
+    """In-jit batch preparation: materialize ``image_data`` from a packed
+    uint8 batch; pass float batches through unchanged."""
+    if "image_u8" not in batch:
+        return batch
+    batch = dict(batch)
+    u8 = batch.pop("image_u8")
+    valid = batch.pop("image_valid")
+    batch["image_data"] = device_normalize_images(u8, valid)
+    return batch

@@ -150,10 +150,13 @@ def main(argv=None):
     schedule = make_schedule(config.train.train_denoising_timesteps)
     optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay)
 
+    from soccerdiffusion_tpu.data.pipeline import prepare_batch
+
     sample_batch = next(dataset.batches(batch_size, shuffle=False))
     with mesh:
         state = create_train_state(
-            model, jax.device_put(sample_batch), optimizer, jax.random.key(args.seed),
+            model, prepare_batch(jax.device_put(sample_batch)), optimizer,
+            jax.random.key(args.seed),
             config.model.trajectory_prediction_length, config.model.num_joints,
         )
 

@@ -90,6 +90,9 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch: dict, rng_seed: jnp.ndarray):
+        from soccerdiffusion_tpu.data.pipeline import prepare_batch
+
+        batch = prepare_batch(batch)  # packed uint8 images -> normalized floats, in-jit
         rng = jax.random.fold_in(jax.random.key(rng_seed), state.step)
         t_key, noise_key, ctx_key = jax.random.split(rng, 3)
 

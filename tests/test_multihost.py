@@ -1,0 +1,50 @@
+"""Multi-host (multi-process) distributed smoke: 2 CPU processes, one
+4-device global mesh, one data-parallel train step (SURVEY.md §5.8).
+
+Exercises jax.distributed.initialize + cross-process shardings — the layer
+tests/conftest.py's single-process 8-device mesh cannot reach.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+WORKER = REPO / "tests" / "multihost_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_train_step():
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        outs.append(out)
+    losses = []
+    for out in outs:
+        loss_lines = [ln for ln in out.splitlines() if ln.startswith("LOSS ")]
+        assert loss_lines, out
+        losses.append(float(loss_lines[0].split()[1]))
+    # same program + same global data + psum'd grads => identical loss
+    assert abs(losses[0] - losses[1]) < 1e-6, losses

@@ -80,3 +80,105 @@ class TestPackedDataset:
         _, packed = make_pair()
         t = packed.sample_targets(20)
         assert t.shape == (200, 20)
+
+
+IMG_CFG = ModelConfig(
+    num_joints=20, hidden_dim=32, trajectory_prediction_length=10,
+    action_context_length=50, joint_state_context_length=40, imu_context_length=30,
+    use_images=True, image_encoder_type="vit", image_context_length=4,
+    image_resolution=32,
+)
+
+
+def make_image_pair(n=300):
+    dummy = generate_dummy_arrays(2, n, num_joints=20, with_images=True,
+                                  image_size=32, image_step=10)
+    ds = WindowedDataset.from_dummy(dummy, IMG_CFG)
+    return ds, PackedDataset.from_windowed(ds)
+
+
+class TestPackedImages:
+    def test_image_window_equality_vs_windowed(self):
+        """Normalized packed uint8 windows == the float path, incl. padding."""
+        from soccerdiffusion_tpu.data.pipeline import device_normalize_images
+
+        ds, packed = make_image_pair()
+        idx = np.array([0, 5, 120, len(ds) - 1])
+        got = packed.assemble(idx)
+        assert got["image_u8"].dtype == np.uint8
+        normed = np.asarray(device_normalize_images(got["image_u8"], got["image_valid"]))
+        for row, i in enumerate(idx):
+            want = ds[int(i)]
+            np.testing.assert_allclose(normed[row], want["image_data"],
+                                       atol=1e-5, err_msg=f"idx {i}")
+            np.testing.assert_allclose(got["image_stamps"][row], want["image_stamps"])
+
+    def test_save_load_mmap_roundtrip_with_images(self, tmp_path):
+        ds, packed = make_image_pair()
+        packed.save(tmp_path / "packed")
+        loaded = PackedDataset.load(tmp_path / "packed", IMG_CFG)
+        # mmap'd shard: windows stream from disk, not RAM
+        assert isinstance(loaded.images, np.memmap)
+        idx = np.array([3, 77])
+        a, b = packed.assemble(idx), loaded.assemble(idx)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_train_step_on_packed_image_batch(self):
+        """The jitted step normalizes uint8 batches in-graph."""
+        import jax
+
+        from soccerdiffusion_tpu.data import Normalizer
+        from soccerdiffusion_tpu.diffusion import make_schedule
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+        from soccerdiffusion_tpu.training.trainer import (
+            create_train_state, make_optimizer, make_train_step,
+        )
+
+        cfg = ModelConfig(**{**IMG_CFG.__dict__, "hidden_dim": 16,
+                             "num_decoder_layers": 1,
+                             "num_action_history_encoder_layers": 1,
+                             "num_imu_encoder_layers": 1,
+                             "joint_state_encoder_layers": 1})
+        ds, packed = make_image_pair(n=150)
+        batch = next(packed.batches(4, shuffle=False))
+        model = DiffusionPolicy(cfg)
+        schedule = make_schedule(20)
+        opt = make_optimizer(1e-4, 10)
+        from soccerdiffusion_tpu.data.pipeline import prepare_batch
+
+        state = create_train_state(
+            model, prepare_batch(jax.device_put(batch)), opt, jax.random.key(0),
+            cfg.trajectory_prediction_length, cfg.num_joints,
+        )
+        step = make_train_step(model, schedule, opt, Normalizer.identity(20), donate=False)
+        state, metrics = step(state, batch, 0)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestStreamingImages:
+    def test_from_sqlite_streams_blobs_lazily(self, tmp_path):
+        from soccerdiffusion_tpu.data.dataset import SqliteImageStore
+        from soccerdiffusion_tpu.data.dummy import insert_dummy_data
+        from soccerdiffusion_tpu.data.schema import connect, create_schema
+
+        db = str(tmp_path / "d.sqlite3")
+        conn = connect(db)
+        create_schema(conn)
+        insert_dummy_data(conn, num_recordings=1, num_samples_per_rec=200,
+                          image_step=10, image_size=64)
+        conn.commit()
+        conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")  # immutable readers skip the WAL
+        conn.close()
+
+        ds = WindowedDataset.from_sqlite(db, IMG_CFG)
+        rec = ds.recordings[0]
+        assert isinstance(rec.images, SqliteImageStore)
+        assert rec.images.fetch_count == 0  # nothing decoded at load time
+        item = ds[len(ds) - 1]
+        assert item["image_data"].shape == (4, 32, 32, 3)
+        assert 0 < rec.images.fetch_count <= IMG_CFG.image_context_length
+        # eager mode still matches the streamed data
+        ds_eager = WindowedDataset.from_sqlite(db, IMG_CFG, stream_images=False)
+        np.testing.assert_array_equal(
+            ds_eager[len(ds) - 1]["image_data"], item["image_data"])
