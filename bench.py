@@ -3,9 +3,16 @@
 Workload (BASELINE.json headline metric "action chunks/sec/chip (batched
 rollout); p50 30-step DDIM sampling latency"): N simulated robots per chip
 run the full perception->plan->act loop — controller buffers, context
-encoding, 30-step DDIM action-chunk sampling fused as one lax.scan, chunk
-feedback, 10 plant ticks — with the default.yaml proprioceptive+gamestate
-architecture (h128, 100-step contexts, 10-step chunks).
+encoding, 30-step DDIM action-chunk sampling, chunk feedback, 10 plant
+ticks — with the default.yaml proprioceptive+gamestate architecture (h128,
+100-step contexts, 10-step chunks).
+
+The default sampler path is the whole-chunk fused Pallas program
+(ops/fused_chunk.py, one op per 30-step chunk). Because a cold Mosaic
+compile through the tunneled backend can take ~10 min, the default run
+tries the fused path in a subprocess with a timeout and falls back to the
+plain XLA path if it cannot finish; with a warm persistent cache
+(.jax_cache/, populated by earlier runs) it completes in ~2 min.
 
 vs_baseline is measured against the north-star target derived from
 BASELINE.json (>=4096 rollouts on a v5e-8 at <10 ms per 30-step chunk
@@ -19,58 +26,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
+import subprocess
 import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1024, help="robots per chip")
-    parser.add_argument("--chunks", type=int, default=5, help="replan periods per timed iteration")
-    parser.add_argument("--iters", type=int, default=3, help="timed iterations")
-    parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
-    parser.add_argument("--distilled", action="store_true")
-    parser.add_argument("--fused", action="store_true",
-                        help="use the fused Pallas denoiser kernel")
-    parser.add_argument("--auto-fused", action="store_true",
-                        help="try the fused kernel in a subprocess first (~15 min cold"
-                             " compile; falls back to the XLA path on timeout)")
-    parser.add_argument("--fused-block", type=int, default=8)
-    parser.add_argument("--hidden", type=int, default=128)
-    parser.add_argument("--bf16", action="store_true", default=True)
-    parser.add_argument("--fp32", dest="bf16", action="store_false")
-    args = parser.parse_args()
-
-    import os
-
-    # Auto mode: try the fused Pallas kernel in a subprocess (its first
-    # compile can take ~15 min through a tunneled backend); on timeout or
-    # failure fall back to the XLA path inline. With a warm compilation
-    # cache the fused attempt finishes in ~2 min.
-    if not args.fused and args.auto_fused:
-        import subprocess
-
-        cmd = [sys.executable, __file__, "--fused", "--fused-block", "32",
-               "--batch", str(args.batch), "--chunks", str(args.chunks),
-               "--iters", str(args.iters), "--steps", str(args.steps)]
-        try:
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
-                                  cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-            if proc.returncode == 0 and line.startswith("{"):
-                log("fused-kernel attempt succeeded")
-                print(line, flush=True)
-                return
-            log(f"fused attempt failed (rc={proc.returncode}); falling back to XLA path")
-        except subprocess.TimeoutExpired:
-            log("fused attempt timed out (cold kernel compile); falling back to XLA path")
-
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+def measure(args) -> dict:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -82,6 +53,7 @@ def main():
     from soccerdiffusion_tpu.data import Normalizer
     from soccerdiffusion_tpu.diffusion import make_schedule
     from soccerdiffusion_tpu.inference import RolloutEngine
+    from soccerdiffusion_tpu.inference.controller import make_controller_batch
     from soccerdiffusion_tpu.models import DiffusionPolicy
 
     log(f"devices: {jax.devices()}")
@@ -105,14 +77,13 @@ def main():
     schedule = make_schedule(1000)
     normalizer = Normalizer.identity(cfg.num_joints)
 
+    fused = {"none": False, "step": True, "chunk": "chunk"}[args.sampler]
     engine = RolloutEngine(
         model, schedule, normalizer,
         num_inference_steps=args.steps, distilled=args.distilled,
-        fused=args.fused, fused_block_robots=args.fused_block,
+        fused=fused, fused_block_robots=args.fused_block,
     )
     carry = engine.init(args.batch, jax.random.key(0))
-
-    from soccerdiffusion_tpu.inference.controller import make_controller_batch
 
     init_batch = make_controller_batch(cfg, carry.controller)
     variables = model.init(
@@ -122,11 +93,10 @@ def main():
 
     rollout = engine.make_rollout_fn(num_chunks=args.chunks, jit=True)
 
-    # Warmup / compile.
     t0 = time.perf_counter()
     carry, chunks = rollout(variables, carry)
     jax.block_until_ready(chunks)
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    log(f"compile+first run ({args.sampler}): {time.perf_counter() - t0:.2f}s")
 
     times = []
     for i in range(args.iters):
@@ -138,22 +108,102 @@ def main():
 
     per_period_ms = [t / args.chunks * 1e3 for t in times]
     p50_period_ms = statistics.median(per_period_ms)
-    chunks_per_sec_per_chip = args.batch * args.chunks / statistics.median(times)
+    chunks_per_sec = args.batch * args.chunks / statistics.median(times)
 
-    north_star_chunks_per_sec = 4096 / 8 * (1000.0 / 10.0)  # 51200
+    north_star = 4096 / 8 * (1000.0 / 10.0)  # 51200 chunks/s/chip
     sampler_name = "distilled1" if args.distilled else "ddim%d" % args.steps
-    result = {
+    return {
         "metric": "%s_action_chunks_per_sec_per_chip" % sampler_name,
-        "value": round(chunks_per_sec_per_chip, 1),
+        "value": round(chunks_per_sec, 1),
         "unit": "chunks/s/chip",
-        "vs_baseline": round(chunks_per_sec_per_chip / north_star_chunks_per_sec, 3),
+        "vs_baseline": round(chunks_per_sec / north_star, 3),
         "p50_replan_period_ms": round(p50_period_ms, 3),
         "batch_robots": args.batch,
         "ddim_steps": 1 if args.distilled else args.steps,
         "hidden_dim": args.hidden,
-        "compute_dtype": cfg.compute_dtype,
-        "fused_kernel": args.fused,
+        "compute_dtype": "bfloat16" if args.bf16 else "float32",
+        "sampler_path": args.sampler,
     }
+
+
+def run_child(extra: list[str], timeout: int) -> dict | None:
+    cmd = [sys.executable, os.path.abspath(__file__), "--inline"] + extra
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        log(f"child timed out after {timeout}s: {extra}")
+        return None
+    sys.stderr.write(proc.stderr[-4000:])
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    if proc.returncode == 0 and line.startswith("{"):
+        return json.loads(line)
+    log(f"child failed rc={proc.returncode}: {extra}")
+    return None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1024, help="robots per chip")
+    parser.add_argument("--chunks", type=int, default=5, help="replan periods per timed iteration")
+    parser.add_argument("--iters", type=int, default=3, help="timed iterations")
+    parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
+    parser.add_argument("--distilled", action="store_true")
+    parser.add_argument("--sampler", choices=["none", "step", "chunk"], default="chunk",
+                        help="denoiser path: plain XLA, per-step fused kernel, "
+                             "or whole-chunk fused kernel (default)")
+    parser.add_argument("--fused-block", type=int, default=8)
+    parser.add_argument("--hidden", type=int, default=128)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--fp32", dest="bf16", action="store_false")
+    parser.add_argument("--inline", action="store_true",
+                        help="measure in-process (no fallback orchestration)")
+    parser.add_argument("--no-distilled-sidecar", action="store_true",
+                        help="skip the additional distilled-1-step measurement")
+    parser.add_argument("--child-timeout", type=int, default=1500)
+    args = parser.parse_args()
+
+    if args.inline:
+        print(json.dumps(measure(args)), flush=True)
+        return
+
+    base = ["--batch", str(args.batch), "--chunks", str(args.chunks),
+            "--iters", str(args.iters), "--hidden", str(args.hidden)]
+    if not args.bf16:
+        base.append("--fp32")
+
+    # Headline: 30-step DDIM through the fused chunk kernel, with fallback.
+    result = None
+    if args.sampler == "chunk":
+        result = run_child(base + ["--steps", str(args.steps), "--sampler", "chunk",
+                                   "--fused-block", str(args.fused_block)],
+                           args.child_timeout)
+        if result is None:
+            log("falling back to the XLA sampler path")
+    if result is None:
+        result = run_child(base + ["--steps", str(args.steps), "--sampler",
+                                   "none" if args.sampler == "chunk" else args.sampler],
+                           args.child_timeout)
+    if result is None:
+        log("benchmark failed on all paths")
+        sys.exit(1)
+
+    # Sidecar: distilled 1-step real-time metric (BASELINE.md north star
+    # "30 Hz closed loop with distilled sampler"), recorded in the same line.
+    if not args.no_distilled_sidecar:
+        distilled = run_child(base + ["--steps", "1", "--distilled",
+                                      "--sampler", "chunk",
+                                      "--fused-block", str(args.fused_block)],
+                              args.child_timeout // 2)
+        if distilled is None:
+            distilled = run_child(base + ["--steps", "1", "--distilled",
+                                          "--sampler", "none"],
+                                  args.child_timeout // 2)
+        if distilled is not None:
+            result["distilled1_chunks_per_sec_per_chip"] = distilled["value"]
+            result["distilled1_p50_replan_period_ms"] = distilled["p50_replan_period_ms"]
+            result["distilled1_sampler_path"] = distilled["sampler_path"]
+
     print(json.dumps(result), flush=True)
 
 

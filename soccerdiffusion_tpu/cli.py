@@ -151,7 +151,7 @@ def cmd_db(args) -> int:
 
         try:
             recording2mcap(db, args.recording_id, args.output)
-        except ImportError as exc:
+        except (ImportError, ValueError) as exc:
             logger.error(str(exc))
             return 1
         return 0

@@ -57,7 +57,7 @@ class RolloutEngine:
         num_inference_steps: int = 30,
         distilled: bool = False,
         tracking_alpha: float = 0.5,
-        fused: bool = False,
+        fused: bool | str = False,
         fused_block_robots: int = 8,
     ):
         self.model = model
@@ -67,8 +67,10 @@ class RolloutEngine:
         self.num_inference_steps = num_inference_steps
         self.distilled = distilled
         self.tracking_alpha = tracking_alpha
-        # Run the denoiser through the fused Pallas program
-        # (ops/fused_denoise.py) instead of the XLA op graph.
+        # fused=False: XLA op graph. fused=True/"step": one Pallas program
+        # per denoise step (ops/fused_denoise.py). fused="chunk": the WHOLE
+        # multi-step chunk as one Pallas program (ops/fused_chunk.py) — the
+        # serving headline path.
         self.fused = fused
         self.fused_block_robots = fused_block_robots
 
@@ -112,6 +114,22 @@ class RolloutEngine:
                 variables, context, noise, jnp.zeros((bsz,), jnp.int32),
                 method=self.model.denoise,
             )
+        elif self.fused == "chunk":
+            from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
+            from soccerdiffusion_tpu.ops.fused_chunk import FusedChunkSampler
+
+            fused = FusedChunkSampler(self.model, variables["params"],
+                                      block_robots=min(self.fused_block_robots, bsz))
+            context_kv = self.model.apply(variables, context,
+                                          method=self.model.precompute_context_kv)
+            packed = fused.pack_context_bd(context_kv)
+            ts = jnp.asarray(ddim_timesteps(
+                self.schedule.num_train_timesteps, self.num_inference_steps))
+            st_table = self.model.apply(
+                variables, ts, method=lambda m, tt: m.step_encoding(tt)
+            )[:, 0]  # (T, E)
+            traj = fused.sample(packed, noise, st_table, self.schedule,
+                                self.num_inference_steps)
         elif self.fused:
             from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
             from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser

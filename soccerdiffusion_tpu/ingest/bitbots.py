@@ -180,14 +180,14 @@ class BitBotsImportStrategy(ImportStrategy):
 
 
 def read_mcap(path: Path) -> tuple[RecordingInfo, Iterator[tuple[str, int, Any]]]:
-    """mcap adapter (requires the optional ``mcap`` + ``mcap_ros2`` packages)."""
+    """mcap adapter: the upstream ``mcap`` + ``mcap_ros2`` packages when
+    installed, else the vendored reader + schema-driven CDR decoder
+    (ingest/mcap_io.py)."""
     try:
         from mcap.reader import make_reader
         from mcap_ros2.decoder import DecoderFactory
-    except ImportError as exc:  # pragma: no cover - optional dependency
-        raise ImportError(
-            "mcap import requires the 'mcap' and 'mcap-ros2-support' packages"
-        ) from exc
+    except ImportError:
+        return _read_mcap_vendored(path)
 
     f = open(path, "rb")
     reader = make_reader(f, decoder_factories=[DecoderFactory()])
@@ -211,5 +211,32 @@ def read_mcap(path: Path) -> tuple[RecordingInfo, Iterator[tuple[str, int, Any]]
                 yield channel.topic, message.publish_time, ros_msg
         finally:
             f.close()
+
+    return info, stream()
+
+
+def _read_mcap_vendored(path: Path) -> tuple[RecordingInfo, Iterator[tuple[str, int, Any]]]:
+    """Standalone mcap path: vendored container reader + CDR decoder, message
+    layouts parsed from the schema text embedded in the bag itself."""
+    from soccerdiffusion_tpu.ingest.mcap_io import McapReader, decode_cdr
+
+    reader = McapReader.from_file(path)
+    start, end = reader.message_time_range
+    topics = [c.topic for c in reader.channels.values()]
+    info = RecordingInfo(
+        start_time_ns=start,
+        end_time_ns=end,
+        has_imu_data="/imu/data" in topics,
+        available_topics=topics,
+    )
+
+    def stream() -> Iterator[tuple[str, int, Any]]:
+        for channel, schema, message in reader.iter_messages(topics=USED_TOPICS):
+            assert schema is not None, f"channel {channel.topic} has no schema"
+            assert schema.encoding == "ros2msg", (
+                f"vendored decoder handles ros2msg schemas, got {schema.encoding!r}"
+            )
+            msg = decode_cdr(schema.data.decode(), schema.name, message.data)
+            yield channel.topic, message.publish_time, msg
 
     return info, stream()

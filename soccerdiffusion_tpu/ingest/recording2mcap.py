@@ -36,8 +36,8 @@ def _quat_to_euler(x: float, y: float, z: float, w: float) -> tuple[float, float
 def recording2mcap(db_path: str | Path, recording_id: int, output: str | Path) -> None:
     try:
         from mcap.writer import Writer
-    except ImportError as exc:  # pragma: no cover - optional dependency
-        raise ImportError("recording2mcap requires the optional 'mcap' package") from exc
+    except ImportError:  # vendored fallback (ingest/mcap_io.py)
+        from soccerdiffusion_tpu.ingest.mcap_io import McapWriter as Writer
 
     conn = connect(db_path, read_only=True)
     cur = conn.cursor()

@@ -296,3 +296,29 @@ class TestFusedRollout:
             fd.FusedDenoiser.__init__ = orig_init
         assert chunks.shape == (1, 4, 5, 8)
         assert np.isfinite(np.asarray(chunks)).all()
+
+    def test_chunk_fused_rollout_matches_xla_rollout(self):
+        """Whole-chunk fused rollout (interpret mode) vs the XLA path."""
+        import soccerdiffusion_tpu.ops.fused_chunk as fc
+
+        model, variables = make_model()
+        engine_x = RolloutEngine(model, make_schedule(100), Normalizer.identity(8),
+                                 num_inference_steps=4)
+        engine_f = RolloutEngine(model, make_schedule(100), Normalizer.identity(8),
+                                 num_inference_steps=4, fused="chunk",
+                                 fused_block_robots=2)
+        orig_init = fc.FusedChunkSampler.__init__
+
+        def patched(self, m, p, interpret=False, block_robots=8):
+            orig_init(self, m, p, interpret=True, block_robots=block_robots)
+
+        fc.FusedChunkSampler.__init__ = patched
+        try:
+            cx = engine_x.init(batch_size=4, rng=jax.random.key(0))
+            cf = engine_f.init(batch_size=4, rng=jax.random.key(0))
+            _, chunks_x = engine_x.make_rollout_fn(1, jit=False)(variables, cx)
+            _, chunks_f = engine_f.make_rollout_fn(1, jit=False)(variables, cf)
+        finally:
+            fc.FusedChunkSampler.__init__ = orig_init
+        np.testing.assert_allclose(np.asarray(chunks_f), np.asarray(chunks_x),
+                                   rtol=5e-2, atol=5e-2)

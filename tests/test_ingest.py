@@ -352,18 +352,34 @@ class TestCLI:
         f.write_text("x")
         assert main(["import", "bit-bots", str(f), "lab"]) == 1
 
-    def test_recording2mcap_gated(self, tmp_path):
+    def test_recording2mcap_roundtrip(self, tmp_path):
+        """DB -> .mcap export through the vendored writer, read back with the
+        vendored reader (reference dataset/recording2mcap.py:302-320)."""
+        import json
+
+        from soccerdiffusion_tpu.cli import main
+        from soccerdiffusion_tpu.ingest.mcap_io import McapReader
+
+        db = str(tmp_path / "db.sqlite3")
+        main(["db", "create-schema", "--db", db])
+        main(["db", "dummy-data", "-n", "1", "-s", "50", "-i", "10", "--db", db])
+        out = tmp_path / "o.mcap"
+        assert main(["db", "recording2mcap", "1", str(out), "--db", db]) == 0
+
+        r = McapReader.from_file(out)
+        topics = {c.topic for c in r.channels.values()}
+        assert {"/recording", "/image", "/rotation", "/joint_states",
+                "/joint_commands", "/game_state"} <= topics
+        msgs = list(r.iter_messages(topics=["/joint_commands"]))
+        assert len(msgs) == 50
+        payload = json.loads(msgs[0][2].data)
+        assert len(payload["name"]) == 22
+
+    def test_recording2mcap_missing_recording(self, tmp_path):
         from soccerdiffusion_tpu.cli import main
 
         db = str(tmp_path / "db.sqlite3")
         main(["db", "create-schema", "--db", db])
-        # mcap package not installed in CI -> clean error exit
-        try:
-            import mcap  # noqa: F401
-
-            pytest.skip("mcap installed; gating not exercised")
-        except ImportError:
-            pass
         assert main(["db", "recording2mcap", "1", str(tmp_path / "o.mcap"), "--db", db]) == 1
 
 
