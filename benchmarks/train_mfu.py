@@ -1,0 +1,136 @@
+"""Training MFU benchmark for the image-encoder configs on the real chip.
+
+Measures steps/s and MFU of the jitted train step with DEVICE-RESIDENT
+batches (the tunnel's 13 MB/s host->device link is an artifact of this dev
+environment; production feeds overlap via data/pipeline.py). Images ride as
+uint8 and are normalized in-jit (data/pipeline.prepare_batch), as in the
+packed training path.
+
+Configs: vit_flagship (BASELINE.json config[2]) at descending batch sizes
+until one fits, plus the proprioceptive default for comparison.
+
+Run: nohup python benchmarks/train_mfu.py > /tmp/train_mfu.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from soccerdiffusion_tpu.config import Config
+from soccerdiffusion_tpu.data import Normalizer
+from soccerdiffusion_tpu.data.pipeline import prepare_batch
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.training.trainer import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from soccerdiffusion_tpu.utils.profiling import device_peak_flops, estimate_flops
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def device_batch(cfg, b, rng):
+    batch = {
+        "joint_command": jnp.asarray(rng.random((b, cfg.trajectory_prediction_length,
+                                                 cfg.num_joints), dtype=np.float32)),
+    }
+    if cfg.use_action_history:
+        batch["joint_command_history"] = jnp.asarray(
+            rng.random((b, cfg.action_context_length, cfg.num_joints), dtype=np.float32))
+    if cfg.use_joint_states:
+        batch["joint_state"] = jnp.asarray(
+            rng.random((b, cfg.joint_state_context_length, cfg.num_joints), dtype=np.float32))
+    if cfg.use_imu:
+        batch["rotation"] = jnp.asarray(
+            rng.random((b, cfg.imu_context_length, cfg.imu_input_dim), dtype=np.float32))
+    if cfg.use_gamestate:
+        batch["game_state"] = jnp.zeros((b,), jnp.int32)
+    if cfg.use_images:
+        batch["image_u8"] = jnp.asarray(rng.integers(
+            0, 255, (b, cfg.image_context_length, cfg.image_resolution,
+                     cfg.image_resolution, 3), dtype=np.uint8))
+        batch["image_valid"] = jnp.ones((b, cfg.image_context_length), jnp.float32)
+    return jax.device_put(batch)
+
+
+def bench_config(name: str, yaml_path: str, batch_sizes, steps=12):
+    with open(yaml_path) as f:
+        params = yaml.safe_load(f)
+    config = Config.from_dict(params)
+    cfg = config.model
+    model = DiffusionPolicy(cfg)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    rng = np.random.default_rng(0)
+
+    for b in batch_sizes:
+        try:
+            batch = device_batch(cfg, b, rng)
+            optimizer = make_optimizer(config.train.lr, 1000)
+            state = create_train_state(
+                model, prepare_batch(batch), optimizer, jax.random.key(0),
+                cfg.trajectory_prediction_length, cfg.num_joints,
+            )
+            train_step = make_train_step(model, schedule, optimizer,
+                                         Normalizer.identity(cfg.num_joints))
+            flops = estimate_flops(train_step, state, batch, 0)
+            t0 = time.perf_counter()
+            state, metrics = train_step(state, batch, 0)
+            jax.block_until_ready(metrics["loss"])
+            compile_s = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = train_step(state, batch, 0)
+            jax.block_until_ready(metrics["loss"])
+            dt = (time.perf_counter() - t0) / steps
+            peak = device_peak_flops()
+            emit(config=name, batch=b, steps_per_sec=round(1 / dt, 2),
+                 samples_per_sec=round(b / dt, 1), step_ms=round(dt * 1e3, 1),
+                 flops_per_step=flops, mfu=round(flops / dt / peak, 4),
+                 compile_s=round(compile_s, 1),
+                 loss=float(metrics["loss"]))
+            return  # largest fitting batch measured; done
+        except Exception as exc:  # OOM etc. -> try smaller
+            emit(config=name, batch=b, error=str(exc)[:200])
+            continue
+
+
+def main():
+    emit(bench="devices", devices=str(jax.devices()),
+         peak_bf16_flops=device_peak_flops())
+    cfgdir = os.path.join(REPO, "soccerdiffusion_tpu", "training", "configs")
+    bench_config("vit_flagship", os.path.join(cfgdir, "vit_flagship.yaml"),
+                 batch_sizes=(256, 128, 64, 32))
+    bench_config("default_resnet18", os.path.join(cfgdir, "default.yaml"),
+                 batch_sizes=(64, 32))
+    bench_config("larger_model", os.path.join(cfgdir, "larger_model.yaml"),
+                 batch_sizes=(64, 32))
+    emit(bench="done")
+
+
+if __name__ == "__main__":
+    main()

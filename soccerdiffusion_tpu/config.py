@@ -84,6 +84,7 @@ class ModelConfig:
     use_gamestate: bool = True
     # Denoising decoder
     num_decoder_layers: int = 4
+    num_decoder_heads: int = 4  # every reference config uses 4 (model.py:115)
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"

@@ -81,6 +81,7 @@ class DiffusionPolicy(nn.Module):
         self.diffusion_action_generator = DiffusionActionGenerator(
             num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_decoder_layers,
+            num_heads=cfg.num_decoder_heads,
             max_seq_len=cfg.trajectory_prediction_length, **common,
         )
 

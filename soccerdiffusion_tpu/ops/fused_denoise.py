@@ -247,8 +247,19 @@ class FusedDenoiser:
         dec = gen["decoder"]
         L = cfg.num_decoder_layers
         self.num_layers = L
-        self.num_heads = 4
-        self.head_dim = cfg.hidden_dim // 4
+        # Derived from the model config, with build-time validation so a
+        # mismatched architecture fails here rather than producing garbage.
+        self.num_heads = cfg.num_decoder_heads
+        if cfg.hidden_dim % self.num_heads != 0:
+            raise ValueError(
+                f"hidden_dim {cfg.hidden_dim} not divisible by num_decoder_heads "
+                f"{self.num_heads}; the fused kernel slices heads from the lane dim"
+            )
+        if not all(f"layer_{i}" in dec for i in range(L)):
+            raise ValueError(
+                f"decoder params hold {len(dec)} layers but config says {L}"
+            )
+        self.head_dim = cfg.hidden_dim // self.num_heads
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
 

@@ -17,7 +17,7 @@ import jax
 
 # Peak dense matmul throughput per chip, bf16, FLOP/s.
 PEAK_FLOPS = {
-    "tpu v5 lite": 394e12,  # v5e: 394 TFLOP/s bf16
+    "tpu v5 lite": 197e12,  # v5e: 197 TFLOP/s bf16 (394 is the int8 number)
     "tpu v4": 275e12,
     "tpu v6 lite": 918e12,  # v6e/trillium
     "cpu": 1e11,  # nominal, for smoke runs

@@ -100,3 +100,50 @@ class TestFusedDenoiser:
         got = fused.sample(fused.pack_context_kv(kv), noisy, st_table, sched, steps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestHeadConfigGuards:
+    def test_eight_head_h512_parity(self):
+        """Non-default head count: derived from config, verified vs XLA."""
+        cfg8 = ModelConfig(**{**CFG.__dict__, "hidden_dim": 512,
+                              "num_decoder_heads": 8})
+        rng = np.random.default_rng(1)
+        model = DiffusionPolicy(cfg8)
+        b = 2
+        batch = {
+            "joint_command_history": jnp.asarray(rng.random((b, 24, 20), dtype=np.float32)),
+            "rotation": jnp.asarray(rng.random((b, 24, 4), dtype=np.float32)),
+            "joint_state": jnp.asarray(rng.random((b, 24, 20), dtype=np.float32)),
+            "game_state": jnp.zeros((b,), jnp.int32),
+        }
+        noisy = jnp.asarray(rng.standard_normal((b, 10, 20)).astype(np.float32))
+        t = jnp.full((b,), 11, jnp.int32)
+        variables = model.init(jax.random.key(3), batch, noisy, t)
+        ctx = model.apply(variables, batch, method=model.encode_context)
+        kv = model.apply(variables, ctx, method=model.precompute_context_kv)
+        expected = model.apply(variables, kv, noisy, t, method=model.denoise_with_kv)
+
+        fused = FusedDenoiser(model, variables["params"], interpret=True, block_robots=2)
+        assert fused.num_heads == 8 and fused.head_dim == 64
+        got = fused(fused.pack_context_kv(kv), noisy, step_token(model, variables, t))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_mismatched_heads_raise_at_build(self):
+        cfg_bad = ModelConfig(**{**CFG.__dict__, "num_decoder_heads": 3})
+        model, variables, kv, noisy, t = setup()
+        bad_model = DiffusionPolicy(cfg_bad)
+        try:
+            FusedDenoiser(bad_model, variables["params"], interpret=True)
+            assert False, "should raise"
+        except ValueError as e:
+            assert "divisible" in str(e)
+
+    def test_layer_count_mismatch_raises(self):
+        model, variables, kv, noisy, t = setup()
+        cfg_more = ModelConfig(**{**CFG.__dict__, "num_decoder_layers": 5})
+        try:
+            FusedDenoiser(DiffusionPolicy(cfg_more), variables["params"], interpret=True)
+            assert False, "should raise"
+        except ValueError as e:
+            assert "layers" in str(e)
