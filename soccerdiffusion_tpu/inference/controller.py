@@ -105,3 +105,19 @@ def push_action_chunk(state: ControllerState, chunk: jnp.ndarray) -> ControllerS
     return state.replace(
         joint_command_history=_roll_append(state.joint_command_history, chunk - jnp.pi)
     )
+
+
+def observe_many(
+    state: ControllerState,
+    joint_states: jnp.ndarray | None = None,  # (B, K, J)
+    imus: jnp.ndarray | None = None,  # (B, K, 4|5)
+) -> ControllerState:
+    """Push K ticks of sensor rows in ONE buffer update per modality —
+    identical result to K sequential ``observe`` calls (each an O(history)
+    concat), at a fraction of the op count on the serving path."""
+    updates = {}
+    if joint_states is not None:
+        updates["joint_state_history"] = _roll_append(state.joint_state_history, joint_states)
+    if imus is not None:
+        updates["imu_history"] = _roll_append(state.imu_history, imus)
+    return state.replace(**updates)

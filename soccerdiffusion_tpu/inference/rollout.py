@@ -120,15 +120,13 @@ class RolloutEngine:
 
             fused = FusedChunkSampler(self.model, variables["params"],
                                       block_robots=min(self.fused_block_robots, bsz))
-            context_kv = self.model.apply(variables, context,
-                                          method=self.model.precompute_context_kv)
-            packed = fused.pack_context_bd(context_kv)
+            # raw context goes straight in — K/V projection happens in-kernel
             ts = jnp.asarray(ddim_timesteps(
                 self.schedule.num_train_timesteps, self.num_inference_steps))
             st_table = self.model.apply(
                 variables, ts, method=lambda m, tt: m.step_encoding(tt)
             )[:, 0]  # (T, E)
-            traj = fused.sample(packed, noise, st_table, self.schedule,
+            traj = fused.sample(context, noise, st_table, self.schedule,
                                 self.num_inference_steps)
         elif self.fused:
             from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
@@ -186,19 +184,29 @@ class RolloutEngine:
     def replan_period(self, variables, carry: RolloutCarry) -> tuple[RolloutCarry, jnp.ndarray]:
         """One full 200 ms period: sample a chunk, play it for pred_len ticks
         while feeding plant observations back into the buffers. Returns the
-        executed chunk (B, P, J)."""
+        executed chunk (B, P, J).
+
+        The pred_len plant ticks are unrolled (the serving runtime charges
+        loop iterations a fixed per-op cost; docs/perf_notes.md) and all
+        resulting observation rows land in the controller buffers as ONE
+        update per modality (``observe_many``) — numerically identical to
+        the tick-by-tick scan."""
+        from soccerdiffusion_tpu.inference.controller import observe_many
+
         rng, sub = jax.random.split(carry.rng)
         chunk = self._sample_chunk(variables, carry.controller, sub)
         controller = push_action_chunk(carry.controller, chunk)
 
-        def tick(state, command):
-            controller, plant = state
-            plant, joint_state, imu = self._plant_tick(plant, command)
-            controller = observe(controller, joint_state=joint_state, imu=imu)
-            return (controller, plant), None
-
-        (controller, plant), _ = jax.lax.scan(
-            tick, (controller, carry.plant), jnp.swapaxes(chunk, 0, 1)
+        plant = carry.plant
+        js_rows, imu_rows = [], []
+        for p in range(self.cfg.trajectory_prediction_length):
+            plant, joint_state, imu = self._plant_tick(plant, chunk[:, p])
+            js_rows.append(joint_state)
+            imu_rows.append(imu)
+        controller = observe_many(
+            controller,
+            joint_states=jnp.stack(js_rows, axis=1),
+            imus=jnp.stack(imu_rows, axis=1),
         )
         return RolloutCarry(controller=controller, plant=plant, rng=rng), chunk
 

@@ -3,21 +3,24 @@ cross-attending decoder as ONE Pallas program per robot block.
 
 Why (docs/perf_notes.md round-2 measurements): on the serving runtime each
 XLA op in a dependent chain costs ~0.2 ms regardless of size, so the 30-step
-sampler (~34 ops/step) costs ~6 ms/step no matter how the loop is expressed
-(scan / unroll / fori all measured equal). The round-1 fused kernel brought
-that to one op per step; this kernel brings the WHOLE chunk to one op: a
-``fori_loop`` over denoising steps runs inside the kernel, reading per-step
-step-token K/V and DDIM coefficients from in-kernel tables, so weights and
-context K/V are loaded into VMEM once per chunk instead of once per step.
+sampler (~34 ops/step) costs ~6 ms/step however the loop is expressed (scan /
+unroll / fori all measured equal). This kernel makes the WHOLE chunk one op:
+a ``fori_loop`` over denoising steps runs inside the kernel, weights and
+context stay in VMEM across all steps, and per-step step-token K/V + DDIM
+coefficients come from in-kernel tables.
 
-Attention is restructured for the MXU (microbenchmarks,
-benchmarks/microbench_tpu.py): per-robot attention matrices (10x112,
-head_dim 32) are latency-bound as batched tiny dots (~60 cycles each), so R
-robots are packed BLOCK-DIAGONALLY into one (R*P, R*S) score matrix per
-(layer, head) — at R=8 the R-fold FLOP waste costs ~70 MXU cycles against
-~480 for 8 tiny dots. The step-token column is folded into the same softmax
-via joint normalization (sampling uses one timestep for the whole batch,
-reference ros.py:301-310).
+Design against the measured floors:
+  * Per-robot attention matmuls (10x301, head_dim 32) are LATENCY-bound on
+    the MXU (~50-60 cycles per batched sub-matmul), so all 4 heads ride in
+    ONE batched dot per attention: queries/keys/values are lane-masked per
+    head and row-stacked into (R, 4P, E) — contraction over the full E=128
+    with zeroed other-head lanes computes exact per-head scores, 4x fewer
+    sub-matmuls, no block-diagonal FLOP waste, exact-width softmax rows.
+  * Context K/V are projected IN-KERNEL once per chunk into VMEM scratch,
+    removing the per-chunk XLA packing/precompute ops (each ~0.2 ms).
+  * The step-token column is folded into the cross softmax via joint
+    normalization (sampling uses one timestep for the whole batch,
+    reference ros.py:301-310).
 
 Numerics match the XLA path (``DiffusionPolicy.denoise_with_kv`` iterated by
 ``ddim_sample``) to bf16 tolerance; see tests/test_fused_chunk.py.
@@ -41,12 +44,11 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                        num_steps: int, block_robots: int, seq: int):
     L, H, D, P, E, T, R, S = (num_layers, num_heads, head_dim, pred_len,
                               hidden, num_steps, block_robots, seq)
-    RP, RS = R * P, R * S
+    HP = H * P
 
     def kernel(
         noise_ref,     # (R, P, J)
-        ctx_k_ref,     # (L*H, 1, D, R*S)  block-diag-ready, this block's slab
-        ctx_v_ref,     # (L*H, 1, R*S, D)
+        ctx_ref,       # (R, S, E) this block's context tokens
         stk_ref,       # (T, L, E) per-step step-token cross K rows
         stv_ref,       # (T, L, E) per-step step-token cross V rows
         coef_ref,      # (T, 4) SMEM fp32 DDIM coefficients
@@ -55,42 +57,18 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         qkv_w_ref, qkv_b_ref,          # (L, E, 3E), (L, 3E)
         so_w_ref, so_b_ref,            # (L, E, E), (L, E)
         cq_w_ref, cq_b_ref,            # (L, E, E), (L, E)
+        ck_w_ref, ck_b_ref,            # (L, E, E), (L, E)
+        cv_w_ref, cv_b_ref,            # (L, E, E), (L, E)
         co_w_ref, co_b_ref,            # (L, E, E), (L, E)
         mlp1_w_ref, mlp1_b_ref,        # (L, E, E), (L, E)
         mlp2_w_ref, mlp2_b_ref,        # (L, E, E), (L, E)
         ln_s_ref, ln_b_ref,            # (L, 3, E)
         fc_w_ref, fc_b_ref,            # (E, J), (1, J)
         out_ref,       # (R, P, J)
+        ctx_k_scr,     # scratch (L, R, S, E) context K
+        ctx_v_scr,     # scratch (L, R, S, E) context V
     ):
-        compute_dtype = ctx_k_ref.dtype
-
-        # Block-diagonal masks, built once per program. Row r*P+p may only
-        # see column r*S+s (cross) / r*P+p' (self) of its own robot r.
-        row_block = jax.lax.broadcasted_iota(jnp.int32, (RP, RS), 0) // P
-        col_block = jax.lax.broadcasted_iota(jnp.int32, (RP, RS), 1) // S
-        cross_mask = jnp.where(row_block == col_block, 0.0, -1e9).astype(jnp.float32)
-        srow = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0) // P
-        scol = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1) // P
-        self_mask = jnp.where(srow == scol, 0.0, -1e9).astype(jnp.float32)
-
-        pe = pe_ref[...].astype(compute_dtype)  # (P, E)
-        # Positional encoding tiled over robots: row r*P+p gets pe[p].
-        pe_rows = jnp.concatenate([pe] * R, axis=0)  # (RP, E)
-
-        emb_w = emb_w_ref[...]
-        emb_b = emb_b_ref[...]
-        fc_w = fc_w_ref[...]
-        fc_b = fc_b_ref[...]
-
-        qkv_w_all, qkv_b_all = qkv_w_ref[...], qkv_b_ref[...]
-        so_w_all, so_b_all = so_w_ref[...], so_b_ref[...]
-        cq_w_all, cq_b_all = cq_w_ref[...], cq_b_ref[...]
-        co_w_all, co_b_all = co_w_ref[...], co_b_ref[...]
-        m1_w_all, m1_b_all = mlp1_w_ref[...], mlp1_b_ref[...]
-        m2_w_all, m2_b_all = mlp2_w_ref[...], mlp2_b_ref[...]
-        ln_s_all, ln_b_all = ln_s_ref[...], ln_b_ref[...]
-        ctx_k_all = ctx_k_ref[...]  # (L*H, 1, D, RS)
-        ctx_v_all = ctx_v_ref[...]  # (L*H, 1, RS, D)
+        compute_dtype = ctx_ref.dtype
 
         def at(x, i):
             return jax.lax.index_in_dim(x, i, axis=0, keepdims=False)
@@ -99,66 +77,113 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
             return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
+        def bdot(a, b, contract_a, contract_b):
+            """Batched over the leading robot dim."""
+            return jax.lax.dot_general(
+                a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        # ---- once per chunk: project context K/V into scratch ----
+        ctx2d = ctx_ref[...].reshape(R * S, E)
+        ck_w_all, ck_b_all = ck_w_ref[...], ck_b_ref[...]
+        cv_w_all, cv_b_all = cv_w_ref[...], cv_b_ref[...]
+        for l in range(L):
+            k_l = dot(ctx2d, at(ck_w_all, l)) + at(ck_b_all, l)
+            v_l = dot(ctx2d, at(cv_w_all, l)) + at(cv_b_all, l)
+            ctx_k_scr[l] = k_l.reshape(R, S, E).astype(compute_dtype)
+            ctx_v_scr[l] = v_l.reshape(R, S, E).astype(compute_dtype)
+
+        # ---- per-head lane masks (1, 1, E) and the self-attn head-block mask
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) // D  # (1, E)
+        head_masks = [
+            (lane == hh).astype(compute_dtype).reshape(1, 1, E) for hh in range(H)
+        ]
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0) // P
+        hcol = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1) // P
+        self_mask = jnp.where(hrow == hcol, 0.0, -1e9).astype(jnp.float32)[None]
+
+        def head_stack(x2d):
+            """(R*P, E) -> (R, H*P, E): row block h holds head-h-masked rows."""
+            x3 = x2d.reshape(R, P, E)
+            return jnp.concatenate([x3 * m for m in head_masks], axis=1)
+
+        def merge_heads(o):
+            """(R, H*P, E) per-head blocks (other-head lanes garbage) ->
+            (R*P, E) by masked sum."""
+            total = None
+            for hh in range(H):
+                part = jax.lax.slice_in_dim(o, hh * P, (hh + 1) * P, axis=1)
+                part = part * head_masks[hh].astype(part.dtype)
+                total = part if total is None else total + part
+            return total.reshape(R * P, E)
+
+        pe_rows = jnp.concatenate([pe_ref[...].astype(compute_dtype)] * R, axis=0)
+
+        emb_w, emb_b = emb_w_ref[...], emb_b_ref[...]
+        fc_w, fc_b = fc_w_ref[...], fc_b_ref[...]
+        qkv_w_all, qkv_b_all = qkv_w_ref[...], qkv_b_ref[...]
+        so_w_all, so_b_all = so_w_ref[...], so_b_ref[...]
+        cq_w_all, cq_b_all = cq_w_ref[...], cq_b_ref[...]
+        co_w_all, co_b_all = co_w_ref[...], co_b_ref[...]
+        m1_w_all, m1_b_all = mlp1_w_ref[...], mlp1_b_ref[...]
+        m2_w_all, m2_b_all = mlp2_w_ref[...], mlp2_b_ref[...]
+        ln_s_all, ln_b_all = ln_s_ref[...], ln_b_ref[...]
+
+        scale = 1.0 / np.sqrt(D)
+
         def step_body(t, x):
             # x: (R*P, J) float32 current noisy chunk rows
             stk_t = stk_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
             stv_t = stv_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
 
             h = dot(x.astype(compute_dtype), emb_w)
-            h = ((h + emb_b).astype(compute_dtype) + pe_rows)  # (RP, E)
+            h = (h + emb_b).astype(compute_dtype) + pe_rows  # (RP, E)
 
             for l in range(L):
-                # ---- self-attention (block-diag over robots) ----
+                # ---- self-attention: all heads in one batched dot ----
                 n1 = _layer_norm(h, at(at(ln_s_all, l), 0),
                                  at(at(ln_b_all, l), 0)).astype(compute_dtype)
                 qkv = dot(n1, at(qkv_w_all, l))
                 qkv = (qkv + at(qkv_b_all, l)).astype(compute_dtype)  # (RP, 3E)
-                heads = []
-                for hh in range(H):
-                    qh = jax.lax.slice_in_dim(qkv, hh * D, (hh + 1) * D, axis=1)
-                    kh = jax.lax.slice_in_dim(qkv, E + hh * D, E + (hh + 1) * D, axis=1)
-                    vh = jax.lax.slice_in_dim(qkv, 2 * E + hh * D, 2 * E + (hh + 1) * D, axis=1)
-                    s = jax.lax.dot_general(
-                        qh, kh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * (1.0 / np.sqrt(D)) + self_mask  # (RP, RP)
-                    m = jnp.max(s, axis=-1, keepdims=True)
-                    p = jnp.exp(s - m)
-                    p = p / jnp.sum(p, axis=-1, keepdims=True)
-                    heads.append(dot(p.astype(compute_dtype), vh).astype(compute_dtype))
-                attn = jnp.concatenate(heads, axis=-1)  # (RP, E)
-                attn = dot(attn, at(so_w_all, l)) + at(so_b_all, l)
+                q = jax.lax.slice_in_dim(qkv, 0, E, axis=1)
+                k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1)
+                v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1)
+                qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
+                s = bdot(qs, ks, 2, 2) * scale + self_mask  # (R, HP, HP)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o = bdot(p.astype(compute_dtype), vs, 2, 1)  # (R, HP, E)
+                attn = dot(merge_heads(o.astype(compute_dtype)), at(so_w_all, l))
+                attn = attn + at(so_b_all, l)
                 h = h + attn.astype(compute_dtype)
 
-                # ---- cross-attention: block-diag context + shared step token ----
+                # ---- cross-attention: cached context K/V + shared step token
                 n2 = _layer_norm(h, at(at(ln_s_all, l), 1),
                                  at(at(ln_b_all, l), 1)).astype(compute_dtype)
                 q2 = dot(n2, at(cq_w_all, l))
-                q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)  # (RP, E)
+                q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)
+                qs2 = head_stack(q2)  # (R, HP, E)
+                k_ctx = ctx_k_scr[l]  # (R, S, E)
+                v_ctx = ctx_v_scr[l]
+                s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
+                # step-token column (shared across robots); qs2 rows are
+                # head-masked so the full-E product is the per-head score
                 stk_l = jax.lax.slice_in_dim(stk_t, l, l + 1, axis=0)  # (1, E)
+                s_x = jnp.sum(
+                    qs2.astype(jnp.float32) * stk_l.astype(jnp.float32)[None],
+                    axis=-1, keepdims=True,
+                ) * scale  # (R, HP, 1)
+                m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
+                p = jnp.exp(s - m)
+                p_x = jnp.exp(s_x - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
+                o = bdot(p.astype(compute_dtype), v_ctx, 2, 1)  # (R, HP, E) fp32
                 stv_l = jax.lax.slice_in_dim(stv_t, l, l + 1, axis=0)  # (1, E)
-                heads = []
-                for hh in range(H):
-                    qh = jax.lax.slice_in_dim(q2, hh * D, (hh + 1) * D, axis=1)  # (RP, D)
-                    kh = at(ctx_k_all, l * H + hh)[0]  # (D, RS)
-                    vh = at(ctx_v_all, l * H + hh)[0]  # (RS, D)
-                    s = dot(qh, kh) * (1.0 / np.sqrt(D)) + cross_mask  # (RP, RS)
-                    # step-token column, shared by every robot
-                    stk_h = jax.lax.slice_in_dim(stk_l, hh * D, (hh + 1) * D, axis=1)  # (1, D)
-                    stv_h = jax.lax.slice_in_dim(stv_l, hh * D, (hh + 1) * D, axis=1)  # (1, D)
-                    s_x = jnp.sum(
-                        qh.astype(jnp.float32) * stk_h.astype(jnp.float32),
-                        axis=-1, keepdims=True,
-                    ) * (1.0 / np.sqrt(D))  # (RP, 1)
-                    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
-                    p = jnp.exp(s - m)
-                    p_x = jnp.exp(s_x - m)
-                    denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
-                    o = dot(p.astype(compute_dtype), vh)  # (RP, D) fp32
-                    o = o + p_x * stv_h.astype(jnp.float32)
-                    heads.append((o / denom).astype(compute_dtype))
-                attn = jnp.concatenate(heads, axis=-1)
-                attn = dot(attn, at(co_w_all, l)) + at(co_b_all, l)
+                o = o + p_x * stv_l.astype(jnp.float32)[None]
+                o = (o / denom).astype(compute_dtype)
+                attn = dot(merge_heads(o), at(co_w_all, l)) + at(co_b_all, l)
                 h = h + attn.astype(compute_dtype)
 
                 # ---- MLP ----
@@ -181,7 +206,7 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 
         x0 = jax.lax.fori_loop(
             0, T, step_body,
-            noise_ref[...].astype(jnp.float32).reshape(RP, num_joints),
+            noise_ref[...].astype(jnp.float32).reshape(R * P, num_joints),
         )
         out_ref[...] = x0.reshape(R, P, num_joints).astype(out_ref.dtype)
 
@@ -191,33 +216,13 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 class FusedChunkSampler(FusedDenoiser):
     """One Pallas op for the entire multi-step DDIM chunk.
 
-    Weight extraction/packing is inherited from FusedDenoiser; this class
-    adds the block-diagonal context layout and the whole-chunk kernel.
+    Weight extraction is inherited from FusedDenoiser; context K/V are
+    projected in-kernel (no packing/precompute ops on the XLA side — the
+    sampler takes the raw encoded context).
     """
 
-    def __init__(self, model, params, interpret: bool = False, block_robots: int = 8):
+    def __init__(self, model, params, interpret: bool = False, block_robots: int = 32):
         super().__init__(model, params, interpret=interpret, block_robots=block_robots)
-
-    def pack_context_bd(self, context_kv: list) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Per-layer [(k, v)] with (B, S, H, D) -> block-diagonal slabs:
-
-        K: (L*H, nb, D, R*S)   (contraction dim D in sublanes)
-        V: (L*H, nb, R*S, D)
-        """
-        R = self.block_robots
-        ks, vs = [], []
-        for k, v in context_kv:
-            b, s, h, d = k.shape
-            assert b % R == 0, f"batch {b} not divisible by block_robots {R}"
-            nb = b // R
-            # (B,S,H,D) -> (H, nb, D, R*S)
-            k = k.reshape(nb, R, s, h, d).transpose(3, 0, 4, 1, 2).reshape(h, nb, d, R * s)
-            # (B,S,H,D) -> (H, nb, R*S, D)
-            v = v.reshape(nb, R, s, h, d).transpose(3, 0, 1, 2, 4).reshape(h, nb, R * s, d)
-            ks.append(k)
-            vs.append(v)
-        return (jnp.concatenate(ks, axis=0).astype(self.dtype),
-                jnp.concatenate(vs, axis=0).astype(self.dtype))
 
     def step_tables(self, step_token_table: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(T, E) step tokens -> per-step per-layer cross K/V rows (T, L, E)."""
@@ -244,18 +249,19 @@ class FusedChunkSampler(FusedDenoiser):
             np.sqrt(abar_prev), np.sqrt(1.0 - abar_prev),
         ], axis=1), dtype=jnp.float32)
 
-    def sample(self, packed_bd, noise: jnp.ndarray, step_token_table: jnp.ndarray,
-               schedule, num_inference_steps: int) -> jnp.ndarray:
-        """Full DDIM rollout as ONE kernel op for the whole chunk."""
+    def sample(self, context: jnp.ndarray, noise: jnp.ndarray,
+               step_token_table: jnp.ndarray, schedule,
+               num_inference_steps: int) -> jnp.ndarray:
+        """Full DDIM rollout as ONE kernel op for the whole chunk.
+
+        ``context``: (B, S, E) encoded context tokens (raw, pre-K/V)."""
         cfg = self.cfg
-        ctx_k, ctx_v = packed_bd
-        b = noise.shape[0]
-        R = self.block_robots
+        b, S, E_ = context.shape
+        R = min(self.block_robots, b)
         assert b % R == 0, f"batch {b} not divisible by block_robots {R}"
         nb = b // R
-        LH, _, D, RS = ctx_k.shape
-        S = RS // R
         P, E, J = cfg.trajectory_prediction_length, cfg.hidden_dim, cfg.num_joints
+        assert E_ == E, (E_, E)
         T = num_inference_steps
 
         stk_tab, stv_tab = self.step_tables(step_token_table)
@@ -266,12 +272,11 @@ class FusedChunkSampler(FusedDenoiser):
         L = self.num_layers
         in_specs = [
             pl.BlockSpec((R, P, J), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LH, 1, D, RS), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LH, 1, RS, D), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, L, E), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, L, E), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 19
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 23
 
         return pl.pallas_call(
             kernel,
@@ -280,14 +285,21 @@ class FusedChunkSampler(FusedDenoiser):
             out_specs=pl.BlockSpec((R, P, J), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, P, J), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((L, R, S, E), self.dtype),
+                pltpu.VMEM((L, R, S, E), self.dtype),
+            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
             interpret=self.interpret,
         )(
-            noise.astype(self.dtype), ctx_k, ctx_v, stk_tab, stv_tab, coefs,
+            noise.astype(self.dtype), context.astype(self.dtype),
+            stk_tab, stv_tab, coefs,
             self.pe, self.emb_w, self.emb_b, self.qkv_w, self.qkv_b,
-            self.so_w, self.so_b, self.cq_w, self.cq_b, self.co_w, self.co_b,
+            self.so_w, self.so_b, self.cq_w, self.cq_b,
+            self.ck_w, self.ck_b, self.cv_w, self.cv_b,
+            self.co_w, self.co_b,
             self.mlp1_w, self.mlp1_b, self.mlp2_w, self.mlp2_b,
             self.ln_s, self.ln_b, self.fc_w, self.fc_b,
         )

@@ -5,8 +5,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from soccerdiffusion_tpu.diffusion import ddim_sample, ddim_timesteps, make_schedule
+from soccerdiffusion_tpu.models import DiffusionPolicy
 from soccerdiffusion_tpu.ops.fused_chunk import FusedChunkSampler
+from soccerdiffusion_tpu.config import ModelConfig
 from tests.test_fused_denoise import CFG, setup
+
+
+def get_context(model, variables, kv_setup_batch=4):
+    # setup() returns kv; tests here need the raw context too
+    pass
+
+
+def full_setup(b=4, cfg=None):
+    rng = np.random.default_rng(0)
+    cfg = cfg or CFG
+    model = DiffusionPolicy(cfg)
+    batch = {
+        "joint_command_history": jnp.asarray(
+            rng.random((b, cfg.action_context_length, cfg.num_joints), dtype=np.float32)),
+        "rotation": jnp.asarray(
+            rng.random((b, cfg.imu_context_length, 4), dtype=np.float32)),
+        "joint_state": jnp.asarray(
+            rng.random((b, cfg.joint_state_context_length, cfg.num_joints), dtype=np.float32)),
+        "game_state": jnp.zeros((b,), jnp.int32),
+    }
+    noisy = jnp.asarray(rng.standard_normal(
+        (b, cfg.trajectory_prediction_length, cfg.num_joints)).astype(np.float32))
+    t = jnp.full((b,), 37, jnp.int32)
+    variables = model.init(jax.random.key(0), batch, noisy, t)
+    ctx = model.apply(variables, batch, method=model.encode_context)
+    kv = model.apply(variables, ctx, method=model.precompute_context_kv)
+    return model, variables, ctx, kv, noisy
 
 
 def xla_sample(model, variables, kv, noise, schedule, steps):
@@ -26,21 +55,21 @@ def step_table(model, variables, schedule, steps):
 
 class TestFusedChunkSampler:
     def test_full_chunk_matches_xla_sampler(self):
-        model, variables, kv, noisy, t = setup(b=4)
+        model, variables, ctx, kv, noisy = full_setup(b=4)
         schedule = make_schedule(100)
         steps = 5
         expected = xla_sample(model, variables, kv, noisy, schedule, steps)
 
         fused = FusedChunkSampler(model, variables["params"], interpret=True,
                                   block_robots=2)
-        got = fused.sample(fused.pack_context_bd(kv), noisy,
+        got = fused.sample(ctx, noisy,
                            step_table(model, variables, schedule, steps),
                            schedule, steps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=8e-3, atol=8e-3)
 
     def test_block_sizes_agree(self):
-        model, variables, kv, noisy, t = setup(b=8)
+        model, variables, ctx, kv, noisy = full_setup(b=8)
         schedule = make_schedule(60)
         steps = 3
         st = step_table(model, variables, schedule, steps)
@@ -48,34 +77,46 @@ class TestFusedChunkSampler:
         for block in (2, 4, 8):
             fused = FusedChunkSampler(model, variables["params"], interpret=True,
                                       block_robots=block)
-            outs.append(np.asarray(fused.sample(
-                fused.pack_context_bd(kv), noisy, st, schedule, steps)))
+            outs.append(np.asarray(fused.sample(ctx, noisy, st, schedule, steps)))
         np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(outs[0], outs[2], rtol=2e-3, atol=2e-3)
 
-    def test_single_step_is_distilled_forward(self):
-        """T=1 chunk == one denoise + one DDIM update (the distilled path)."""
-        from soccerdiffusion_tpu.diffusion import ddim_step
+    def test_eight_head_parity(self):
+        """Head-stacked attention with a non-default head count."""
+        cfg8 = ModelConfig(**{**CFG.__dict__, "hidden_dim": 256,
+                              "num_decoder_heads": 8})
+        model, variables, ctx, kv, noisy = full_setup(b=2, cfg=cfg8)
+        schedule = make_schedule(50)
+        expected = xla_sample(model, variables, kv, noisy, schedule, 2)
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=2)
+        assert fused.num_heads == 8
+        got = fused.sample(ctx, noisy, step_table(model, variables, schedule, 2),
+                           schedule, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=8e-3, atol=8e-3)
 
-        model, variables, kv, noisy, t = setup(b=4)
+    def test_single_step_is_distilled_forward(self):
+        """T=1 chunk == one denoise + one DDIM update."""
+        model, variables, ctx, kv, noisy = full_setup(b=4)
         schedule = make_schedule(50)
         expected = xla_sample(model, variables, kv, noisy, schedule, 1)
 
         fused = FusedChunkSampler(model, variables["params"], interpret=True,
                                   block_robots=4)
-        got = fused.sample(fused.pack_context_bd(kv), noisy,
-                           step_table(model, variables, schedule, 1), schedule, 1)
+        got = fused.sample(ctx, noisy, step_table(model, variables, schedule, 1),
+                           schedule, 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=5e-3, atol=5e-3)
 
     def test_rejects_indivisible_batch(self):
-        model, variables, kv, noisy, t = setup(b=4)
+        model, variables, ctx, kv, noisy = full_setup(b=4)
         schedule = make_schedule(50)
         fused = FusedChunkSampler(model, variables["params"], interpret=True,
                                   block_robots=3)
         try:
-            fused.sample(fused.pack_context_bd(kv), noisy,
-                         step_table(model, variables, schedule, 1), schedule, 1)
+            fused.sample(ctx, noisy, step_table(model, variables, schedule, 1),
+                         schedule, 1)
             assert False, "should raise"
         except AssertionError as e:
             assert "divisible" in str(e)
