@@ -111,14 +111,17 @@ def cmd_import(args) -> int:
         )
 
     conn = connect(args.db or DB_PATH)
-    create_schema(conn)
     try:
-        rec_id = ModelImporter(conn, strategy).import_to_db(file_path)
-    except (AssertionError, ImportError, ValueError) as exc:
-        logger.error(f"import failed: {exc}")
-        return 1
-    logger.info(f"imported recording {rec_id}")
-    return 0
+        create_schema(conn)
+        try:
+            rec_id = ModelImporter(conn, strategy).import_to_db(file_path)
+        except (AssertionError, ImportError, ValueError) as exc:
+            logger.error(f"import failed: {exc}")
+            return 1
+        logger.info(f"imported recording {rec_id}")
+        return 0
+    finally:
+        conn.close()
 
 
 def cmd_db(args) -> int:
@@ -127,23 +130,32 @@ def cmd_db(args) -> int:
     db = args.db or DB_PATH
     if args.db_command == "create-schema":
         conn = connect(db)
-        create_schema(conn)
+        try:
+            create_schema(conn)
+        finally:
+            conn.close()  # checkpoint the WAL so read-only opens see the schema
         logger.info(f"schema created at {db}")
         return 0
     if args.db_command == "dummy-data":
         from soccerdiffusion_tpu.data.dummy import insert_dummy_data
 
         conn = connect(db)
-        create_schema(conn)
-        ids = insert_dummy_data(conn, args.num_recordings, args.num_samples, args.image_step)
+        try:
+            create_schema(conn)
+            ids = insert_dummy_data(conn, args.num_recordings, args.num_samples, args.image_step)
+        finally:
+            conn.close()
         logger.info(f"inserted dummy recordings: {ids}")
         return 0
     if args.db_command == "migrate":
         from soccerdiffusion_tpu.data.migrations import migrate, schema_version
 
         conn = connect(db)
-        before = schema_version(conn)
-        after = migrate(conn)
+        try:
+            before = schema_version(conn)
+            after = migrate(conn)
+        finally:
+            conn.close()
         logger.info(f"schema migrated: v{before} -> v{after}")
         return 0
     if args.db_command == "recording2mcap":

@@ -139,7 +139,13 @@ def connect(db_path: str | Path, read_only: bool = False) -> sqlite3.Connection:
     """
     db_path = str(db_path)
     if read_only:
-        conn = sqlite3.connect(f"file:{db_path}?immutable=1", uri=True)
+        # immutable=1 skips all locking/WAL machinery (fastest for finished
+        # training DBs) but silently ignores a pending -wal file, hiding any
+        # un-checkpointed writes. Fall back to plain ro mode when a live WAL
+        # sidecar exists.
+        wal = Path(db_path + "-wal")
+        mode = "mode=ro" if wal.exists() and wal.stat().st_size > 0 else "immutable=1"
+        conn = sqlite3.connect(f"file:{db_path}?{mode}", uri=True)
     else:
         conn = sqlite3.connect(db_path)
         conn.execute("PRAGMA journal_mode=WAL")
