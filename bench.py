@@ -152,7 +152,10 @@ def main():
     parser.add_argument("--sampler", choices=["none", "step", "chunk"], default="chunk",
                         help="denoiser path: plain XLA, per-step fused kernel, "
                              "or whole-chunk fused kernel (default)")
-    parser.add_argument("--fused-block", type=int, default=8)
+    parser.add_argument("--fused-block", type=int, default=16)
+    parser.add_argument("--fused-block-distilled", type=int, default=32,
+                        help="robot block for the distilled 1-step kernel (tiny "
+                             "per-program work -> fewer launches wins)")
     parser.add_argument("--hidden", type=int, default=128)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
@@ -193,7 +196,7 @@ def main():
     if not args.no_distilled_sidecar:
         distilled = run_child(base + ["--steps", "1", "--distilled",
                                       "--sampler", "chunk",
-                                      "--fused-block", str(args.fused_block)],
+                                      "--fused-block", str(args.fused_block_distilled)],
                               args.child_timeout // 2)
         if distilled is None:
             distilled = run_child(base + ["--steps", "1", "--distilled",

@@ -84,7 +84,8 @@ def main():
                               dtype=jnp.float32)
 
     # --- the whole-chunk kernel alone, sweeping block size
-    for R in (8, 16, 32):
+    blocks = tuple(int(a) for a in sys.argv[1:]) or (8, 16)
+    for R in blocks:
         try:
             sampler = FusedChunkSampler(model, variables["params"], block_robots=R)
 

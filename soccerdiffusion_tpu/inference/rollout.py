@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from soccerdiffusion_tpu.config import ModelConfig
@@ -181,33 +182,60 @@ class RolloutEngine:
             )
         return PlantState(positions=positions, phase=phase), positions, imu
 
+    def _plant_play_chunk(self, plant: PlantState, chunk: jnp.ndarray) -> tuple[PlantState, jnp.ndarray, jnp.ndarray]:
+        """All ``pred_len`` plant ticks in closed form.
+
+        The tracking recurrence p_{k+1} = p_k + a*(t_k - p_k) is linear, so
+        every tick's position is one (P, P) matmul over the chunk dimension
+        plus a decayed initial-state term — a handful of vectorized ops
+        instead of pred_len unrolled tick iterations (the serving runtime
+        charges each op a fixed dispatch cost; docs/perf_notes.md). Matches
+        ``_plant_tick`` iterated, up to float reassociation."""
+        P = self.cfg.trajectory_prediction_length
+        a = self.tracking_alpha
+        beta = 1.0 - a
+        k = np.arange(1, P + 1)
+        decay = jnp.asarray(beta ** k, dtype=chunk.dtype)  # (P,) beta^{k}
+        j = np.arange(P)
+        m = a * beta ** (k[:, None] - 1 - j[None, :])
+        m = jnp.asarray(np.where(j[None, :] <= k[:, None] - 1, m, 0.0),
+                        dtype=chunk.dtype)  # (P, P) lower-tri response matrix
+        targets = chunk - jnp.pi  # back to symmetric domain
+        positions = (decay[None, :, None] * plant.positions[:, None, :]
+                     + jnp.einsum("pk,bkj->bpj", m, targets))  # (B, P, J)
+
+        phases = plant.phase[:, None] + 0.02 * k[None, :]  # (B, P)
+        if self.cfg.imu_input_dim == 4:
+            half = 0.05 * jnp.sin(phases)
+            z = jnp.zeros_like(half)
+            imus = jnp.stack([jnp.sin(half), z, z, jnp.cos(half)], axis=-1)
+        else:
+            angle = 0.1 * jnp.sin(phases)
+            ax = jnp.stack([jnp.ones_like(angle), jnp.zeros_like(angle),
+                            jnp.zeros_like(angle)], axis=-1)
+            imus = jnp.concatenate(
+                [ax, jnp.sin(angle)[..., None], jnp.cos(angle)[..., None]], axis=-1
+            )
+        new_plant = PlantState(positions=positions[:, -1], phase=phases[:, -1])
+        return new_plant, positions, imus
+
     def replan_period(self, variables, carry: RolloutCarry) -> tuple[RolloutCarry, jnp.ndarray]:
         """One full 200 ms period: sample a chunk, play it for pred_len ticks
         while feeding plant observations back into the buffers. Returns the
         executed chunk (B, P, J).
 
-        The pred_len plant ticks are unrolled (the serving runtime charges
-        loop iterations a fixed per-op cost; docs/perf_notes.md) and all
-        resulting observation rows land in the controller buffers as ONE
-        update per modality (``observe_many``) — numerically identical to
-        the tick-by-tick scan."""
+        The plant trajectory for the whole chunk is computed in closed form
+        (``_plant_play_chunk``) and all observation rows land in the
+        controller buffers as ONE update per modality (``observe_many``) —
+        the same semantics as pred_len tick-by-tick ``observe`` calls."""
         from soccerdiffusion_tpu.inference.controller import observe_many
 
         rng, sub = jax.random.split(carry.rng)
         chunk = self._sample_chunk(variables, carry.controller, sub)
         controller = push_action_chunk(carry.controller, chunk)
 
-        plant = carry.plant
-        js_rows, imu_rows = [], []
-        for p in range(self.cfg.trajectory_prediction_length):
-            plant, joint_state, imu = self._plant_tick(plant, chunk[:, p])
-            js_rows.append(joint_state)
-            imu_rows.append(imu)
-        controller = observe_many(
-            controller,
-            joint_states=jnp.stack(js_rows, axis=1),
-            imus=jnp.stack(imu_rows, axis=1),
-        )
+        plant, js_rows, imu_rows = self._plant_play_chunk(carry.plant, chunk)
+        controller = observe_many(controller, joint_states=js_rows, imus=imu_rows)
         return RolloutCarry(controller=controller, plant=plant, rng=rng), chunk
 
     # --------------------------------------------------------------- rollout

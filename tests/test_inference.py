@@ -132,6 +132,34 @@ class TestRolloutEngine:
         hist = np.asarray(carry.controller.joint_command_history)
         assert np.any(hist != 0)
 
+    def test_plant_closed_form_matches_iterated_ticks(self):
+        # _plant_play_chunk is the linear recurrence in closed form; it must
+        # match _plant_tick iterated over the chunk.
+        model, variables = make_model()
+        engine = RolloutEngine(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        carry = engine.init(batch_size=3, rng=jax.random.key(0))
+        chunk = jax.random.uniform(
+            jax.random.key(7), (3, model.config.trajectory_prediction_length, 8),
+            minval=0.0, maxval=2 * np.pi,
+        )
+        plant_cf, js_cf, imu_cf = engine._plant_play_chunk(carry.plant, chunk)
+        plant_it = carry.plant
+        js_it, imu_it = [], []
+        for p in range(model.config.trajectory_prediction_length):
+            plant_it, js, imu = engine._plant_tick(plant_it, chunk[:, p])
+            js_it.append(js)
+            imu_it.append(imu)
+        np.testing.assert_allclose(np.asarray(js_cf), np.stack([np.asarray(x) for x in js_it], 1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(imu_cf), np.stack([np.asarray(x) for x in imu_it], 1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(plant_cf.positions),
+                                   np.asarray(plant_it.positions), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(plant_cf.phase),
+                                   np.asarray(plant_it.phase), atol=1e-5)
+
     def test_rollout_batch_members_differ(self):
         # different rng per robot phase => plant IMU differs across batch
         model, variables = make_model()
