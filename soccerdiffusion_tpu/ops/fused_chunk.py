@@ -16,7 +16,7 @@ Design against the measured floors:
     head and row-stacked into (R, 4P, E) — contraction over the full E=128
     with zeroed other-head lanes computes exact per-head scores, 4x fewer
     sub-matmuls, no block-diagonal FLOP waste, exact-width softmax rows.
-  * Context K/V are projected IN-KERNEL once per chunk (VMEM loop constants),
+  * Context K/V are projected IN-KERNEL once per chunk into VMEM scratch,
     removing the per-chunk XLA packing/precompute ops (each ~0.2 ms).
   * The step-token column is folded into the cross softmax via joint
     normalization (sampling uses one timestep for the whole batch,
@@ -65,6 +65,8 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         ln_s_ref, ln_b_ref,            # (L, 3, E)
         fc_w_ref, fc_b_ref,            # (E, J), (1, J)
         out_ref,       # (R, P, J)
+        ctx_k_scr,     # scratch (L, R, S, E) context K
+        ctx_v_scr,     # scratch (L, R, S, E) context V
     ):
         compute_dtype = ctx_ref.dtype
 
@@ -82,28 +84,21 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 preferred_element_type=jnp.float32,
             )
 
-        # ---- once per chunk: project context K/V (loop constants of the
-        # step fori below — they live in VMEM across all T steps) ----
+        # ---- once per chunk: project context K/V into scratch ----
         ctx2d = ctx_ref[...].reshape(R * S, E)
         ck_w_all, ck_b_all = ck_w_ref[...], ck_b_ref[...]
         cv_w_all, cv_b_all = cv_w_ref[...], cv_b_ref[...]
-        ctx_k_l, ctx_v_l = [], []
         for l in range(L):
             k_l = dot(ctx2d, at(ck_w_all, l)) + at(ck_b_all, l)
             v_l = dot(ctx2d, at(cv_w_all, l)) + at(cv_b_all, l)
-            ctx_k_l.append(k_l.reshape(R, S, E).astype(compute_dtype))
-            ctx_v_l.append(v_l.reshape(R, S, E).astype(compute_dtype))
+            ctx_k_scr[l] = k_l.reshape(R, S, E).astype(compute_dtype)
+            ctx_v_scr[l] = v_l.reshape(R, S, E).astype(compute_dtype)
 
-        # ---- per-head lane masks and the self-attn head-block mask.
-        # stack_mask row block h keeps only head h's lanes: head_stack is then
-        # ONE tile + ONE multiply (instead of H masked multiplies + concat).
+        # ---- per-head lane masks (1, 1, E) and the self-attn head-block mask
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) // D  # (1, E)
         head_masks = [
             (lane == hh).astype(compute_dtype).reshape(1, 1, E) for hh in range(H)
         ]
-        stack_mask = jnp.concatenate(
-            [jnp.broadcast_to(m, (1, P, E)) for m in head_masks], axis=1
-        )  # (1, HP, E)
         hrow = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0) // P
         hcol = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1) // P
         self_mask = jnp.where(hrow == hcol, 0.0, -1e9).astype(jnp.float32)[None]
@@ -111,16 +106,15 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         def head_stack(x2d):
             """(R*P, E) -> (R, H*P, E): row block h holds head-h-masked rows."""
             x3 = x2d.reshape(R, P, E)
-            tiled = jnp.concatenate([x3] * H, axis=1)  # (R, HP, E)
-            return tiled * stack_mask.astype(tiled.dtype)
+            return jnp.concatenate([x3 * m for m in head_masks], axis=1)
 
         def merge_heads(o):
             """(R, H*P, E) per-head blocks (other-head lanes garbage) ->
             (R*P, E) by masked sum."""
-            o = o * stack_mask.astype(o.dtype)
             total = None
             for hh in range(H):
                 part = jax.lax.slice_in_dim(o, hh * P, (hh + 1) * P, axis=1)
+                part = part * head_masks[hh].astype(part.dtype)
                 total = part if total is None else total + part
             return total.reshape(R * P, E)
 
@@ -128,21 +122,13 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 
         emb_w, emb_b = emb_w_ref[...], emb_b_ref[...]
         fc_w, fc_b = fc_w_ref[...], fc_b_ref[...]
-
-        # Slice every per-layer weight ONCE, outside the step loop — values
-        # computed before the fori become loop constants, so the ~20 VMEM
-        # slice ops per layer are not re-executed on each of the T steps.
-        def per_layer(ref):
-            x = ref[...]
-            return [at(x, l) for l in range(L)]
-
-        qkv_w_l, qkv_b_l = per_layer(qkv_w_ref), per_layer(qkv_b_ref)
-        so_w_l, so_b_l = per_layer(so_w_ref), per_layer(so_b_ref)
-        cq_w_l, cq_b_l = per_layer(cq_w_ref), per_layer(cq_b_ref)
-        co_w_l, co_b_l = per_layer(co_w_ref), per_layer(co_b_ref)
-        m1_w_l, m1_b_l = per_layer(mlp1_w_ref), per_layer(mlp1_b_ref)
-        m2_w_l, m2_b_l = per_layer(mlp2_w_ref), per_layer(mlp2_b_ref)
-        ln_s_l, ln_b_l = per_layer(ln_s_ref), per_layer(ln_b_ref)
+        qkv_w_all, qkv_b_all = qkv_w_ref[...], qkv_b_ref[...]
+        so_w_all, so_b_all = so_w_ref[...], so_b_ref[...]
+        cq_w_all, cq_b_all = cq_w_ref[...], cq_b_ref[...]
+        co_w_all, co_b_all = co_w_ref[...], co_b_ref[...]
+        m1_w_all, m1_b_all = mlp1_w_ref[...], mlp1_b_ref[...]
+        m2_w_all, m2_b_all = mlp2_w_ref[...], mlp2_b_ref[...]
+        ln_s_all, ln_b_all = ln_s_ref[...], ln_b_ref[...]
 
         scale = 1.0 / np.sqrt(D)
 
@@ -156,10 +142,10 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 
             for l in range(L):
                 # ---- self-attention: all heads in one batched dot ----
-                n1 = _layer_norm(h, at(ln_s_l[l], 0),
-                                 at(ln_b_l[l], 0)).astype(compute_dtype)
-                qkv = dot(n1, qkv_w_l[l])
-                qkv = (qkv + qkv_b_l[l]).astype(compute_dtype)  # (RP, 3E)
+                n1 = _layer_norm(h, at(at(ln_s_all, l), 0),
+                                 at(at(ln_b_all, l), 0)).astype(compute_dtype)
+                qkv = dot(n1, at(qkv_w_all, l))
+                qkv = (qkv + at(qkv_b_all, l)).astype(compute_dtype)  # (RP, 3E)
                 q = jax.lax.slice_in_dim(qkv, 0, E, axis=1)
                 k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1)
                 v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1)
@@ -169,18 +155,18 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 p = jnp.exp(s - m)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
                 o = bdot(p.astype(compute_dtype), vs, 2, 1)  # (R, HP, E)
-                attn = dot(merge_heads(o.astype(compute_dtype)), so_w_l[l])
-                attn = attn + so_b_l[l]
+                attn = dot(merge_heads(o.astype(compute_dtype)), at(so_w_all, l))
+                attn = attn + at(so_b_all, l)
                 h = h + attn.astype(compute_dtype)
 
                 # ---- cross-attention: cached context K/V + shared step token
-                n2 = _layer_norm(h, at(ln_s_l[l], 1),
-                                 at(ln_b_l[l], 1)).astype(compute_dtype)
-                q2 = dot(n2, cq_w_l[l])
-                q2 = (q2 + cq_b_l[l]).astype(compute_dtype)
+                n2 = _layer_norm(h, at(at(ln_s_all, l), 1),
+                                 at(at(ln_b_all, l), 1)).astype(compute_dtype)
+                q2 = dot(n2, at(cq_w_all, l))
+                q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)
                 qs2 = head_stack(q2)  # (R, HP, E)
-                k_ctx = ctx_k_l[l]  # (R, S, E)
-                v_ctx = ctx_v_l[l]
+                k_ctx = ctx_k_scr[l]  # (R, S, E)
+                v_ctx = ctx_v_scr[l]
                 s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
                 # step-token column (shared across robots); qs2 rows are
                 # head-masked so the full-E product is the per-head score
@@ -197,15 +183,15 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 stv_l = jax.lax.slice_in_dim(stv_t, l, l + 1, axis=0)  # (1, E)
                 o = o + p_x * stv_l.astype(jnp.float32)[None]
                 o = (o / denom).astype(compute_dtype)
-                attn = dot(merge_heads(o), co_w_l[l]) + co_b_l[l]
+                attn = dot(merge_heads(o), at(co_w_all, l)) + at(co_b_all, l)
                 h = h + attn.astype(compute_dtype)
 
                 # ---- MLP ----
-                n3 = _layer_norm(h, at(ln_s_l[l], 2),
-                                 at(ln_b_l[l], 2)).astype(compute_dtype)
-                m1 = dot(n3, m1_w_l[l])
-                m1 = _gelu_exact(m1 + m1_b_l[l]).astype(compute_dtype)
-                m2 = dot(m1, m2_w_l[l]) + m2_b_l[l]
+                n3 = _layer_norm(h, at(at(ln_s_all, l), 2),
+                                 at(at(ln_b_all, l), 2)).astype(compute_dtype)
+                m1 = dot(n3, at(m1_w_all, l))
+                m1 = _gelu_exact(m1 + at(m1_b_all, l)).astype(compute_dtype)
+                m2 = dot(m1, at(m2_w_all, l)) + at(m2_b_all, l)
                 h = h + m2.astype(compute_dtype)
 
             eps = dot(h, fc_w) + fc_b  # (RP, J) fp32
@@ -299,6 +285,10 @@ class FusedChunkSampler(FusedDenoiser):
             out_specs=pl.BlockSpec((R, P, J), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, P, J), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((L, R, S, E), self.dtype),
+                pltpu.VMEM((L, R, S, E), self.dtype),
+            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
