@@ -60,6 +60,8 @@ class RolloutEngine:
         tracking_alpha: float = 0.5,
         fused: bool | str = False,
         fused_block_robots: int = 8,
+        fused_encoder: bool | str = False,
+        fused_encoder_block_robots: int = 16,
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -74,6 +76,11 @@ class RolloutEngine:
         # serving headline path.
         self.fused = fused
         self.fused_block_robots = fused_block_robots
+        # fused_encoder=True: encode the proprioceptive context with the
+        # single-program Pallas encoder (ops/fused_encoder.py) instead of
+        # the XLA op graph; "interpret" runs it in interpret mode (tests).
+        self.fused_encoder = fused_encoder
+        self.fused_encoder_block_robots = fused_encoder_block_robots
 
     # ------------------------------------------------------------------ init
 
@@ -91,7 +98,19 @@ class RolloutEngine:
 
     def _sample_chunk(self, variables, controller: ControllerState, rng) -> jnp.ndarray:
         batch = make_controller_batch(self.cfg, controller)
-        context = self.model.apply(variables, batch, False, method=self.model.encode_context)
+        if self.fused_encoder:
+            from soccerdiffusion_tpu.ops.fused_encoder import FusedContextEncoder
+
+            bsz = batch[next(iter(batch))].shape[0]
+            enc = FusedContextEncoder(
+                self.model, variables["params"],
+                interpret=self.fused_encoder == "interpret",
+                block_robots=min(self.fused_encoder_block_robots, bsz),
+            )
+            context = enc.encode(batch)
+        else:
+            context = self.model.apply(variables, batch, False,
+                                       method=self.model.encode_context)
         bsz = context.shape[0]
         shape = (bsz, self.cfg.trajectory_prediction_length, self.cfg.num_joints)
         noise = jax.random.normal(rng, shape, dtype=jnp.float32)

@@ -1,0 +1,292 @@
+"""Fused context encoder: ALL modality encoder stacks as ONE Pallas program.
+
+Why: on the serving runtime the XLA ``encode_context`` costs ~17 ms at
+B=1024 (benchmarks/microbench_residual.py) — ~170 small dependent ops at
+the ~0.1-0.2 ms per-op dispatch floor, for ~0.3 ms of actual matmul work.
+This kernel runs the action-history, IMU and joint-state transformer
+encoders plus the game-state embedding for a robot block in a single
+program and emits the concatenated (B, S_total, E) context directly.
+
+Design notes (vs the decoder kernels in fused_denoise/fused_chunk):
+  * Attention is PER-HEAD here, not head-stacked: at S=100 tokens a
+    per-head (S, E)x(E, S) masked-contraction score matmul already fills
+    MXU rows, and head-stacking would 4x both the score tiles and the
+    softmax width. Head h's lanes are selected by masking ONE operand;
+    per-head value outputs land in disjoint lanes and sum to the
+    concatenated head layout.
+  * Every dense op is a robot-batched ``dot_general`` against
+    broadcast weights — no (R, S, E) <-> (R*S, E) reshapes, which would
+    relayout at S % 8 != 0.
+  * The three encoder stacks are independent; they run sequentially in
+    the program and their outputs concatenate in VMEM (one write).
+
+Semantics match ``DiffusionPolicy.encode_context`` (models/policy.py:88-109:
+patch-conv embed -> sinusoidal posenc -> pre-norm exact-GELU transformer
+encoder with ff_dim == hidden, reference ml/model/encoder/base.py:7-53) to
+bf16 tolerance; see tests/test_fused_encoder.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from soccerdiffusion_tpu.models.embeddings import sinusoidal_table
+from soccerdiffusion_tpu.ops.fused_denoise import _gelu_exact, _layer_norm
+
+# Weight arrays carried per encoder stack, in kernel-operand order.
+_PER_ENCODER_WEIGHTS = 13  # emb_w, emb_b, pos, qkv_w, qkv_b, o_w, o_b,
+#                            ln_s, ln_b, m1_w, m1_b, m2_w, m2_b
+
+
+def _make_encoder_kernel(specs, num_heads: int, head_dim: int, hidden: int,
+                         num_states: int | None, out_dtype):
+    """specs: list of (tokens, in_dim, patch, n_layers) per encoder stack."""
+    H, D, E = num_heads, head_dim, hidden
+    n_enc = len(specs)
+
+    def kernel(*refs):
+        x_refs = refs[:n_enc]
+        idx = n_enc
+        gs_ref = None
+        if num_states is not None:
+            gs_ref = refs[idx]
+            idx += 1
+        w_refs = refs[idx:idx + n_enc * _PER_ENCODER_WEIGHTS]
+        idx += n_enc * _PER_ENCODER_WEIGHTS
+        gs_tab_ref = refs[idx] if num_states is not None else None
+        out_ref = refs[-1]
+
+        compute_dtype = out_ref.dtype
+
+        def at(x, i):
+            return jax.lax.index_in_dim(x, i, axis=0, keepdims=False)
+
+        def bdense(x, w, b):
+            """(R, T, E_in) x (E_in, F) -> (R, T, F) fp32: robot-batched dot
+            against the weight broadcast along the robot dim."""
+            r = x.shape[0]
+            wb = jnp.broadcast_to(w[None], (r, w.shape[0], w.shape[1]))
+            out = jax.lax.dot_general(
+                x, wb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return out + b
+
+        def bdot(a, b, ca, cb):
+            return jax.lax.dot_general(
+                a, b, (((ca,), (cb,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) // D  # (1, E)
+        scale = 1.0 / np.sqrt(D)
+
+        blocks = []
+        for e, (tokens, in_dim, patch, n_layers) in enumerate(specs):
+            (emb_w_ref, emb_b_ref, pos_ref, qkv_w_ref, qkv_b_ref,
+             o_w_ref, o_b_ref, ln_s_ref, ln_b_ref,
+             m1_w_ref, m1_b_ref, m2_w_ref, m2_b_ref) = (
+                w_refs[e * _PER_ENCODER_WEIGHTS:(e + 1) * _PER_ENCODER_WEIGHTS])
+
+            x = x_refs[e][...].astype(compute_dtype)  # (R, T, C)
+            r = x.shape[0]
+            if patch > 1:
+                # non-overlapping patches fold into the feature dim (one
+                # relayout per program; identity when patch == 1)
+                x = x.reshape(r, tokens, patch * in_dim)
+            h = bdense(x, emb_w_ref[...], emb_b_ref[...])  # (R, T', E) fp32
+            h = h.astype(compute_dtype) + pos_ref[...][None].astype(compute_dtype)
+
+            qkv_w_all, qkv_b_all = qkv_w_ref[...], qkv_b_ref[...]
+            o_w_all, o_b_all = o_w_ref[...], o_b_ref[...]
+            ln_s_all, ln_b_all = ln_s_ref[...], ln_b_ref[...]
+            m1_w_all, m1_b_all = m1_w_ref[...], m1_b_ref[...]
+            m2_w_all, m2_b_all = m2_w_ref[...], m2_b_ref[...]
+
+            for l in range(n_layers):
+                ln_s_l, ln_b_l = at(ln_s_all, l), at(ln_b_all, l)
+                n1 = _layer_norm(h, at(ln_s_l, 0), at(ln_b_l, 0)).astype(compute_dtype)
+                qkv = bdense(n1, at(qkv_w_all, l), at(qkv_b_all, l))
+                qkv = qkv.astype(compute_dtype)  # (R, T', 3E)
+                q = jax.lax.slice_in_dim(qkv, 0, E, axis=2)
+                k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=2)
+                v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=2)
+                o = None
+                for hh in range(H):
+                    mask = (lane == hh).astype(compute_dtype)[None]  # (1,1,E)
+                    qm = q * mask
+                    s = bdot(qm, k, 2, 2) * scale  # (R, T', T') fp32, head hh
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    p = jnp.exp(s - m)
+                    p = p / jnp.sum(p, axis=-1, keepdims=True)
+                    oh = bdot(p.astype(compute_dtype), v * mask, 2, 1)
+                    o = oh if o is None else o + oh  # disjoint head lanes
+                attn = bdense(o.astype(compute_dtype), at(o_w_all, l), at(o_b_all, l))
+                h = h + attn.astype(compute_dtype)
+
+                n2 = _layer_norm(h, at(ln_s_l, 1), at(ln_b_l, 1)).astype(compute_dtype)
+                m1 = bdense(n2, at(m1_w_all, l), at(m1_b_all, l))
+                m1 = _gelu_exact(m1).astype(compute_dtype)
+                m2 = bdense(m1, at(m2_w_all, l), at(m2_b_all, l))
+                h = h + m2.astype(compute_dtype)
+
+            blocks.append(h)
+
+        if gs_ref is not None:
+            gs = gs_ref[...]  # (R, 1) int32
+            states = jax.lax.broadcasted_iota(jnp.int32, (gs.shape[0], num_states), 1)
+            onehot = (states == gs).astype(compute_dtype)  # (R, NS)
+            tok = jax.lax.dot_general(
+                onehot, gs_tab_ref[...].astype(compute_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (R, E)
+            blocks.append(tok.astype(compute_dtype)[:, None, :])
+
+        out_ref[...] = jnp.concatenate(blocks, axis=1).astype(out_ref.dtype)
+
+    return kernel
+
+
+class FusedContextEncoder:
+    """Extracts the policy's proprioceptive encoder weights once and serves
+    ``encode(batch) -> (B, S_total, E)`` as a single Pallas program.
+
+    Covers the canonical serving modalities (action history, IMU, joint
+    states, game state); image configs keep the XLA path — camera frames
+    arrive at 10 Hz off the 50 Hz hot loop (reference ros.py:177-203)."""
+
+    def __init__(self, model, params, interpret: bool = False, block_robots: int = 16):
+        cfg = model.config
+        if cfg.use_images:
+            raise ValueError(
+                "FusedContextEncoder covers the proprioceptive serving path; "
+                "image configs must use the XLA encode_context"
+            )
+        self.cfg = cfg
+        self.interpret = interpret
+        self.block_robots = block_robots
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+        E = cfg.hidden_dim
+        # Encoders are built with the JointEncoder/IMUEncoder default head
+        # count (models/encoders.py:56); validated against the lane slicing.
+        self.num_heads = 4
+        if E % self.num_heads != 0:
+            raise ValueError(f"hidden_dim {E} not divisible by {self.num_heads} heads")
+        self.head_dim = E // self.num_heads
+        ps = cfg.encoder_patch_size
+
+        # (param_key, batch_key, T, C, n_layers) in canonical context order
+        # (models/policy.py:92-101)
+        mods = []
+        if cfg.use_action_history:
+            mods.append(("action_history_encoder", "joint_command_history",
+                         cfg.action_context_length, cfg.num_joints,
+                         cfg.num_action_history_encoder_layers))
+        if cfg.use_imu:
+            mods.append(("imu_encoder", "rotation", cfg.imu_context_length,
+                         cfg.imu_input_dim, cfg.num_imu_encoder_layers))
+        if cfg.use_joint_states:
+            mods.append(("joint_states_encoder", "joint_state",
+                         cfg.joint_state_context_length, cfg.num_joints,
+                         cfg.joint_state_encoder_layers))
+        if not mods:
+            raise ValueError("no sequence encoders enabled")
+        self.batch_keys = [m[1] for m in mods]
+        self.specs = []
+        self.weights = []  # flat list, _PER_ENCODER_WEIGHTS per encoder
+        for key, _, T, C, nl in mods:
+            if T % ps != 0:
+                raise ValueError(f"{key}: context length {T} not divisible by patch {ps}")
+            tokens = T // ps
+            seq = params[key]["seq"]
+            proj = seq["embedding"]["proj"]
+            emb_w = jnp.asarray(proj["kernel"], dtype).reshape(ps * C, E)
+            emb_b = jnp.asarray(proj["bias"], dtype).reshape(1, E)
+            enc = seq["encoder"]
+            if not all(f"layer_{i}" in enc for i in range(nl)):
+                raise ValueError(f"{key}: params hold {len(enc)} layers, config says {nl}")
+
+            def stack(fn):
+                return jnp.stack([jnp.asarray(fn(enc[f"layer_{i}"]), dtype)
+                                  for i in range(nl)])
+
+            sa = lambda l: l["self_attn"]
+            qkv_w = jnp.concatenate(
+                [stack(lambda l: sa(l)["q_proj"]["kernel"]),
+                 stack(lambda l: sa(l)["k_proj"]["kernel"]),
+                 stack(lambda l: sa(l)["v_proj"]["kernel"])], axis=2)  # (nl, E, 3E)
+            qkv_b = jnp.concatenate(
+                [stack(lambda l: sa(l)["q_proj"]["bias"]),
+                 stack(lambda l: sa(l)["k_proj"]["bias"]),
+                 stack(lambda l: sa(l)["v_proj"]["bias"])], axis=1)[:, None, :]  # (nl, 1, 3E)
+            o_w = stack(lambda l: sa(l)["out_proj"]["kernel"])
+            o_b = stack(lambda l: sa(l)["out_proj"]["bias"])[:, None, :]
+            ln_s = jnp.stack([stack(lambda l: l["norm1"]["scale"]),
+                              stack(lambda l: l["norm2"]["scale"])], axis=1)  # (nl, 2, E)
+            ln_b = jnp.stack([stack(lambda l: l["norm1"]["bias"]),
+                              stack(lambda l: l["norm2"]["bias"])], axis=1)
+            m1_w = stack(lambda l: l["mlp"]["linear1"]["kernel"])
+            m1_b = stack(lambda l: l["mlp"]["linear1"]["bias"])[:, None, :]
+            m2_w = stack(lambda l: l["mlp"]["linear2"]["kernel"])
+            m2_b = stack(lambda l: l["mlp"]["linear2"]["bias"])[:, None, :]
+            pos = jnp.asarray(sinusoidal_table(tokens, E), dtype)
+            self.specs.append((tokens, C, ps, nl))
+            self.weights += [emb_w, emb_b, pos, qkv_w, qkv_b, o_w, o_b,
+                             ln_s, ln_b, m1_w, m1_b, m2_w, m2_b]
+
+        self.gs_table = None
+        self.num_states = None
+        if cfg.use_gamestate:
+            self.gs_table = jnp.asarray(
+                params["game_state_encoder"]["embedding"]["embedding"], dtype)
+            self.num_states = self.gs_table.shape[0]
+        self.total_tokens = sum(s[0] for s in self.specs) + (1 if self.gs_table is not None else 0)
+
+    def encode(self, batch: dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Same contract as ``DiffusionPolicy.encode_context`` for the
+        proprioceptive modalities."""
+        xs = [batch[k] for k in self.batch_keys]
+        b = xs[0].shape[0]
+        R = min(self.block_robots, b)
+        if b % R != 0:
+            raise ValueError(f"batch {b} not divisible by block_robots {R}")
+        nb = b // R
+        E = self.cfg.hidden_dim
+
+        kernel = _make_encoder_kernel(self.specs, self.num_heads, self.head_dim,
+                                      E, self.num_states, self.dtype)
+
+        operands = []
+        in_specs = []
+        for x, (tokens, C, ps, _) in zip(xs, self.specs):
+            operands.append(x.astype(self.dtype))
+            in_specs.append(pl.BlockSpec((R, tokens * ps, C), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        if self.num_states is not None:
+            operands.append(batch["game_state"].astype(jnp.int32).reshape(b, 1))
+            in_specs.append(pl.BlockSpec((R, 1), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+        operands += self.weights
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(self.weights)
+        if self.num_states is not None:
+            operands.append(self.gs_table)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((R, self.total_tokens, E), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, self.total_tokens, E), self.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )(*operands)
