@@ -5,20 +5,22 @@ B=1024 (benchmarks/microbench_residual.py) — ~170 small dependent ops at
 the ~0.1-0.2 ms per-op dispatch floor, for ~0.3 ms of actual matmul work.
 This kernel runs the action-history, IMU and joint-state transformer
 encoders plus the game-state embedding for a robot block in a single
-program and emits the concatenated (B, S_total, E) context directly.
+program; the per-encoder outputs stitch together with one XLA concat.
 
 Design notes (vs the decoder kernels in fused_denoise/fused_chunk):
-  * Attention is PER-HEAD here, not head-stacked: at S=100 tokens a
-    per-head (S, E)x(E, S) masked-contraction score matmul already fills
-    MXU rows, and head-stacking would 4x both the score tiles and the
-    softmax width. Head h's lanes are selected by masking ONE operand;
-    per-head value outputs land in disjoint lanes and sum to the
-    concatenated head layout.
-  * Every dense op is a robot-batched ``dot_general`` against
-    broadcast weights — no (R, S, E) <-> (R*S, E) reshapes, which would
-    relayout at S % 8 != 0.
-  * The three encoder stacks are independent; they run sequentially in
-    the program and their outputs concatenate in VMEM (one write).
+  * Attention is PER-HEAD here, not head-stacked: at S~100 tokens a
+    per-head masked-contraction score matmul already fills MXU rows, and
+    head-stacking would 4x both the score tiles and the softmax width.
+    Head h's lanes are selected by masking ONE operand; per-head value
+    outputs land in disjoint lanes and sum to the concatenated layout.
+  * Token counts are padded to a multiple of 8 (sublane tile) on the XLA
+    side, so every in-kernel reshape between (R*T, E) and (R, T, E) is
+    layout-preserving and all dense ops are plain 2D dots — the only
+    constructs used are ones the proven decoder kernels already lower
+    (2D dots, leading-batch 3D dots, (1, 1, E) lane masks, additive
+    (1, T, T) score masks, full-block writes). Padded key columns are
+    masked to -1e9 before the softmax; padded query rows are sliced away
+    outside the kernel.
 
 Semantics match ``DiffusionPolicy.encode_context`` (models/policy.py:88-109:
 patch-conv embed -> sinusoidal posenc -> pre-norm exact-GELU transformer
@@ -41,10 +43,17 @@ from soccerdiffusion_tpu.ops.fused_denoise import _gelu_exact, _layer_norm
 _PER_ENCODER_WEIGHTS = 13  # emb_w, emb_b, pos, qkv_w, qkv_b, o_w, o_b,
 #                            ln_s, ln_b, m1_w, m1_b, m2_w, m2_b
 
+_GS_ROWS = 8  # game-state token rows (one sublane tile; row 0 is the token)
+
+
+def _pad8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
 
 def _make_encoder_kernel(specs, num_heads: int, head_dim: int, hidden: int,
-                         num_states: int | None, out_dtype):
-    """specs: list of (tokens, in_dim, patch, n_layers) per encoder stack."""
+                         with_gamestate: bool, num_states: int):
+    """specs: list of (tokens, padded_tokens, in_dim) per encoder stack;
+    in_dim is the post-patch feature width, n_layers from weight shapes."""
     H, D, E = num_heads, head_dim, hidden
     n_enc = len(specs)
 
@@ -52,29 +61,23 @@ def _make_encoder_kernel(specs, num_heads: int, head_dim: int, hidden: int,
         x_refs = refs[:n_enc]
         idx = n_enc
         gs_ref = None
-        if num_states is not None:
+        if with_gamestate:
             gs_ref = refs[idx]
             idx += 1
         w_refs = refs[idx:idx + n_enc * _PER_ENCODER_WEIGHTS]
         idx += n_enc * _PER_ENCODER_WEIGHTS
-        gs_tab_ref = refs[idx] if num_states is not None else None
-        out_ref = refs[-1]
+        gs_tab_ref = refs[idx] if with_gamestate else None
+        idx += 1 if with_gamestate else 0
+        out_refs = refs[idx:]
 
-        compute_dtype = out_ref.dtype
+        compute_dtype = out_refs[0].dtype
 
         def at(x, i):
             return jax.lax.index_in_dim(x, i, axis=0, keepdims=False)
 
-        def bdense(x, w, b):
-            """(R, T, E_in) x (E_in, F) -> (R, T, F) fp32: robot-batched dot
-            against the weight broadcast along the robot dim."""
-            r = x.shape[0]
-            wb = jnp.broadcast_to(w[None], (r, w.shape[0], w.shape[1]))
-            out = jax.lax.dot_general(
-                x, wb, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            return out + b
+        def dot(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
 
         def bdot(a, b, ca, cb):
             return jax.lax.dot_general(
@@ -83,23 +86,31 @@ def _make_encoder_kernel(specs, num_heads: int, head_dim: int, hidden: int,
             )
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) // D  # (1, E)
+        head_masks = [
+            (lane == hh).astype(compute_dtype).reshape(1, 1, E) for hh in range(H)
+        ]
         scale = 1.0 / np.sqrt(D)
 
-        blocks = []
-        for e, (tokens, in_dim, patch, n_layers) in enumerate(specs):
+        for e, (tokens, tp, in_dim) in enumerate(specs):
             (emb_w_ref, emb_b_ref, pos_ref, qkv_w_ref, qkv_b_ref,
              o_w_ref, o_b_ref, ln_s_ref, ln_b_ref,
              m1_w_ref, m1_b_ref, m2_w_ref, m2_b_ref) = (
                 w_refs[e * _PER_ENCODER_WEIGHTS:(e + 1) * _PER_ENCODER_WEIGHTS])
+            n_layers = qkv_w_ref.shape[0]
 
-            x = x_refs[e][...].astype(compute_dtype)  # (R, T, C)
+            x = x_refs[e][...].astype(compute_dtype)  # (R, Tp, C)
             r = x.shape[0]
-            if patch > 1:
-                # non-overlapping patches fold into the feature dim (one
-                # relayout per program; identity when patch == 1)
-                x = x.reshape(r, tokens, patch * in_dim)
-            h = bdense(x, emb_w_ref[...], emb_b_ref[...])  # (R, T', E) fp32
-            h = h.astype(compute_dtype) + pos_ref[...][None].astype(compute_dtype)
+            x2 = x.reshape(r * tp, in_dim)  # Tp % 8 == 0: layout-preserving
+            h = dot(x2, emb_w_ref[...]) + emb_b_ref[...]
+            # padded pos rows tile along sublanes (aligned 8-row pieces)
+            pos_rows = jnp.concatenate([pos_ref[...].astype(compute_dtype)] * r, axis=0)
+            h = h.astype(compute_dtype) + pos_rows  # (R*Tp, E)
+
+            if tokens < tp:
+                col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+                key_mask = jnp.where(col < tokens, 0.0, -1e9).astype(jnp.float32)[None]
+            else:
+                key_mask = None
 
             qkv_w_all, qkv_b_all = qkv_w_ref[...], qkv_b_ref[...]
             o_w_all, o_b_all = o_w_ref[...], o_b_ref[...]
@@ -110,44 +121,40 @@ def _make_encoder_kernel(specs, num_heads: int, head_dim: int, hidden: int,
             for l in range(n_layers):
                 ln_s_l, ln_b_l = at(ln_s_all, l), at(ln_b_all, l)
                 n1 = _layer_norm(h, at(ln_s_l, 0), at(ln_b_l, 0)).astype(compute_dtype)
-                qkv = bdense(n1, at(qkv_w_all, l), at(qkv_b_all, l))
-                qkv = qkv.astype(compute_dtype)  # (R, T', 3E)
-                q = jax.lax.slice_in_dim(qkv, 0, E, axis=2)
-                k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=2)
-                v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=2)
+                qkv = dot(n1, at(qkv_w_all, l)) + at(qkv_b_all, l)
+                qkv = qkv.astype(compute_dtype)  # (R*Tp, 3E)
+                q = jax.lax.slice_in_dim(qkv, 0, E, axis=1).reshape(r, tp, E)
+                k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1).reshape(r, tp, E)
+                v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1).reshape(r, tp, E)
                 o = None
                 for hh in range(H):
-                    mask = (lane == hh).astype(compute_dtype)[None]  # (1,1,E)
-                    qm = q * mask
-                    s = bdot(qm, k, 2, 2) * scale  # (R, T', T') fp32, head hh
+                    qm = q * head_masks[hh]
+                    s = bdot(qm, k, 2, 2) * scale  # (R, Tp, Tp) fp32, head hh
+                    if key_mask is not None:
+                        s = s + key_mask
                     m = jnp.max(s, axis=-1, keepdims=True)
                     p = jnp.exp(s - m)
                     p = p / jnp.sum(p, axis=-1, keepdims=True)
-                    oh = bdot(p.astype(compute_dtype), v * mask, 2, 1)
+                    oh = bdot(p.astype(compute_dtype), v * head_masks[hh], 2, 1)
                     o = oh if o is None else o + oh  # disjoint head lanes
-                attn = bdense(o.astype(compute_dtype), at(o_w_all, l), at(o_b_all, l))
+                o2 = o.astype(compute_dtype).reshape(r * tp, E)
+                attn = dot(o2, at(o_w_all, l)) + at(o_b_all, l)
                 h = h + attn.astype(compute_dtype)
 
                 n2 = _layer_norm(h, at(ln_s_l, 1), at(ln_b_l, 1)).astype(compute_dtype)
-                m1 = bdense(n2, at(m1_w_all, l), at(m1_b_all, l))
+                m1 = dot(n2, at(m1_w_all, l)) + at(m1_b_all, l)
                 m1 = _gelu_exact(m1).astype(compute_dtype)
-                m2 = bdense(m1, at(m2_w_all, l), at(m2_b_all, l))
+                m2 = dot(m1, at(m2_w_all, l)) + at(m2_b_all, l)
                 h = h + m2.astype(compute_dtype)
 
-            blocks.append(h)
+            out_refs[e][...] = h.reshape(r, tp, E).astype(out_refs[e].dtype)
 
         if gs_ref is not None:
-            gs = gs_ref[...]  # (R, 1) int32
-            states = jax.lax.broadcasted_iota(jnp.int32, (gs.shape[0], num_states), 1)
-            onehot = (states == gs).astype(compute_dtype)  # (R, NS)
-            tok = jax.lax.dot_general(
-                onehot, gs_tab_ref[...].astype(compute_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (R, E)
-            blocks.append(tok.astype(compute_dtype)[:, None, :])
-
-        out_ref[...] = jnp.concatenate(blocks, axis=1).astype(out_ref.dtype)
+            oh = gs_ref[...].astype(compute_dtype)  # (R, GS_ROWS, NS) one-hot
+            r = oh.shape[0]
+            tok = dot(oh.reshape(r * _GS_ROWS, num_states),
+                      gs_tab_ref[...].astype(compute_dtype))  # (R*GS_ROWS, E)
+            out_refs[-1][...] = tok.reshape(r, _GS_ROWS, E).astype(out_refs[-1].dtype)
 
     return kernel
 
@@ -180,6 +187,7 @@ class FusedContextEncoder:
             raise ValueError(f"hidden_dim {E} not divisible by {self.num_heads} heads")
         self.head_dim = E // self.num_heads
         ps = cfg.encoder_patch_size
+        self.patch_size = ps
 
         # (param_key, batch_key, T, C, n_layers) in canonical context order
         # (models/policy.py:92-101)
@@ -198,16 +206,17 @@ class FusedContextEncoder:
         if not mods:
             raise ValueError("no sequence encoders enabled")
         self.batch_keys = [m[1] for m in mods]
-        self.specs = []
+        self.specs = []  # (tokens, padded_tokens, post_patch_dim)
         self.weights = []  # flat list, _PER_ENCODER_WEIGHTS per encoder
         for key, _, T, C, nl in mods:
             if T % ps != 0:
                 raise ValueError(f"{key}: context length {T} not divisible by patch {ps}")
             tokens = T // ps
+            tp = _pad8(tokens)
             seq = params[key]["seq"]
             proj = seq["embedding"]["proj"]
             emb_w = jnp.asarray(proj["kernel"], dtype).reshape(ps * C, E)
-            emb_b = jnp.asarray(proj["bias"], dtype).reshape(1, E)
+            emb_b = jnp.asarray(proj["bias"], dtype)  # rank-1: lane-aligned
             enc = seq["encoder"]
             if not all(f"layer_{i}" in enc for i in range(nl)):
                 raise ValueError(f"{key}: params hold {len(enc)} layers, config says {nl}")
@@ -224,35 +233,35 @@ class FusedContextEncoder:
             qkv_b = jnp.concatenate(
                 [stack(lambda l: sa(l)["q_proj"]["bias"]),
                  stack(lambda l: sa(l)["k_proj"]["bias"]),
-                 stack(lambda l: sa(l)["v_proj"]["bias"])], axis=1)[:, None, :]  # (nl, 1, 3E)
+                 stack(lambda l: sa(l)["v_proj"]["bias"])], axis=1)  # (nl, 3E)
             o_w = stack(lambda l: sa(l)["out_proj"]["kernel"])
-            o_b = stack(lambda l: sa(l)["out_proj"]["bias"])[:, None, :]
+            o_b = stack(lambda l: sa(l)["out_proj"]["bias"])
             ln_s = jnp.stack([stack(lambda l: l["norm1"]["scale"]),
                               stack(lambda l: l["norm2"]["scale"])], axis=1)  # (nl, 2, E)
             ln_b = jnp.stack([stack(lambda l: l["norm1"]["bias"]),
                               stack(lambda l: l["norm2"]["bias"])], axis=1)
             m1_w = stack(lambda l: l["mlp"]["linear1"]["kernel"])
-            m1_b = stack(lambda l: l["mlp"]["linear1"]["bias"])[:, None, :]
+            m1_b = stack(lambda l: l["mlp"]["linear1"]["bias"])
             m2_w = stack(lambda l: l["mlp"]["linear2"]["kernel"])
-            m2_b = stack(lambda l: l["mlp"]["linear2"]["bias"])[:, None, :]
-            pos = jnp.asarray(sinusoidal_table(tokens, E), dtype)
-            self.specs.append((tokens, C, ps, nl))
-            self.weights += [emb_w, emb_b, pos, qkv_w, qkv_b, o_w, o_b,
-                             ln_s, ln_b, m1_w, m1_b, m2_w, m2_b]
+            m2_b = stack(lambda l: l["mlp"]["linear2"]["bias"])
+            pos = np.zeros((tp, E), np.float32)
+            pos[:tokens] = sinusoidal_table(tokens, E)
+            self.specs.append((tokens, tp, ps * C))
+            self.weights += [emb_w, emb_b, jnp.asarray(pos, dtype), qkv_w, qkv_b,
+                             o_w, o_b, ln_s, ln_b, m1_w, m1_b, m2_w, m2_b]
 
         self.gs_table = None
-        self.num_states = None
+        self.num_states = 0
         if cfg.use_gamestate:
             self.gs_table = jnp.asarray(
                 params["game_state_encoder"]["embedding"]["embedding"], dtype)
             self.num_states = self.gs_table.shape[0]
-        self.total_tokens = sum(s[0] for s in self.specs) + (1 if self.gs_table is not None else 0)
 
     def encode(self, batch: dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Same contract as ``DiffusionPolicy.encode_context`` for the
         proprioceptive modalities."""
-        xs = [batch[k] for k in self.batch_keys]
-        b = xs[0].shape[0]
+        ps = self.patch_size
+        b = batch[self.batch_keys[0]].shape[0]
         R = min(self.block_robots, b)
         if b % R != 0:
             raise ValueError(f"batch {b} not divisible by block_robots {R}")
@@ -260,33 +269,54 @@ class FusedContextEncoder:
         E = self.cfg.hidden_dim
 
         kernel = _make_encoder_kernel(self.specs, self.num_heads, self.head_dim,
-                                      E, self.num_states, self.dtype)
+                                      E, self.gs_table is not None, self.num_states)
 
         operands = []
         in_specs = []
-        for x, (tokens, C, ps, _) in zip(xs, self.specs):
-            operands.append(x.astype(self.dtype))
-            in_specs.append(pl.BlockSpec((R, tokens * ps, C), lambda i: (i, 0, 0),
+        out_specs = []
+        out_shapes = []
+        for key, (tokens, tp, in_dim) in zip(self.batch_keys, self.specs):
+            x = batch[key].astype(self.dtype)
+            if ps > 1:  # fold non-overlapping patches into the feature dim
+                x = x.reshape(b, tokens, in_dim)
+            if tp > tokens:
+                x = jnp.pad(x, ((0, 0), (0, tp - tokens), (0, 0)))
+            operands.append(x)
+            in_specs.append(pl.BlockSpec((R, tp, in_dim), lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM))
-        if self.num_states is not None:
-            operands.append(batch["game_state"].astype(jnp.int32).reshape(b, 1))
-            in_specs.append(pl.BlockSpec((R, 1), lambda i: (i, 0),
+            out_specs.append(pl.BlockSpec((R, tp, E), lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((b, tp, E), self.dtype))
+        if self.gs_table is not None:
+            onehot = jax.nn.one_hot(batch["game_state"].astype(jnp.int32),
+                                    self.num_states, dtype=self.dtype)
+            operands.append(jnp.broadcast_to(onehot[:, None, :],
+                                             (b, _GS_ROWS, self.num_states)))
+            in_specs.append(pl.BlockSpec((R, _GS_ROWS, self.num_states),
+                                         lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM))
+            out_specs.append(pl.BlockSpec((R, _GS_ROWS, E), lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((b, _GS_ROWS, E), self.dtype))
         operands += self.weights
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(self.weights)
-        if self.num_states is not None:
+        if self.gs_table is not None:
             operands.append(self.gs_table)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((R, self.total_tokens, E), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, self.total_tokens, E), self.dtype),
+            out_specs=out_specs,
+            out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
             interpret=self.interpret,
         )(*operands)
+
+        pieces = [o[:, :tokens] for o, (tokens, _, _) in zip(outs, self.specs)]
+        if self.gs_table is not None:
+            pieces.append(outs[-1][:, :1])
+        return jnp.concatenate(pieces, axis=1)
