@@ -82,6 +82,8 @@ def measure(args) -> dict:
         model, schedule, normalizer,
         num_inference_steps=args.steps, distilled=args.distilled,
         fused=fused, fused_block_robots=args.fused_block,
+        fused_encoder=args.fused_encoder,
+        fused_encoder_block_robots=args.fused_encoder_block,
     )
     carry = engine.init(args.batch, jax.random.key(0))
 
@@ -123,6 +125,7 @@ def measure(args) -> dict:
         "hidden_dim": args.hidden,
         "compute_dtype": "bfloat16" if args.bf16 else "float32",
         "sampler_path": args.sampler,
+        "encoder_path": "fused" if args.fused_encoder else "xla",
     }
 
 
@@ -153,6 +156,11 @@ def main():
                         help="denoiser path: plain XLA, per-step fused kernel, "
                              "or whole-chunk fused kernel (default)")
     parser.add_argument("--fused-block", type=int, default=16)
+    parser.add_argument("--fused-encoder", action="store_true", default=True,
+                        help="encode context with the fused Pallas encoder "
+                             "(ops/fused_encoder.py)")
+    parser.add_argument("--xla-encoder", dest="fused_encoder", action="store_false")
+    parser.add_argument("--fused-encoder-block", type=int, default=32)
     parser.add_argument("--fused-block-distilled", type=int, default=32,
                         help="robot block for the distilled 1-step kernel (tiny "
                              "per-program work -> fewer launches wins)")
@@ -174,17 +182,22 @@ def main():
             "--iters", str(args.iters), "--hidden", str(args.hidden)]
     if not args.bf16:
         base.append("--fp32")
+    enc = ([] if args.fused_encoder else ["--xla-encoder"]) + \
+        ["--fused-encoder-block", str(args.fused_encoder_block)]
 
     # Headline: 30-step DDIM through the fused chunk kernel, with fallback.
     result = None
     if args.sampler == "chunk":
-        result = run_child(base + ["--steps", str(args.steps), "--sampler", "chunk",
-                                   "--fused-block", str(args.fused_block)],
+        result = run_child(base + enc + ["--steps", str(args.steps),
+                                         "--sampler", "chunk",
+                                         "--fused-block", str(args.fused_block)],
                            args.child_timeout)
         if result is None:
-            log("falling back to the XLA sampler path")
+            log("falling back to the all-XLA path")
     if result is None:
-        result = run_child(base + ["--steps", str(args.steps), "--sampler",
+        # fallback avoids Mosaic entirely (encoder included)
+        result = run_child(base + ["--xla-encoder", "--steps", str(args.steps),
+                                   "--sampler",
                                    "none" if args.sampler == "chunk" else args.sampler],
                            args.child_timeout)
     if result is None:
@@ -194,13 +207,14 @@ def main():
     # Sidecar: distilled 1-step real-time metric (BASELINE.md north star
     # "30 Hz closed loop with distilled sampler"), recorded in the same line.
     if not args.no_distilled_sidecar:
-        distilled = run_child(base + ["--steps", "1", "--distilled",
-                                      "--sampler", "chunk",
-                                      "--fused-block", str(args.fused_block_distilled)],
+        distilled = run_child(base + enc + ["--steps", "1", "--distilled",
+                                            "--sampler", "chunk",
+                                            "--fused-block",
+                                            str(args.fused_block_distilled)],
                               args.child_timeout // 2)
         if distilled is None:
-            distilled = run_child(base + ["--steps", "1", "--distilled",
-                                          "--sampler", "none"],
+            distilled = run_child(base + ["--xla-encoder", "--steps", "1",
+                                          "--distilled", "--sampler", "none"],
                                   args.child_timeout // 2)
         if distilled is not None:
             result["distilled1_chunks_per_sec_per_chip"] = distilled["value"]
