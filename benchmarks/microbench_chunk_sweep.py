@@ -83,11 +83,14 @@ def main():
                               (B, cfg.trajectory_prediction_length, cfg.num_joints),
                               dtype=jnp.float32)
 
-    # --- the whole-chunk kernel alone, sweeping block size
-    blocks = tuple(int(a) for a in sys.argv[1:]) or (8, 16)
-    for R in blocks:
+    # --- the whole-chunk kernel alone, sweeping block size and robot
+    # grouping ("R" or "R:G" args; G robots per flat block-diag attention)
+    blocks = tuple((int(a.split(":")[0]), int(a.split(":")[1]) if ":" in a else 1)
+                   for a in sys.argv[1:]) or ((8, 1), (16, 1))
+    for R, G in blocks:
         try:
-            sampler = FusedChunkSampler(model, variables["params"], block_robots=R)
+            sampler = FusedChunkSampler(model, variables["params"], block_robots=R,
+                                        group_robots=G)
 
             def run(ctx, nz, st):
                 return sampler.sample(ctx, nz, st, schedule, T)
@@ -95,13 +98,14 @@ def main():
             f = jax.jit(run)
             t0 = time.perf_counter()
             out = jax.block_until_ready(f(context, noise, st_table))
-            emit(bench="chunk_kernel", block_robots=R,
+            emit(bench="chunk_kernel", block_robots=R, group_robots=G,
                  compile_s=round(time.perf_counter() - t0, 1))
             t = timeit(f, context, noise, st_table)
-            emit(bench="chunk_kernel", block_robots=R, ms=round(t * 1e3, 3),
-                 chunks_per_sec=round(B / t, 1))
+            emit(bench="chunk_kernel", block_robots=R, group_robots=G,
+                 ms=round(t * 1e3, 3), chunks_per_sec=round(B / t, 1))
         except Exception as e:  # noqa: BLE001
-            emit(bench="chunk_kernel", block_robots=R, error=repr(e)[:300])
+            emit(bench="chunk_kernel", block_robots=R, group_robots=G,
+                 error=repr(e)[:300])
 
     # --- full replan period at the default block, for the residual
     rollout = engine.make_rollout_fn(num_chunks=1, jit=True)

@@ -60,6 +60,7 @@ class RolloutEngine:
         tracking_alpha: float = 0.5,
         fused: bool | str = False,
         fused_block_robots: int = 8,
+        fused_group_robots: int = 1,
         fused_encoder: bool | str = False,
         fused_encoder_block_robots: int = 16,
     ):
@@ -76,6 +77,10 @@ class RolloutEngine:
         # serving headline path.
         self.fused = fused
         self.fused_block_robots = fused_block_robots
+        # robots per flat block-diagonal attention inside the chunk kernel
+        # (trades bounded FLOP waste for fewer MXU op issues; see
+        # ops/fused_chunk.py)
+        self.fused_group_robots = fused_group_robots
         # fused_encoder=True: encode the proprioceptive context with the
         # single-program Pallas encoder (ops/fused_encoder.py) instead of
         # the XLA op graph; "interpret" runs it in interpret mode (tests).
@@ -138,8 +143,10 @@ class RolloutEngine:
             from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
             from soccerdiffusion_tpu.ops.fused_chunk import FusedChunkSampler
 
+            block = min(self.fused_block_robots, bsz)
             fused = FusedChunkSampler(self.model, variables["params"],
-                                      block_robots=min(self.fused_block_robots, bsz))
+                                      block_robots=block,
+                                      group_robots=min(self.fused_group_robots, block))
             # raw context goes straight in — K/V projection happens in-kernel
             ts = jnp.asarray(ddim_timesteps(
                 self.schedule.num_train_timesteps, self.num_inference_steps))

@@ -41,10 +41,13 @@ from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser, _gelu_exact, _l
 
 def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                        pred_len: int, hidden: int, num_joints: int,
-                       num_steps: int, block_robots: int, seq: int):
+                       num_steps: int, block_robots: int, seq: int,
+                       group_robots: int = 1):
     L, H, D, P, E, T, R, S = (num_layers, num_heads, head_dim, pred_len,
                               hidden, num_steps, block_robots, seq)
     HP = H * P
+    G = group_robots  # robots packed into one flat block-diagonal attention
+    NG = R // G
 
     def kernel(
         noise_ref,     # (R, P, J)
@@ -99,9 +102,26 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         head_masks = [
             (lane == hh).astype(compute_dtype).reshape(1, 1, E) for hh in range(H)
         ]
-        hrow = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0) // P
-        hcol = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1) // P
-        self_mask = jnp.where(hrow == hcol, 0.0, -1e9).astype(jnp.float32)[None]
+        if G == 1:
+            hrow = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0) // P
+            hcol = jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1) // P
+            self_mask = jnp.where(hrow == hcol, 0.0, -1e9).astype(jnp.float32)[None]
+        else:
+            # Flat block-diagonal masks for the G-robot groups. Self scores
+            # are (G*HP, G*HP): a row may attend a column only when it is the
+            # same robot (idx // HP) AND the same head ((idx % HP) // P).
+            srow = jax.lax.broadcasted_iota(jnp.int32, (G * HP, G * HP), 0)
+            scol = jax.lax.broadcasted_iota(jnp.int32, (G * HP, G * HP), 1)
+            same_robot = (srow // HP) == (scol // HP)
+            same_head = ((srow % HP) // P) == ((scol % HP) // P)
+            self_mask_g = jnp.where(same_robot & same_head, 0.0,
+                                    -1e9).astype(jnp.float32)
+            # Cross scores are (G*HP, G*S): rows grouped by robot blocks of
+            # HP, columns by robot blocks of S.
+            xrow = jax.lax.broadcasted_iota(jnp.int32, (G * HP, G * S), 0)
+            xcol = jax.lax.broadcasted_iota(jnp.int32, (G * HP, G * S), 1)
+            cross_mask_g = jnp.where((xrow // HP) == (xcol // S), 0.0,
+                                     -1e9).astype(jnp.float32)
 
         def head_stack(x2d):
             """(R*P, E) -> (R, H*P, E): row block h holds head-h-masked rows."""
@@ -132,6 +152,81 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 
         scale = 1.0 / np.sqrt(D)
 
+        def softmax_rows(s):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            return p / jnp.sum(p, axis=-1, keepdims=True)
+
+        def self_attention(qs, ks, vs):
+            """(R, HP, E) head-stacked q/k/v -> (R, HP, E) attention output.
+
+            G == 1: one batched dot per block (R sub-matmuls, each tiny and
+            MXU-issue-bound). G > 1: G robots are flattened into one
+            (G*HP, ...) block-diagonal dot — G x the FLOPs (still far below
+            the MXU roofline at these shapes) for G x fewer issued ops.
+            """
+            if G == 1:
+                s = bdot(qs, ks, 2, 2) * scale + self_mask  # (R, HP, HP)
+                p = softmax_rows(s)
+                return bdot(p.astype(compute_dtype), vs, 2, 1)
+            outs = []
+            for g in range(NG):
+                qg = jax.lax.slice_in_dim(qs, g * G, (g + 1) * G, axis=0)
+                kg = jax.lax.slice_in_dim(ks, g * G, (g + 1) * G, axis=0)
+                vg = jax.lax.slice_in_dim(vs, g * G, (g + 1) * G, axis=0)
+                qg = qg.reshape(G * HP, E)
+                kg = kg.reshape(G * HP, E)
+                vg = vg.reshape(G * HP, E)
+                s = jax.lax.dot_general(
+                    qg, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale + self_mask_g
+                p = softmax_rows(s)
+                o_g = dot(p.astype(compute_dtype), vg)  # (G*HP, E) fp32
+                outs.append(o_g.astype(compute_dtype).reshape(G, HP, E))
+            return jnp.concatenate(outs, axis=0)
+
+        def cross_attention(qs2, k_ctx, v_ctx, stk_l, stv_l):
+            """Cross-attend head-stacked queries (R, HP, E) to per-robot
+            context K/V (R, S, E) with the shared step-token column folded
+            into a joint softmax. Returns (R, HP, E) compute_dtype."""
+            if G == 1:
+                s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
+                s_x = jnp.sum(
+                    qs2.astype(jnp.float32) * stk_l.astype(jnp.float32)[None],
+                    axis=-1, keepdims=True,
+                ) * scale  # (R, HP, 1)
+                m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
+                p = jnp.exp(s - m)
+                p_x = jnp.exp(s_x - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
+                o = bdot(p.astype(compute_dtype), v_ctx, 2, 1)  # fp32
+                o = o + p_x * stv_l.astype(jnp.float32)[None]
+                return (o / denom).astype(compute_dtype)
+            kf = k_ctx.reshape(R * S, E)
+            vf = v_ctx.reshape(R * S, E)
+            outs = []
+            for g in range(NG):
+                qg = jax.lax.slice_in_dim(qs2, g * G, (g + 1) * G, axis=0)
+                qg = qg.reshape(G * HP, E)
+                kg = jax.lax.slice_in_dim(kf, g * G * S, (g + 1) * G * S, axis=0)
+                vg = jax.lax.slice_in_dim(vf, g * G * S, (g + 1) * G * S, axis=0)
+                s = jax.lax.dot_general(
+                    qg, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale + cross_mask_g
+                s_x = jnp.sum(
+                    qg.astype(jnp.float32) * stk_l.astype(jnp.float32),
+                    axis=-1, keepdims=True,
+                ) * scale  # (G*HP, 1)
+                m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
+                p = jnp.exp(s - m)
+                p_x = jnp.exp(s_x - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
+                o = dot(p.astype(compute_dtype), vg)  # (G*HP, E) fp32
+                o = o + p_x * stv_l.astype(jnp.float32)
+                o = (o / denom).astype(compute_dtype)
+                outs.append(o.reshape(G, HP, E))
+            return jnp.concatenate(outs, axis=0)
+
         def step_body(t, x):
             # x: (R*P, J) float32 current noisy chunk rows
             stk_t = stk_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
@@ -150,11 +245,7 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1)
                 v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1)
                 qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
-                s = bdot(qs, ks, 2, 2) * scale + self_mask  # (R, HP, HP)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o = bdot(p.astype(compute_dtype), vs, 2, 1)  # (R, HP, E)
+                o = self_attention(qs, ks, vs)  # (R, HP, E)
                 attn = dot(merge_heads(o.astype(compute_dtype)), at(so_w_all, l))
                 attn = attn + at(so_b_all, l)
                 h = h + attn.astype(compute_dtype)
@@ -165,24 +256,12 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 q2 = dot(n2, at(cq_w_all, l))
                 q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)
                 qs2 = head_stack(q2)  # (R, HP, E)
-                k_ctx = ctx_k_scr[l]  # (R, S, E)
-                v_ctx = ctx_v_scr[l]
-                s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
-                # step-token column (shared across robots); qs2 rows are
+                # step-token K/V rows (shared across robots); queries are
                 # head-masked so the full-E product is the per-head score
                 stk_l = jax.lax.slice_in_dim(stk_t, l, l + 1, axis=0)  # (1, E)
-                s_x = jnp.sum(
-                    qs2.astype(jnp.float32) * stk_l.astype(jnp.float32)[None],
-                    axis=-1, keepdims=True,
-                ) * scale  # (R, HP, 1)
-                m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
-                p = jnp.exp(s - m)
-                p_x = jnp.exp(s_x - m)
-                denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
-                o = bdot(p.astype(compute_dtype), v_ctx, 2, 1)  # (R, HP, E) fp32
                 stv_l = jax.lax.slice_in_dim(stv_t, l, l + 1, axis=0)  # (1, E)
-                o = o + p_x * stv_l.astype(jnp.float32)[None]
-                o = (o / denom).astype(compute_dtype)
+                o = cross_attention(qs2, ctx_k_scr[l], ctx_v_scr[l],
+                                    stk_l, stv_l)
                 attn = dot(merge_heads(o), at(co_w_all, l)) + at(co_b_all, l)
                 h = h + attn.astype(compute_dtype)
 
@@ -221,8 +300,14 @@ class FusedChunkSampler(FusedDenoiser):
     sampler takes the raw encoded context).
     """
 
-    def __init__(self, model, params, interpret: bool = False, block_robots: int = 32):
+    def __init__(self, model, params, interpret: bool = False,
+                 block_robots: int = 32, group_robots: int = 1):
         super().__init__(model, params, interpret=interpret, block_robots=block_robots)
+        if block_robots % group_robots != 0:
+            raise ValueError(
+                f"block_robots {block_robots} not divisible by group_robots "
+                f"{group_robots}")
+        self.group_robots = group_robots
 
     def step_tables(self, step_token_table: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(T, E) step tokens -> per-step per-layer cross K/V rows (T, L, E)."""
@@ -267,8 +352,9 @@ class FusedChunkSampler(FusedDenoiser):
         stk_tab, stv_tab = self.step_tables(step_token_table)
         coefs = self.ddim_coef_table(schedule, T)
 
+        G = self.group_robots if R % self.group_robots == 0 else 1
         kernel = _make_chunk_kernel(self.num_layers, self.num_heads, self.head_dim,
-                                    P, E, J, T, R, S)
+                                    P, E, J, T, R, S, group_robots=G)
         L = self.num_layers
         in_specs = [
             pl.BlockSpec((R, P, J), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

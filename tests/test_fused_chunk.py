@@ -81,6 +81,28 @@ class TestFusedChunkSampler:
         np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(outs[0], outs[2], rtol=2e-3, atol=2e-3)
 
+    def test_grouped_blockdiag_matches_xla(self):
+        """group_robots > 1 flattens G robots into one block-diagonal
+        attention per group — numerics must match the XLA sampler exactly
+        (the off-diagonal blocks are masked, not approximated)."""
+        model, variables, ctx, kv, noisy = full_setup(b=8)
+        schedule = make_schedule(60)
+        steps = 3
+        expected = np.asarray(xla_sample(model, variables, kv, noisy, schedule, steps))
+        st = step_table(model, variables, schedule, steps)
+        for block, group in ((8, 2), (8, 4), (8, 8), (4, 2)):
+            fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                      block_robots=block, group_robots=group)
+            got = np.asarray(fused.sample(ctx, noisy, st, schedule, steps))
+            np.testing.assert_allclose(got, expected, rtol=8e-3, atol=8e-3,
+                                       err_msg=f"block={block} group={group}")
+
+    def test_grouped_rejects_indivisible_group(self):
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        with np.testing.assert_raises(ValueError):
+            FusedChunkSampler(model, variables["params"], interpret=True,
+                              block_robots=4, group_robots=3)
+
     def test_eight_head_parity(self):
         """Head-stacked attention with a non-default head count."""
         cfg8 = ModelConfig(**{**CFG.__dict__, "hidden_dim": 256,
