@@ -42,12 +42,22 @@ from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser, _gelu_exact, _l
 def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                        pred_len: int, hidden: int, num_joints: int,
                        num_steps: int, block_robots: int, seq: int,
-                       group_robots: int = 1):
+                       group_robots: int = 1, cross_orientation: str = "kstat",
+                       ablate: frozenset = frozenset()):
+    """Build the chunk kernel. ``ablate`` is a microbenchmark-only hook
+    (benchmarks/microbench_chunk_ablate.py) that drops named sub-blocks
+    ({"self", "cross", "mlp", "ln", "self_dots", "softmax", "headmask",
+    "merge"}) to attribute kernel time; production callers leave it
+    empty."""
     L, H, D, P, E, T, R, S = (num_layers, num_heads, head_dim, pred_len,
                               hidden, num_steps, block_robots, seq)
     HP = H * P
     G = group_robots  # robots packed into one flat block-diagonal attention
     NG = R // G
+    QSTAT = G == 1 and cross_orientation == "qstat"
+    # qstat scratch rows: S context rows + all T step-token rows (written
+    # once at chunk init; a per-step mask selects row S+t)
+    SK = S + T if QSTAT else S
 
     def kernel(
         noise_ref,     # (R, P, J)
@@ -94,8 +104,23 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         for l in range(L):
             k_l = dot(ctx2d, at(ck_w_all, l)) + at(ck_b_all, l)
             v_l = dot(ctx2d, at(cv_w_all, l)) + at(cv_b_all, l)
-            ctx_k_scr[l] = k_l.reshape(R, S, E).astype(compute_dtype)
-            ctx_v_scr[l] = v_l.reshape(R, S, E).astype(compute_dtype)
+            if QSTAT:
+                ctx_k_scr[l, :, pl.ds(0, S), :] = (
+                    k_l.reshape(R, S, E).astype(compute_dtype))
+                ctx_v_scr[l, :, pl.ds(0, S), :] = (
+                    v_l.reshape(R, S, E).astype(compute_dtype))
+                # all T step-token K/V rows, shared across robots
+                stk_l_rows = jax.lax.index_in_dim(
+                    stk_ref[...], l, axis=1, keepdims=False)  # (T, E)
+                stv_l_rows = jax.lax.index_in_dim(
+                    stv_ref[...], l, axis=1, keepdims=False)
+                ctx_k_scr[l, :, pl.ds(S, T), :] = jnp.broadcast_to(
+                    stk_l_rows.astype(compute_dtype)[None], (R, T, E))
+                ctx_v_scr[l, :, pl.ds(S, T), :] = jnp.broadcast_to(
+                    stv_l_rows.astype(compute_dtype)[None], (R, T, E))
+            else:
+                ctx_k_scr[l] = k_l.reshape(R, S, E).astype(compute_dtype)
+                ctx_v_scr[l] = v_l.reshape(R, S, E).astype(compute_dtype)
 
         # ---- per-head lane masks (1, 1, E) and the self-attn head-block mask
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1) // D  # (1, E)
@@ -126,11 +151,15 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         def head_stack(x2d):
             """(R*P, E) -> (R, H*P, E): row block h holds head-h-masked rows."""
             x3 = x2d.reshape(R, P, E)
+            if "headmask" in ablate:  # timing-only: copies without the masks
+                return jnp.concatenate([x3] * H, axis=1)
             return jnp.concatenate([x3 * m for m in head_masks], axis=1)
 
         def merge_heads(o):
             """(R, H*P, E) per-head blocks (other-head lanes garbage) ->
             (R*P, E) by masked sum."""
+            if "merge" in ablate:  # timing-only: one slice, no mask/sum
+                return jax.lax.slice_in_dim(o, 0, P, axis=1).reshape(R * P, E)
             total = None
             for hh in range(H):
                 part = jax.lax.slice_in_dim(o, hh * P, (hh + 1) * P, axis=1)
@@ -153,6 +182,8 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         scale = 1.0 / np.sqrt(D)
 
         def softmax_rows(s):
+            if "softmax" in ablate:  # timing-only: linear stand-in
+                return s * 1e-3
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             return p / jnp.sum(p, axis=-1, keepdims=True)
@@ -166,6 +197,8 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
             the MXU roofline at these shapes) for G x fewer issued ops.
             """
             if G == 1:
+                if "self_dots" in ablate:  # timing-only
+                    return qs.astype(jnp.float32)
                 s = bdot(qs, ks, 2, 2) * scale + self_mask  # (R, HP, HP)
                 p = softmax_rows(s)
                 return bdot(p.astype(compute_dtype), vs, 2, 1)
@@ -185,20 +218,43 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 outs.append(o_g.astype(compute_dtype).reshape(G, HP, E))
             return jnp.concatenate(outs, axis=0)
 
-        def cross_attention(qs2, k_ctx, v_ctx, stk_l, stv_l):
+        def cross_attention(qs2, k_ctx, v_ctx, stk_l, stv_l, maskadd=None):
             """Cross-attend head-stacked queries (R, HP, E) to per-robot
             context K/V (R, S, E) with the shared step-token column folded
             into a joint softmax. Returns (R, HP, E) compute_dtype."""
+            if QSTAT:
+                # Transposed scores: (R, SK, HP). The big context K (with
+                # all T step-token rows pre-written at rows S..S+T-1 and the
+                # current step's row selected by maskadd) rides the MXU as
+                # the STREAMING operand against one small stationary Q^T
+                # tile, instead of loading 3 K tiles as stationary weights
+                # per robot per (step, layer) — the measured bottleneck
+                # (docs/perf_notes.md round 2). k_ctx/v_ctx: (R, SK, E).
+                sT = bdot(k_ctx, qs2, 2, 2) * scale + maskadd[None]
+                m = jnp.max(sT, axis=1, keepdims=True)  # (R, 1, HP)
+                p = jnp.exp(sT - m)
+                pn = p * (1.0 / jnp.sum(p, axis=1, keepdims=True))
+                # o[hp, e] = sum_s pn[s, hp] * v[s, e]: contraction over the
+                # streamed S dim on both operands
+                o = jax.lax.dot_general(
+                    pn.astype(compute_dtype), v_ctx,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (R, HP, E)
+                return o.astype(compute_dtype)
             if G == 1:
                 s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
                 s_x = jnp.sum(
                     qs2.astype(jnp.float32) * stk_l.astype(jnp.float32)[None],
                     axis=-1, keepdims=True,
                 ) * scale  # (R, HP, 1)
-                m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
-                p = jnp.exp(s - m)
-                p_x = jnp.exp(s_x - m)
-                denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
+                if "softmax" in ablate:  # timing-only
+                    p, p_x = s * 1e-3, s_x * 1e-3
+                    denom = 1.0
+                else:
+                    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_x)
+                    p = jnp.exp(s - m)
+                    p_x = jnp.exp(s_x - m)
+                    denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
                 o = bdot(p.astype(compute_dtype), v_ctx, 2, 1)  # fp32
                 o = o + p_x * stv_l.astype(jnp.float32)[None]
                 return (o / denom).astype(compute_dtype)
@@ -229,49 +285,67 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 
         def step_body(t, x):
             # x: (R*P, J) float32 current noisy chunk rows
-            stk_t = stk_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
-            stv_t = stv_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
+            if QSTAT:
+                stk_t = stv_t = None
+                # select context rows + this step's token row (S + t)
+                row = jax.lax.broadcasted_iota(jnp.int32, (SK, HP), 0)
+                maskadd = jnp.where((row < S) | (row == S + t), 0.0,
+                                    -1e9).astype(jnp.float32)
+            else:
+                maskadd = None
+                stk_t = stk_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
+                stv_t = stv_ref[pl.ds(t, 1)][0].astype(compute_dtype)  # (L, E)
 
             h = dot(x.astype(compute_dtype), emb_w)
             h = (h + emb_b).astype(compute_dtype) + pe_rows  # (RP, E)
 
+            def maybe_ln(x, l, which):
+                if "ln" in ablate:
+                    return x.astype(compute_dtype)
+                return _layer_norm(x, at(at(ln_s_all, l), which),
+                                   at(at(ln_b_all, l), which)).astype(compute_dtype)
+
             for l in range(L):
                 # ---- self-attention: all heads in one batched dot ----
-                n1 = _layer_norm(h, at(at(ln_s_all, l), 0),
-                                 at(at(ln_b_all, l), 0)).astype(compute_dtype)
-                qkv = dot(n1, at(qkv_w_all, l))
-                qkv = (qkv + at(qkv_b_all, l)).astype(compute_dtype)  # (RP, 3E)
-                q = jax.lax.slice_in_dim(qkv, 0, E, axis=1)
-                k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1)
-                v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1)
-                qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
-                o = self_attention(qs, ks, vs)  # (R, HP, E)
-                attn = dot(merge_heads(o.astype(compute_dtype)), at(so_w_all, l))
-                attn = attn + at(so_b_all, l)
-                h = h + attn.astype(compute_dtype)
+                if "self" not in ablate:
+                    n1 = maybe_ln(h, l, 0)
+                    qkv = dot(n1, at(qkv_w_all, l))
+                    qkv = (qkv + at(qkv_b_all, l)).astype(compute_dtype)  # (RP, 3E)
+                    q = jax.lax.slice_in_dim(qkv, 0, E, axis=1)
+                    k = jax.lax.slice_in_dim(qkv, E, 2 * E, axis=1)
+                    v = jax.lax.slice_in_dim(qkv, 2 * E, 3 * E, axis=1)
+                    qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
+                    o = self_attention(qs, ks, vs)  # (R, HP, E)
+                    attn = dot(merge_heads(o.astype(compute_dtype)), at(so_w_all, l))
+                    attn = attn + at(so_b_all, l)
+                    h = h + attn.astype(compute_dtype)
 
                 # ---- cross-attention: cached context K/V + shared step token
-                n2 = _layer_norm(h, at(at(ln_s_all, l), 1),
-                                 at(at(ln_b_all, l), 1)).astype(compute_dtype)
-                q2 = dot(n2, at(cq_w_all, l))
-                q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)
-                qs2 = head_stack(q2)  # (R, HP, E)
-                # step-token K/V rows (shared across robots); queries are
-                # head-masked so the full-E product is the per-head score
-                stk_l = jax.lax.slice_in_dim(stk_t, l, l + 1, axis=0)  # (1, E)
-                stv_l = jax.lax.slice_in_dim(stv_t, l, l + 1, axis=0)  # (1, E)
-                o = cross_attention(qs2, ctx_k_scr[l], ctx_v_scr[l],
-                                    stk_l, stv_l)
-                attn = dot(merge_heads(o), at(co_w_all, l)) + at(co_b_all, l)
-                h = h + attn.astype(compute_dtype)
+                if "cross" not in ablate:
+                    n2 = maybe_ln(h, l, 1)
+                    q2 = dot(n2, at(cq_w_all, l))
+                    q2 = (q2 + at(cq_b_all, l)).astype(compute_dtype)
+                    qs2 = head_stack(q2)  # (R, HP, E)
+                    if QSTAT:
+                        stk_l = stv_l = None
+                    else:
+                        # step-token K/V rows (shared across robots); queries
+                        # are head-masked so the full-E product is the
+                        # per-head score
+                        stk_l = jax.lax.slice_in_dim(stk_t, l, l + 1, axis=0)
+                        stv_l = jax.lax.slice_in_dim(stv_t, l, l + 1, axis=0)
+                    o = cross_attention(qs2, ctx_k_scr[l], ctx_v_scr[l],
+                                        stk_l, stv_l, maskadd)
+                    attn = dot(merge_heads(o), at(co_w_all, l)) + at(co_b_all, l)
+                    h = h + attn.astype(compute_dtype)
 
                 # ---- MLP ----
-                n3 = _layer_norm(h, at(at(ln_s_all, l), 2),
-                                 at(at(ln_b_all, l), 2)).astype(compute_dtype)
-                m1 = dot(n3, at(m1_w_all, l))
-                m1 = _gelu_exact(m1 + at(m1_b_all, l)).astype(compute_dtype)
-                m2 = dot(m1, at(m2_w_all, l)) + at(m2_b_all, l)
-                h = h + m2.astype(compute_dtype)
+                if "mlp" not in ablate:
+                    n3 = maybe_ln(h, l, 2)
+                    m1 = dot(n3, at(m1_w_all, l))
+                    m1 = _gelu_exact(m1 + at(m1_b_all, l)).astype(compute_dtype)
+                    m2 = dot(m1, at(m2_w_all, l)) + at(m2_b_all, l)
+                    h = h + m2.astype(compute_dtype)
 
             eps = dot(h, fc_w) + fc_b  # (RP, J) fp32
 
@@ -301,13 +375,19 @@ class FusedChunkSampler(FusedDenoiser):
     """
 
     def __init__(self, model, params, interpret: bool = False,
-                 block_robots: int = 32, group_robots: int = 1):
+                 block_robots: int = 32, group_robots: int = 1,
+                 cross_orientation: str = "kstat"):
         super().__init__(model, params, interpret=interpret, block_robots=block_robots)
         if block_robots % group_robots != 0:
             raise ValueError(
                 f"block_robots {block_robots} not divisible by group_robots "
                 f"{group_robots}")
+        if cross_orientation not in ("kstat", "qstat"):
+            raise ValueError(f"unknown cross_orientation {cross_orientation!r}")
         self.group_robots = group_robots
+        self.cross_orientation = cross_orientation
+        # microbenchmark-only component-ablation hook (see _make_chunk_kernel)
+        self._ablate = frozenset()
 
     def step_tables(self, step_token_table: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(T, E) step tokens -> per-step per-layer cross K/V rows (T, L, E)."""
@@ -354,7 +434,10 @@ class FusedChunkSampler(FusedDenoiser):
 
         G = self.group_robots if R % self.group_robots == 0 else 1
         kernel = _make_chunk_kernel(self.num_layers, self.num_heads, self.head_dim,
-                                    P, E, J, T, R, S, group_robots=G)
+                                    P, E, J, T, R, S, group_robots=G,
+                                    cross_orientation=self.cross_orientation,
+                                    ablate=self._ablate)
+        SK = S + T if (G == 1 and self.cross_orientation == "qstat") else S
         L = self.num_layers
         in_specs = [
             pl.BlockSpec((R, P, J), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -372,8 +455,8 @@ class FusedChunkSampler(FusedDenoiser):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, P, J), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((L, R, S, E), self.dtype),
-                pltpu.VMEM((L, R, S, E), self.dtype),
+                pltpu.VMEM((L, R, SK, E), self.dtype),
+                pltpu.VMEM((L, R, SK, E), self.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
