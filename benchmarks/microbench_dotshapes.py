@@ -1,4 +1,15 @@
-"""Isolate the MXU cost of the fused-chunk attention dot shapes.
+"""DEPRECATED — measurements from this file are INVALID on the axon
+tunnel runtime: it repeats calls with identical input buffers and small
+outputs, which the runtime serves from a result cache (~0.02 ms "timings"
+for arbitrarily large kernels; see CLAUDE.md "BENCHMARK VALIDITY" and
+docs/perf_notes.md round 2). Kept for the record. Use
+benchmarks/microbench_chunk_ablate.py's whole-kernel ablation methodology
+instead: one large-work call per measurement, distinct inputs, per-call
+sync, multi-MB outputs.
+
+Original (invalid) description follows.
+
+Isolate the MXU cost of the fused-chunk attention dot shapes.
 
 The grouped block-diagonal rewrite (fused_chunk.py group_robots) measured
 2x SLOWER than the batched per-robot dots it replaced (112 ms vs 57 ms for

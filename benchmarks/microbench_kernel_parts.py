@@ -1,4 +1,15 @@
-"""In-kernel component timing at the fused_chunk shapes (R=8: rows 80,
+"""DEPRECATED — measurements from this file are INVALID on the axon
+tunnel runtime: it repeats calls with identical input buffers and small
+outputs, which the runtime serves from a result cache (~0.02 ms "timings"
+for arbitrarily large kernels; see CLAUDE.md "BENCHMARK VALIDITY" and
+docs/perf_notes.md round 2). Kept for the record. Use
+benchmarks/microbench_chunk_ablate.py's whole-kernel ablation methodology
+instead: one large-work call per measurement, distinct inputs, per-call
+sync, multi-MB outputs.
+
+Original (invalid) description follows.
+
+In-kernel component timing at the fused_chunk shapes (R=8: rows 80,
 ctx 896) to find where the measured ~31 us per (8-robot, step) goes.
 
 Every variant CHAINS the component: x_{i+1} = g(component(x_i)) inside a

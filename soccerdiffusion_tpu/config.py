@@ -88,6 +88,17 @@ class ModelConfig:
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # remat the per-frame image-encoder blocks in backward (HBM-traffic
+    # optimization for the bandwidth-bound image configs; perf_notes.md)
+    remat_image_encoder: bool = False
+    # ViT image-encoder geometry (TPU-native flagship; no reference
+    # counterpart). patch 32 -> 49 tokens per 224px frame keeps the
+    # attention score tensors negligible (the f32 scores at patch 16 / 196
+    # tokens are ~50 GB/step of HBM traffic, docs/perf_notes.md); width 256
+    # aligns dense contractions to the 128-lane MXU tile.
+    vit_patch_size: int = 16
+    vit_width: int = 192
+    vit_depth: int = 6
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:

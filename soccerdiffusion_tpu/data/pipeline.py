@@ -70,10 +70,16 @@ def device_normalize_images(u8, valid):
     return x * valid[..., None, None, None]
 
 
-def prepare_batch(batch: dict) -> dict:
+def prepare_batch(batch: dict, keep_u8: bool = False) -> dict:
     """In-jit batch preparation: materialize ``image_data`` from a packed
-    uint8 batch; pass float batches through unchanged."""
-    if "image_u8" not in batch:
+    uint8 batch; pass float batches through unchanged.
+
+    ``keep_u8=True`` leaves ``image_u8``/``image_valid`` in the batch for
+    models that consume raw uint8 directly (the ViT encoder folds the
+    [0,1]-scale + ImageNet normalization into its patch-embed weights,
+    removing several full-image HBM passes; docs/perf_notes.md round 2).
+    """
+    if "image_u8" not in batch or keep_u8:
         return batch
     batch = dict(batch)
     u8 = batch.pop("image_u8")

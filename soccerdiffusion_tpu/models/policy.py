@@ -74,7 +74,10 @@ class DiffusionPolicy(nn.Module):
                 sequence_encoder_type=cfg.image_sequence_encoder_type,
                 num_layers=cfg.num_image_sequence_encoder_layers,
                 max_seq_len=cfg.image_context_length,
-                use_final_avgpool=cfg.image_use_final_avgpool, **common,
+                use_final_avgpool=cfg.image_use_final_avgpool,
+                remat=cfg.remat_image_encoder,
+                vit_geometry=(cfg.vit_patch_size, cfg.vit_width, cfg.vit_depth),
+                **common,
             )
         if cfg.use_gamestate:
             self.game_state_encoder = GameStateEncoder(cfg.hidden_dim, dtype=self.dtype)
@@ -96,7 +99,15 @@ class DiffusionPolicy(nn.Module):
         if cfg.use_joint_states:
             context.append(self.joint_states_encoder(batch["joint_state"].astype(self.dtype)))
         if cfg.use_images:
-            context.append(self.image_sequence_encoder(batch["image_data"].astype(self.dtype), train=train))
+            if "image_u8" in batch:
+                # raw packed uint8 path: normalization folded into the
+                # encoder (vit) or applied in-jit (others); avoids
+                # materializing full-image float tensors (perf_notes.md)
+                context.append(self.image_sequence_encoder(
+                    batch["image_u8"], train=train, valid=batch["image_valid"]))
+            else:
+                context.append(self.image_sequence_encoder(
+                    batch["image_data"].astype(self.dtype), train=train))
         if cfg.use_gamestate:
             context.append(self.game_state_encoder(batch["game_state"].astype(jnp.int32)))
         if not context:

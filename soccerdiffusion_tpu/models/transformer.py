@@ -104,11 +104,19 @@ class TransformerEncoder(nn.Module):
     ff_dim: int | None = None
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    # Rematerialize each block in the backward pass instead of storing its
+    # activations. The vit_flagship train step is HBM-bandwidth-bound
+    # (168 GB/step vs 28 ms of FLOPs at peak, docs/perf_notes.md), so
+    # trading recompute FLOPs for activation traffic is the right default
+    # for the large image encoders.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        layer_cls = nn.remat(TransformerEncoderLayer) if self.remat \
+            else TransformerEncoderLayer
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.hidden_dim, self.num_heads, self.ff_dim, dtype=self.dtype,
                 attention_impl=self.attention_impl, name=f"layer_{i}",
             )(x)

@@ -135,19 +135,60 @@ class ViTImageEncoder(nn.Module):
     num_heads: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    remat: bool = False
+
+    def _patchify(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(N, H, W, C) -> (N, patches, P*P*C) via reshape/transpose — the
+        conv-free patch extraction XLA lowers to one transpose instead of
+        the conv path's repeated full-image relayouts (perf_notes.md)."""
+        n, h, w, c = x.shape
+        p = self.patch_size
+        x = x.reshape(n, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(n, (h // p) * (w // p), p * p * c)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        n, h, w, _ = x.shape
-        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
-        num_patches = (h // self.patch_size) * (w // self.patch_size)
-        x = x.reshape(n, num_patches, self.width)
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Encode frames. ``x`` is either normalized float images
+        (N, H, W, 3), or — when ``valid`` is given — RAW uint8 frames: the
+        [0,1] scale + ImageNet normalization (data/pipeline.py
+        device_normalize_images) is folded algebraically into the
+        patch-embed weights, so no full-image float tensor is ever
+        materialized, and ``valid`` (N,) zeroes padded frames by resetting
+        their tokens to the patch-embed bias (the exact value a zero image
+        produces)."""
+        from soccerdiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+        n, h, w, c = x.shape
+        p = self.patch_size
+        num_patches = (h // p) * (w // p)
+        kernel = self.param("patch_kernel", nn.initializers.lecun_normal(),
+                            (p * p * c, self.width), jnp.float32)
+        bias = self.param("patch_bias", nn.initializers.zeros,
+                          (self.width,), jnp.float32)
+        if valid is not None:
+            # fold (u8/255 - mean)/std into the weights: per input channel
+            # scale 1/(255*std_c) on the kernel rows, and the constant
+            # -mean_c/std_c term into the bias.
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            row_scale = jnp.tile(1.0 / (255.0 * std), p * p)  # (p*p*c,)
+            k_fold = (kernel * row_scale[:, None]).astype(self.dtype)
+            b_fold = bias - jnp.tile(mean / std, p * p) @ kernel
+            tokens = self._patchify(x.astype(self.dtype)) @ k_fold
+            tokens = tokens + b_fold.astype(jnp.float32)
+            # invalid frames must equal the zero-image embedding (= bias)
+            gate = valid.astype(jnp.float32)[:, None, None]
+            x = (bias + gate * (tokens - bias)).astype(self.dtype)
+        else:
+            tokens = self._patchify(x.astype(self.dtype)) @ kernel.astype(self.dtype)
+            x = (tokens + bias).astype(self.dtype)
         x = PositionalEncoding(self.width, num_patches, dtype=self.dtype, name="pos")(x)
         x = TransformerEncoder(self.width, self.num_heads, self.depth,
                                ff_dim=4 * self.width, dtype=self.dtype,
-                               attention_impl=self.attention_impl, name="blocks")(x)
+                               attention_impl=self.attention_impl,
+                               remat=self.remat, name="blocks")(x)
         x = jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc")(x)
@@ -159,6 +200,8 @@ def make_image_encoder(
     use_final_avgpool: bool,
     dtype: Any = jnp.float32,
     attention_impl: str = "xla",
+    remat: bool = False,
+    vit_geometry: tuple = (16, 192, 6),
 ) -> nn.Module:
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
     if encoder_type == "resnet18":
@@ -170,8 +213,10 @@ def make_image_encoder(
                                   use_final_avgpool=use_final_avgpool, dtype=dtype,
                                   name="image_encoder")
     if encoder_type == "vit":
-        return ViTImageEncoder(hidden_dim, dtype=dtype, attention_impl=attention_impl,
-                               name="image_encoder")
+        return ViTImageEncoder(hidden_dim, patch_size=vit_geometry[0],
+                               width=vit_geometry[1], depth=vit_geometry[2],
+                               dtype=dtype, attention_impl=attention_impl,
+                               remat=remat, name="image_encoder")
     if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
         from soccerdiffusion_tpu.models.swin import SwinImageEncoder
 
@@ -200,15 +245,32 @@ class ImageSequenceEncoder(nn.Module):
     use_final_avgpool: bool = True
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    remat: bool = False
+    vit_geometry: tuple = (16, 192, 6)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
+        """``x``: normalized float frames, or raw uint8 frames when
+        ``valid`` (B, T) is given. The ViT encoder consumes uint8 directly
+        (normalization folded into its patch embed); other encoders
+        normalize here in-jit."""
         b, t = x.shape[0], x.shape[1]
-        frames = x.reshape((b * t,) + x.shape[2:])
         encoder = make_image_encoder(self.encoder_type, self.hidden_dim,
                                      self.use_final_avgpool, self.dtype,
-                                     self.attention_impl)
-        tokens = encoder(frames, train=train).reshape(b, t, self.hidden_dim)
+                                     self.attention_impl, remat=self.remat,
+                                     vit_geometry=self.vit_geometry)
+        if valid is not None and self.encoder_type != "vit":
+            from soccerdiffusion_tpu.data.pipeline import device_normalize_images
+
+            x = device_normalize_images(x, valid)
+            valid = None
+        frames = x.reshape((b * t,) + x.shape[2:])
+        if valid is not None:
+            tokens = encoder(frames, train=train, valid=valid.reshape(b * t))
+        else:
+            tokens = encoder(frames, train=train)
+        tokens = tokens.reshape(b, t, self.hidden_dim)
         if self.sequence_encoder_type == "transformer":
             # The reference stacks a full BaseEncoder with patch_size=1 and
             # 8 heads over the frame tokens (reference image.py:112-118).

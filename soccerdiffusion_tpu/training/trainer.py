@@ -92,7 +92,10 @@ def make_train_step(
     def step_fn(state: TrainState, batch: dict, rng_seed: jnp.ndarray):
         from soccerdiffusion_tpu.data.pipeline import prepare_batch
 
-        batch = prepare_batch(batch)  # packed uint8 images -> normalized floats, in-jit
+        # packed uint8 images: models with image encoders consume uint8
+        # directly (normalization folded/fused model-side, perf_notes.md);
+        # float conversion here only for batches the model can't take raw
+        batch = prepare_batch(batch, keep_u8=model.config.use_images)
         rng = jax.random.fold_in(jax.random.key(rng_seed), state.step)
         t_key, noise_key, ctx_key = jax.random.split(rng, 3)
 

@@ -337,8 +337,8 @@ class TestFusedRollout:
                                  fused_block_robots=2)
         orig_init = fc.FusedChunkSampler.__init__
 
-        def patched(self, m, p, interpret=False, block_robots=8):
-            orig_init(self, m, p, interpret=True, block_robots=block_robots)
+        def patched(self, m, p, interpret=False, block_robots=8, **kw):
+            orig_init(self, m, p, interpret=True, block_robots=block_robots, **kw)
 
         fc.FusedChunkSampler.__init__ = patched
         try:

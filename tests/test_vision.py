@@ -115,3 +115,88 @@ class TestFactoryAndSequence:
         x = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 3)).astype(np.float32))
         variables = enc.init(jax.random.key(0), x)
         assert enc.apply(variables, x).shape == (1, 2, 16)
+
+
+class TestFoldedU8Path:
+    def test_u8_folded_matches_float_path(self):
+        """Raw-uint8 ViT path (normalization folded into patch-embed
+        weights, invalid frames reset to the zero-image embedding) must
+        match normalizing first and running the float path."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.data.pipeline import device_normalize_images
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        cfg = ModelConfig(
+            num_joints=8, hidden_dim=32, trajectory_prediction_length=10,
+            action_context_length=10, joint_state_context_length=10,
+            imu_context_length=10, use_images=True, image_encoder_type="vit",
+            image_sequence_encoder_type="transformer", image_context_length=3,
+            image_resolution=64, vit_patch_size=32, vit_width=64, vit_depth=2,
+            use_gamestate=True, num_action_history_encoder_layers=1,
+            num_imu_encoder_layers=1, joint_state_encoder_layers=1,
+            num_decoder_layers=1)
+        model = DiffusionPolicy(cfg)
+        rng = np.random.default_rng(0)
+        b = 2
+        u8 = rng.integers(0, 255, (b, 3, 64, 64, 3), dtype=np.uint8)
+        valid = np.array([[1, 1, 0], [0, 1, 1]], np.float32)
+        base = {
+            "joint_command_history": jnp.asarray(rng.random((b, 10, 8), dtype=np.float32)),
+            "rotation": jnp.asarray(rng.random((b, 10, 4), dtype=np.float32)),
+            "joint_state": jnp.asarray(rng.random((b, 10, 8), dtype=np.float32)),
+            "game_state": jnp.zeros((b,), jnp.int32),
+        }
+        batch_f = dict(base, image_data=device_normalize_images(
+            jnp.asarray(u8), jnp.asarray(valid)))
+        batch_u8 = dict(base, image_u8=jnp.asarray(u8), image_valid=jnp.asarray(valid))
+        variables = model.init(jax.random.key(0), batch_f,
+                               jnp.zeros((b, 10, 8)), jnp.zeros((b,), jnp.int32))
+        ctx_f = model.apply(variables, batch_f, method=model.encode_context)
+        ctx_u = model.apply(variables, batch_u8, method=model.encode_context)
+        np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_u),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_u8_path_resnet_normalizes_in_encoder(self):
+        """Non-ViT encoders take the u8 batch too (normalized in-jit)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.data.pipeline import device_normalize_images
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        cfg = ModelConfig(
+            num_joints=8, hidden_dim=32, trajectory_prediction_length=10,
+            action_context_length=10, joint_state_context_length=10,
+            imu_context_length=10, use_images=True,
+            image_encoder_type="resnet18",
+            image_sequence_encoder_type="none", image_context_length=2,
+            image_resolution=32, use_gamestate=False,
+            num_action_history_encoder_layers=1, num_imu_encoder_layers=1,
+            joint_state_encoder_layers=1, num_decoder_layers=1)
+        model = DiffusionPolicy(cfg)
+        rng = np.random.default_rng(1)
+        b = 2
+        u8 = rng.integers(0, 255, (b, 2, 32, 32, 3), dtype=np.uint8)
+        valid = np.ones((b, 2), np.float32)
+        base = {
+            "joint_command_history": jnp.asarray(rng.random((b, 10, 8), dtype=np.float32)),
+            "rotation": jnp.asarray(rng.random((b, 10, 4), dtype=np.float32)),
+            "joint_state": jnp.asarray(rng.random((b, 10, 8), dtype=np.float32)),
+        }
+        batch_f = dict(base, image_data=device_normalize_images(
+            jnp.asarray(u8), jnp.asarray(valid)))
+        batch_u8 = dict(base, image_u8=jnp.asarray(u8), image_valid=jnp.asarray(valid))
+        variables = model.init(jax.random.key(0), batch_f,
+                               jnp.zeros((b, 10, 8)), jnp.zeros((b,), jnp.int32))
+        ctx_f = model.apply(variables, batch_f, train=False,
+                            method=model.encode_context)
+        ctx_u = model.apply(variables, batch_u8, train=False,
+                            method=model.encode_context)
+        np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_u),
+                                   atol=1e-5, rtol=1e-5)
