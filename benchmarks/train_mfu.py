@@ -126,9 +126,9 @@ def main():
     bench_config("vit_flagship", os.path.join(cfgdir, "vit_flagship.yaml"),
                  batch_sizes=(256, 128, 64, 32))
     bench_config("default_resnet18", os.path.join(cfgdir, "default.yaml"),
-                 batch_sizes=(64, 32))
+                 batch_sizes=(256, 128, 64, 32))
     bench_config("larger_model", os.path.join(cfgdir, "larger_model.yaml"),
-                 batch_sizes=(64, 32))
+                 batch_sizes=(256, 128, 64, 32))
     emit(bench="done")
 
 

@@ -13,5 +13,10 @@ from soccerdiffusion_tpu.parallel.mesh import (
     param_shardings,
     shard_batch,
 )
+from soccerdiffusion_tpu.parallel.ring_attention import (
+    ring_attention,
+    ring_attention_sharded,
+)
 
-__all__ = ["make_mesh", "MeshRules", "shard_batch", "param_shardings"]
+__all__ = ["make_mesh", "MeshRules", "shard_batch", "param_shardings",
+           "ring_attention", "ring_attention_sharded"]
