@@ -116,6 +116,13 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12):
             return  # largest fitting batch measured; done
         except Exception as exc:  # OOM etc. -> try smaller
             emit(config=name, batch=b, error=str(exc)[:200])
+            # the exception traceback pins frames that reference the device
+            # arrays; drop everything before retrying or the leaked buffers
+            # poison every smaller batch too
+            import gc
+            batch = state = optimizer = train_step = None
+            exc = None
+            gc.collect()
             continue
 
 
