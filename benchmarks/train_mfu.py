@@ -132,10 +132,13 @@ def main():
     cfgdir = os.path.join(REPO, "soccerdiffusion_tpu", "training", "configs")
     bench_config("vit_flagship", os.path.join(cfgdir, "vit_flagship.yaml"),
                  batch_sizes=(256, 128, 64, 32))
+    # NB: a failed oversized device_put poisons the tunnel device for the
+    # rest of the process (server-side allocations are not reclaimed), so
+    # only attempt batches known to fit for the conv configs.
     bench_config("default_resnet18", os.path.join(cfgdir, "default.yaml"),
-                 batch_sizes=(256, 128, 64, 32))
+                 batch_sizes=(64, 32))
     bench_config("larger_model", os.path.join(cfgdir, "larger_model.yaml"),
-                 batch_sizes=(256, 128, 64, 32))
+                 batch_sizes=(64, 32))
     emit(bench="done")
 
 
