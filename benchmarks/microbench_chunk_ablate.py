@@ -39,13 +39,16 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def timeit(fn, *args, iters=5):
-    out = fn(*args)
+def timeit(fn, noise_variants, *args, iters=5):
+    """Per-call sync with a DISTINCT first argument each call — repeated
+    identical input buffers can be served from the tunnel runtime's result
+    cache (CLAUDE.md "BENCHMARK VALIDITY")."""
+    out = fn(noise_variants[0], *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = fn(noise_variants[(i + 1) % len(noise_variants)], *args)
+        jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -72,7 +75,9 @@ def main():
                            jnp.zeros((2,), jnp.int32))
     ts = jnp.asarray(ddim_timesteps(1000, T))
     st = model.apply(variables, ts, method=lambda m, tt: m.step_encoding(tt))[:, 0]
-    noise = jax.random.normal(key, (B, 10, 20), jnp.float32)
+    noises = [jax.block_until_ready(
+        jax.random.normal(jax.random.key(100 + i), (B, 10, 20), jnp.float32))
+        for i in range(6)]
     ctx = jax.random.normal(key, (B, 301, cfg.hidden_dim), jnp.float32)
     emit(bench="devices", devices=str(jax.devices()))
 
@@ -98,11 +103,11 @@ def main():
             sampler = FusedChunkSampler(model, variables["params"], block_robots=R,
                                         cross_orientation=orient)
             sampler._ablate = ablate
-            f = jax.jit(lambda c, n, s, _s=sampler: _s.sample(c, n, s, schedule, T))
+            f = jax.jit(lambda n, c, s, _s=sampler: _s.sample(c, n, s, schedule, T))
             t0 = time.perf_counter()
-            jax.block_until_ready(f(ctx, noise, st))
+            jax.block_until_ready(f(noises[0], ctx, st))
             comp = time.perf_counter() - t0
-            t = timeit(f, ctx, noise, st)
+            t = timeit(f, noises, ctx, st)
             emit(bench=name, ms=round(t * 1e3, 2), chunks_per_sec=round(B / t, 1),
                  compile_s=round(comp, 1))
         except Exception as e:  # noqa: BLE001

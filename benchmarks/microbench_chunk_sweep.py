@@ -40,13 +40,16 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def timeit(fn, *args, iters=5):
-    out = fn(*args)
+def timeit(fn, noise_variants, *args, iters=5):
+    """Per-call sync with a DISTINCT first argument each call — repeated
+    identical input buffers can be served from the tunnel runtime's result
+    cache (CLAUDE.md "BENCHMARK VALIDITY")."""
+    out = fn(noise_variants[0], *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = fn(noise_variants[(i + 1) % len(noise_variants)], *args)
+        jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -73,15 +76,16 @@ def main():
     emit(bench="devices", devices=str(jax.devices()))
 
     f_ctx = jax.jit(lambda v, b: model.apply(v, b, False, method=model.encode_context))
-    t = timeit(f_ctx, variables, batch)
-    emit(bench="context_encode", ms=round(t * 1e3, 3))
+    t = timeit(f_ctx, [variables], batch)
+    emit(bench="context_encode", ms=round(t * 1e3, 3))  # NB identical-input
     context = jax.block_until_ready(f_ctx(variables, batch))
 
     ts = jnp.asarray(ddim_timesteps(schedule.num_train_timesteps, T))
     st_table = model.apply(variables, ts, method=lambda m, tt: m.step_encoding(tt))[:, 0]
-    noise = jax.random.normal(jax.random.key(2),
-                              (B, cfg.trajectory_prediction_length, cfg.num_joints),
-                              dtype=jnp.float32)
+    noises = [jax.block_until_ready(jax.random.normal(
+        jax.random.key(2 + i),
+        (B, cfg.trajectory_prediction_length, cfg.num_joints), jnp.float32))
+        for i in range(6)]
 
     # --- the whole-chunk kernel alone, sweeping block size and robot
     # grouping ("R" or "R:G" args; G robots per flat block-diag attention)
@@ -92,15 +96,15 @@ def main():
             sampler = FusedChunkSampler(model, variables["params"], block_robots=R,
                                         group_robots=G)
 
-            def run(ctx, nz, st):
+            def run(nz, ctx, st):
                 return sampler.sample(ctx, nz, st, schedule, T)
 
             f = jax.jit(run)
             t0 = time.perf_counter()
-            out = jax.block_until_ready(f(context, noise, st_table))
+            out = jax.block_until_ready(f(noises[0], context, st_table))
             emit(bench="chunk_kernel", block_robots=R, group_robots=G,
                  compile_s=round(time.perf_counter() - t0, 1))
-            t = timeit(f, context, noise, st_table)
+            t = timeit(f, noises, context, st_table)
             emit(bench="chunk_kernel", block_robots=R, group_robots=G,
                  ms=round(t * 1e3, 3), chunks_per_sec=round(B / t, 1))
         except Exception as e:  # noqa: BLE001
@@ -110,7 +114,7 @@ def main():
     # --- full replan period at the default block, for the residual
     rollout = engine.make_rollout_fn(num_chunks=1, jit=True)
     carry2, _ = jax.block_until_ready(rollout(variables, carry))
-    t = timeit(rollout, variables, carry2, iters=5)
+    t = timeit(rollout, [variables], carry2, iters=5)  # carry-fed would be better
     emit(bench="full_replan_period", ms=round(t * 1e3, 3),
          chunks_per_sec=round(B / t, 1))
 

@@ -91,11 +91,13 @@ class ModelConfig:
     # remat the per-frame image-encoder blocks in backward (HBM-traffic
     # optimization for the bandwidth-bound image configs; perf_notes.md)
     remat_image_encoder: bool = False
-    # ViT image-encoder geometry (TPU-native flagship; no reference
-    # counterpart). patch 32 -> 49 tokens per 224px frame keeps the
-    # attention score tensors negligible (the f32 scores at patch 16 / 196
-    # tokens are ~50 GB/step of HBM traffic, docs/perf_notes.md); width 256
-    # aligns dense contractions to the 128-lane MXU tile.
+    # ViT image-encoder geometry (TPU-native; no reference counterpart).
+    # Defaults keep the round-1 geometry for checkpoint continuity; the
+    # flagship yaml overrides to patch 32 / width 256 / depth 8 — at
+    # patch 16 a 224px frame is 196 tokens whose f32 attention scores cost
+    # ~50 GB/step of HBM traffic in training (docs/perf_notes.md), while
+    # patch 32 (49 tokens) makes them negligible and width 256 fills the
+    # 128-lane MXU tile. image_resolution must be divisible by the patch.
     vit_patch_size: int = 16
     vit_width: int = 192
     vit_depth: int = 6
@@ -107,6 +109,12 @@ class ModelConfig:
             raise ValueError(f"unknown image_encoder_type: {self.image_encoder_type}")
         if self.use_images and self.image_sequence_encoder_type not in VALID_SEQUENCE_ENCODERS:
             raise ValueError(f"unknown image_sequence_encoder_type: {self.image_sequence_encoder_type}")
+        if (self.use_images and self.image_encoder_type == "vit"
+                and self.image_resolution % self.vit_patch_size != 0):
+            raise ValueError(
+                f"image_resolution {self.image_resolution} not divisible by "
+                f"vit_patch_size {self.vit_patch_size} (the reshape-based "
+                f"patch embed has no VALID-conv cropping)")
 
     @property
     def imu_input_dim(self) -> int:

@@ -144,9 +144,14 @@ class RolloutEngine:
             from soccerdiffusion_tpu.ops.fused_chunk import FusedChunkSampler
 
             block = min(self.fused_block_robots, bsz)
+            # largest configured group that divides the (possibly
+            # batch-shrunk) block — min() alone can produce a
+            # non-dividing group the constructor rejects
+            group = min(self.fused_group_robots, block)
+            while block % group:
+                group -= 1
             fused = FusedChunkSampler(self.model, variables["params"],
-                                      block_robots=block,
-                                      group_robots=min(self.fused_group_robots, block))
+                                      block_robots=block, group_robots=group)
             # raw context goes straight in — K/V projection happens in-kernel
             ts = jnp.asarray(ddim_timesteps(
                 self.schedule.num_train_timesteps, self.num_inference_steps))

@@ -124,6 +124,13 @@ class ViTImageEncoder(nn.Module):
     """TPU-native patchified transformer image encoder (no reference
     counterpart; BASELINE.json config[2] 'camera-image ViT encoder').
 
+    NOTE (round 2): the patch embed changed from an nn.Conv
+    ("patch_embed", kernel (P, P, C, width)) to an explicit reshape+dot
+    ("patch_kernel" (P*P*C, width) / "patch_bias") so raw-uint8 input can
+    fold the normalization into the weights; pre-change ViT checkpoints
+    need their conv kernel reshaped/renamed to load (pre-release break,
+    no shim).
+
     16x16 patch conv -> +pos -> pre-norm blocks (ff = 4x width) -> mean pool
     -> LN -> Dense(hidden). Patch matmuls are large and MXU-friendly.
     """
@@ -204,14 +211,19 @@ def make_image_encoder(
     vit_geometry: tuple = (16, 192, 6),
 ) -> nn.Module:
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
+    # ViT remats its own transformer blocks; the conv/swin encoders remat
+    # the whole per-frame forward so the remat flag is never a silent no-op
+    # (``train`` is static: BatchNorm branches on it in Python)
+    resnet_cls = nn.remat(ResNetImageEncoder, static_argnums=(2,)) if remat \
+        else ResNetImageEncoder
     if encoder_type == "resnet18":
-        return ResNetImageEncoder(hidden_dim, (2, 2, 2, 2), bottleneck=False,
-                                  use_final_avgpool=use_final_avgpool, dtype=dtype,
-                                  name="image_encoder")
+        return resnet_cls(hidden_dim, (2, 2, 2, 2), bottleneck=False,
+                          use_final_avgpool=use_final_avgpool, dtype=dtype,
+                          name="image_encoder")
     if encoder_type == "resnet50":
-        return ResNetImageEncoder(hidden_dim, (3, 4, 6, 3), bottleneck=True,
-                                  use_final_avgpool=use_final_avgpool, dtype=dtype,
-                                  name="image_encoder")
+        return resnet_cls(hidden_dim, (3, 4, 6, 3), bottleneck=True,
+                          use_final_avgpool=use_final_avgpool, dtype=dtype,
+                          name="image_encoder")
     if encoder_type == "vit":
         return ViTImageEncoder(hidden_dim, patch_size=vit_geometry[0],
                                width=vit_geometry[1], depth=vit_geometry[2],
@@ -220,7 +232,9 @@ def make_image_encoder(
     if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
         from soccerdiffusion_tpu.models.swin import SwinImageEncoder
 
-        return SwinImageEncoder(
+        swin_cls = nn.remat(SwinImageEncoder, static_argnums=(2,)) if remat \
+            else SwinImageEncoder
+        return swin_cls(
             hidden_dim,
             variant="tiny" if encoder_type.endswith("tiny") else "small",
             dtype=dtype,
@@ -267,9 +281,10 @@ class ImageSequenceEncoder(nn.Module):
             valid = None
         frames = x.reshape((b * t,) + x.shape[2:])
         if valid is not None:
-            tokens = encoder(frames, train=train, valid=valid.reshape(b * t))
+            tokens = encoder(frames, train, valid=valid.reshape(b * t))
         else:
-            tokens = encoder(frames, train=train)
+            # positional ``train`` so nn.remat's static_argnums covers it
+            tokens = encoder(frames, train)
         tokens = tokens.reshape(b, t, self.hidden_dim)
         if self.sequence_encoder_type == "transformer":
             # The reference stacks a full BaseEncoder with patch_size=1 and

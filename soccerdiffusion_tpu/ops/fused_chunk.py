@@ -384,6 +384,8 @@ class FusedChunkSampler(FusedDenoiser):
                 f"{group_robots}")
         if cross_orientation not in ("kstat", "qstat"):
             raise ValueError(f"unknown cross_orientation {cross_orientation!r}")
+        if cross_orientation == "qstat" and group_robots != 1:
+            raise ValueError("cross_orientation='qstat' requires group_robots=1")
         self.group_robots = group_robots
         self.cross_orientation = cross_orientation
         # microbenchmark-only component-ablation hook (see _make_chunk_kernel)

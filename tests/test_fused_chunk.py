@@ -142,3 +142,39 @@ class TestFusedChunkSampler:
             assert False, "should raise"
         except AssertionError as e:
             assert "divisible" in str(e)
+
+
+class TestQstatOrientation:
+    def test_qstat_single_step_matches_xla(self):
+        """Streamed-K orientation, exact single-step parity. Multi-step
+        qstat drifts more than kstat (the normalized probabilities are
+        rounded to bf16 BEFORE the value dot instead of after), so the
+        tight gate is single-step; the looser multi-step gate below pins
+        accumulation within f32-reorder scale."""
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        schedule = make_schedule(50)
+        expected = xla_sample(model, variables, kv, noisy, schedule, 1)
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=4, cross_orientation="qstat")
+        got = fused.sample(ctx, noisy, step_table(model, variables, schedule, 1),
+                           schedule, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=8e-3, atol=8e-3)
+
+    def test_qstat_multi_step_bounded_drift(self):
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        schedule = make_schedule(60)
+        expected = xla_sample(model, variables, kv, noisy, schedule, 3)
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=4, cross_orientation="qstat")
+        got = fused.sample(ctx, noisy, step_table(model, variables, schedule, 3),
+                           schedule, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_qstat_rejects_grouping(self):
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        with np.testing.assert_raises(ValueError):
+            FusedChunkSampler(model, variables["params"], interpret=True,
+                              block_robots=4, group_robots=2,
+                              cross_orientation="qstat")
