@@ -1,0 +1,92 @@
+"""Serving throughput of the MULTIMODAL (camera-conditioned) policy.
+
+BASELINE.json config[2]: the flagship ViT-conditioned model in the
+closed-loop rollout engine — the full perception->plan->act period
+including per-period 10 Hz camera frames through the ViT encoder, 30-step
+fused-chunk DDIM (and the distilled single step) on one chip. Complements
+bench.py's proprioceptive headline (VERDICT round-1 weak #4: "the bench
+never exercises the multimodal model").
+
+Run: nohup python benchmarks/serve_multimodal.py > /tmp/serve_mm.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import yaml
+
+from soccerdiffusion_tpu.config import Config
+from soccerdiffusion_tpu.data import Normalizer
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.inference import RolloutEngine
+from soccerdiffusion_tpu.inference.controller import make_controller_batch
+from soccerdiffusion_tpu.models import DiffusionPolicy
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def measure(name, engine, variables, batch_robots, chunks, iters=3):
+    carry = engine.init(batch_robots, jax.random.key(0))
+    rollout = engine.make_rollout_fn(num_chunks=chunks, jit=True)
+    t0 = time.perf_counter()
+    carry, out = rollout(variables, carry)
+    jax.block_until_ready(out)
+    emit(bench=name, compile_s=round(time.perf_counter() - t0, 1))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        carry, out = rollout(variables, carry)  # carry-fed
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    emit(bench=name, batch_robots=batch_robots,
+         p50_replan_period_ms=round(med / chunks * 1e3, 2),
+         chunks_per_sec_per_chip=round(batch_robots * chunks / med, 1))
+
+
+def main():
+    with open(os.path.join(REPO, "soccerdiffusion_tpu", "training", "configs",
+                           "vit_flagship.yaml")) as f:
+        config = Config.from_dict(yaml.safe_load(f))
+    cfg = config.model
+    model = DiffusionPolicy(cfg)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    normalizer = Normalizer.identity(cfg.num_joints)
+    B = int(os.environ.get("MM_BATCH", "64"))
+    emit(bench="devices", devices=str(jax.devices()), config="vit_flagship",
+         image_resolution=cfg.image_resolution, batch=B)
+
+    eng30 = RolloutEngine(model, schedule, normalizer, num_inference_steps=30,
+                          fused="chunk", fused_block_robots=16)
+    carry = eng30.init(B, jax.random.key(0))
+    batch = make_controller_batch(cfg, carry.controller)
+    variables = model.init(jax.random.key(1), batch,
+                           jnp.zeros((B, cfg.trajectory_prediction_length,
+                                      cfg.num_joints)),
+                           jnp.zeros((B,), jnp.int32))
+    measure("mm_ddim30_fused_chunk", eng30, variables, B, chunks=3)
+
+    eng1 = RolloutEngine(model, schedule, normalizer, num_inference_steps=1,
+                         distilled=True, fused="chunk", fused_block_robots=32)
+    measure("mm_distilled1", eng1, variables, B, chunks=3)
+    emit(bench="done")
+
+
+if __name__ == "__main__":
+    main()

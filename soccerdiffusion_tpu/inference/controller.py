@@ -111,13 +111,18 @@ def observe_many(
     state: ControllerState,
     joint_states: jnp.ndarray | None = None,  # (B, K, J)
     imus: jnp.ndarray | None = None,  # (B, K, 4|5)
+    images: jnp.ndarray | None = None,  # (B, K', H, W, 3) preprocessed
 ) -> ControllerState:
     """Push K ticks of sensor rows in ONE buffer update per modality —
     identical result to K sequential ``observe`` calls (each an O(history)
-    concat), at a fraction of the op count on the serving path."""
+    concat), at a fraction of the op count on the serving path. Images
+    arrive at their own (lower) rate, so K' may differ from K
+    (reference ros.py:162-163: <=10 Hz camera vs 50 Hz sensors)."""
     updates = {}
     if joint_states is not None:
         updates["joint_state_history"] = _roll_append(state.joint_state_history, joint_states)
     if imus is not None:
         updates["imu_history"] = _roll_append(state.imu_history, imus)
+    if images is not None and state.images is not None:
+        updates["images"] = _roll_append(state.images, images)
     return state.replace(**updates)

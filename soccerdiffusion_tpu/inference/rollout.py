@@ -103,6 +103,12 @@ class RolloutEngine:
 
     def _sample_chunk(self, variables, controller: ControllerState, rng) -> jnp.ndarray:
         batch = make_controller_batch(self.cfg, controller)
+        if self.fused_encoder and self.cfg.use_images:
+            raise ValueError(
+                "fused_encoder covers the proprioceptive encoder stacks only; "
+                "image configs must use the XLA context encoder "
+                "(fused_encoder=False) — the image tokens come from the "
+                "ViT/ResNet which is already matmul-dominated")
         if self.fused_encoder:
             from soccerdiffusion_tpu.ops.fused_encoder import FusedContextEncoder
 
@@ -266,7 +272,22 @@ class RolloutEngine:
         controller = push_action_chunk(carry.controller, chunk)
 
         plant, js_rows, imu_rows = self._plant_play_chunk(carry.plant, chunk)
-        controller = observe_many(controller, joint_states=js_rows, imus=imu_rows)
+        frames = None
+        if self.cfg.use_images:
+            # the stub camera delivers 2 frames per 200 ms period (10 Hz,
+            # reference ros.py:162-163): a cheap phase-dependent gradient,
+            # already ImageNet-normalized scale
+            res = self.cfg.image_resolution
+            ramp = jnp.linspace(-1.0, 1.0, res)
+            ph = plant.phase[:, None, None, None, None]  # (B,1,1,1,1)
+            base = (ramp[None, None, :, None, None]
+                    + ramp[None, None, None, :, None])  # (1,1,H,W,1)
+            offs = jnp.asarray([0.0, 0.1])[None, :, None, None, None]
+            frames = jnp.broadcast_to(
+                jnp.sin(base + ph + offs), (ph.shape[0], 2, res, res, 1))
+            frames = jnp.repeat(frames, 3, axis=-1)
+        controller = observe_many(controller, joint_states=js_rows,
+                                  imus=imu_rows, images=frames)
         return RolloutCarry(controller=controller, plant=plant, rng=rng), chunk
 
     # --------------------------------------------------------------- rollout
