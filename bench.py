@@ -171,7 +171,11 @@ def main():
                         help="measure in-process (no fallback orchestration)")
     parser.add_argument("--no-distilled-sidecar", action="store_true",
                         help="skip the additional distilled-1-step measurement")
-    parser.add_argument("--child-timeout", type=int, default=1500)
+    parser.add_argument("--child-timeout", type=int, default=3600,
+                        help="per-child wall limit; a cold-cache Mosaic "
+                             "compile of the chunk program through the "
+                             "tunnel has been observed at 800-1500+ s, "
+                             "and a timed-out child writes no cache entry")
     args = parser.parse_args()
 
     if args.inline:
