@@ -184,7 +184,11 @@ def main(argv=None) -> int:
         sub_main(argv[1:])
         return 0
 
-    parser = argparse.ArgumentParser(prog="soccerdiffusion-tpu")
+    parser = argparse.ArgumentParser(
+        prog="soccerdiffusion-tpu",
+        epilog="also: train / distill / plot subcommands, delegated to "
+               "soccerdiffusion_tpu.training.train, .training.distill, "
+               ".inference.plot (run e.g. %(prog)s train --help)")
     sub = parser.add_subparsers(dest="command", required=True)
     _build_import_parser(sub)
     _build_db_parser(sub)
