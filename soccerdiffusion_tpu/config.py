@@ -92,7 +92,10 @@ class ModelConfig:
     # optimization for the bandwidth-bound image configs; perf_notes.md)
     remat_image_encoder: bool = False
     # ViT image-encoder geometry (TPU-native; no reference counterpart).
-    # Defaults keep the round-1 geometry for checkpoint continuity; the
+    # Defaults keep the round-1 geometry numbers; note round-2 renamed the
+    # ViT patch-embed params (patch_embed conv -> patch_kernel/patch_bias
+    # matmul, models/vision.py), a deliberate pre-release break — round-1
+    # ViT checkpoints do NOT load without a manual rename/reshape. The
     # flagship yaml overrides to patch 32 / width 256 / depth 8 — at
     # patch 16 a 224px frame is 196 tokens whose f32 attention scores cost
     # ~50 GB/step of HBM traffic in training (docs/perf_notes.md), while

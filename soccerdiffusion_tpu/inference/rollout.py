@@ -36,6 +36,19 @@ from soccerdiffusion_tpu.inference.controller import (
 )
 
 
+def largest_dividing_block(configured: int, batch: int) -> int:
+    """Largest block size <= ``configured`` that divides ``batch``.
+
+    Every fused Pallas path (FusedDenoiser / FusedChunkSampler /
+    FusedContextEncoder) requires ``batch % block == 0``; a plain
+    ``min(configured, batch)`` can produce a non-dividing block (e.g.
+    batch 48, block 32) that fails at trace time."""
+    block = min(configured, batch)
+    while batch % block:
+        block -= 1
+    return block
+
+
 @struct.dataclass
 class PlantState:
     positions: jnp.ndarray  # (B, J) joint positions, [-pi, pi] domain
@@ -116,7 +129,8 @@ class RolloutEngine:
             enc = FusedContextEncoder(
                 self.model, variables["params"],
                 interpret=self.fused_encoder == "interpret",
-                block_robots=min(self.fused_encoder_block_robots, bsz),
+                block_robots=largest_dividing_block(
+                    self.fused_encoder_block_robots, bsz),
             )
             context = enc.encode(batch)
         else:
@@ -130,8 +144,9 @@ class RolloutEngine:
             # student's output IS the trajectory; reference ros.py:293-298).
             from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser
 
-            fused = FusedDenoiser(self.model, variables["params"],
-                                  block_robots=min(self.fused_block_robots, bsz))
+            fused = FusedDenoiser(
+                self.model, variables["params"],
+                block_robots=largest_dividing_block(self.fused_block_robots, bsz))
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)
             packed = fused.pack_context_kv(context_kv)
@@ -149,7 +164,7 @@ class RolloutEngine:
             from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
             from soccerdiffusion_tpu.ops.fused_chunk import FusedChunkSampler
 
-            block = min(self.fused_block_robots, bsz)
+            block = largest_dividing_block(self.fused_block_robots, bsz)
             # largest configured group that divides the (possibly
             # batch-shrunk) block — min() alone can produce a
             # non-dividing group the constructor rejects
@@ -170,8 +185,9 @@ class RolloutEngine:
             from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
             from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser
 
-            fused = FusedDenoiser(self.model, variables["params"],
-                                  block_robots=min(self.fused_block_robots, bsz))
+            fused = FusedDenoiser(
+                self.model, variables["params"],
+                block_robots=largest_dividing_block(self.fused_block_robots, bsz))
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)
             packed = fused.pack_context_kv(context_kv)
@@ -274,17 +290,22 @@ class RolloutEngine:
         plant, js_rows, imu_rows = self._plant_play_chunk(carry.plant, chunk)
         frames = None
         if self.cfg.use_images:
-            # the stub camera delivers 2 frames per 200 ms period (10 Hz,
-            # reference ros.py:162-163): a cheap phase-dependent gradient,
-            # already ImageNet-normalized scale
+            # The stub camera delivers one frame per 5 plant ticks (10 Hz at
+            # the 50 Hz control rate, reference ros.py:162-163): frame i of
+            # n lands on tick P-1-5*(n-1-i), and its phase is sampled at that
+            # instant from the per-tick phase trajectory. A cheap
+            # phase-dependent gradient, already ImageNet-normalized scale.
+            P = self.cfg.trajectory_prediction_length
+            n_frames = max(1, P // 5)
             res = self.cfg.image_resolution
             ramp = jnp.linspace(-1.0, 1.0, res)
-            ph = plant.phase[:, None, None, None, None]  # (B,1,1,1,1)
+            frame_offsets = 0.02 * 5.0 * np.arange(n_frames - 1, -1, -1)
+            ph = (plant.phase[:, None]
+                  - jnp.asarray(frame_offsets))[:, :, None, None, None]
             base = (ramp[None, None, :, None, None]
                     + ramp[None, None, None, :, None])  # (1,1,H,W,1)
-            offs = jnp.asarray([0.0, 0.1])[None, :, None, None, None]
             frames = jnp.broadcast_to(
-                jnp.sin(base + ph + offs), (ph.shape[0], 2, res, res, 1))
+                jnp.sin(base + ph), (ph.shape[0], n_frames, res, res, 1))
             frames = jnp.repeat(frames, 3, axis=-1)
         controller = observe_many(controller, joint_states=js_rows,
                                   imus=imu_rows, images=frames)

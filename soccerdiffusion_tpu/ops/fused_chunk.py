@@ -233,14 +233,17 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 sT = bdot(k_ctx, qs2, 2, 2) * scale + maskadd[None]
                 m = jnp.max(sT, axis=1, keepdims=True)  # (R, 1, HP)
                 p = jnp.exp(sT - m)
-                pn = p * (1.0 / jnp.sum(p, axis=1, keepdims=True))
-                # o[hp, e] = sum_s pn[s, hp] * v[s, e]: contraction over the
-                # streamed S dim on both operands
+                denom = jnp.sum(p, axis=1)  # (R, HP) fp32
+                # o[hp, e] = sum_s p[s, hp] * v[s, e]: contraction over the
+                # streamed S dim on both operands. Normalization divides the
+                # fp32 output (as the kstat path does) instead of rounding
+                # normalized probabilities to bf16 pre-contraction — the
+                # latter produced measurable multi-step drift.
                 o = jax.lax.dot_general(
-                    pn.astype(compute_dtype), v_ctx,
+                    p.astype(compute_dtype), v_ctx,
                     (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)  # (R, HP, E)
-                return o.astype(compute_dtype)
+                return (o / denom[..., None]).astype(compute_dtype)
             if G == 1:
                 s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
                 s_x = jnp.sum(
@@ -372,6 +375,10 @@ class FusedChunkSampler(FusedDenoiser):
     Weight extraction is inherited from FusedDenoiser; context K/V are
     projected in-kernel (no packing/precompute ops on the XLA side — the
     sampler takes the raw encoded context).
+
+    ``cross_orientation="qstat"`` is an EXPERIMENT-ONLY alternative cross
+    orientation (streamed-K; measured slower than the default "kstat",
+    docs/perf_notes.md round 2) and is not reachable from RolloutEngine.
     """
 
     def __init__(self, model, params, interpret: bool = False,

@@ -180,9 +180,18 @@ class FusedContextEncoder:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         E = cfg.hidden_dim
-        # Encoders are built with the JointEncoder/IMUEncoder default head
-        # count (models/encoders.py:56); validated against the lane slicing.
-        self.num_heads = 4
+        # The policy builds its proprioceptive encoders without overriding
+        # the head count (models/policy.py:50-70), so the class defaults ARE
+        # the deployed values — read them from the module classes so a future
+        # default change cannot silently desync the kernel's lane masks.
+        from soccerdiffusion_tpu.models.encoders import IMUEncoder, JointEncoder
+
+        self.num_heads = int(JointEncoder.num_heads)
+        if int(IMUEncoder.num_heads) != self.num_heads:
+            raise ValueError(
+                f"JointEncoder ({JointEncoder.num_heads}) and IMUEncoder "
+                f"({IMUEncoder.num_heads}) head counts diverge; the fused "
+                "encoder assumes one head count for all modality stacks")
         if E % self.num_heads != 0:
             raise ValueError(f"hidden_dim {E} not divisible by {self.num_heads} heads")
         self.head_dim = E // self.num_heads

@@ -36,7 +36,12 @@ class MetricsLogger:
                 logger.warning(f"wandb unavailable ({exc}); logging locally only")
         self._last_time = time.perf_counter()
 
-    def log(self, step: int, metrics: dict[str, Any], force: bool = False) -> None:
+    def log(self, step: int, metrics: dict[str, Any], force: bool = False,
+            grads: dict[str, Any] | None = None) -> None:
+        """Log scalar ``metrics``; ``grads`` optionally carries per-module
+        gradient norms (the counterpart of the reference's wandb
+        ``run.watch(model)`` grad stream, reference train.py:148) recorded
+        under a ``grad_norms/`` prefix."""
         if step % self.log_every and not force:
             return
         now = time.perf_counter()
@@ -44,11 +49,17 @@ class MetricsLogger:
         self._last_time = now
         for k, v in metrics.items():
             record[k] = float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v
+        if grads:
+            for name, v in grads.items():
+                record[f"grad_norms/{name}"] = float(v)
         if self._fh:
             self._fh.write(json.dumps(record) + "\n")
             self._fh.flush()
         if self._wandb:
-            self._wandb.log(metrics, step=step)
+            payload = dict(metrics)
+            if grads:
+                payload.update({f"grad_norms/{n}": float(v) for n, v in grads.items()})
+            self._wandb.log(payload, step=step)
         pretty = ", ".join(
             f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()
         )

@@ -215,8 +215,17 @@ def main(argv=None):
     mfu = MFUMeter(flops_per_step, num_devices=len(jax.devices()))
     logger.info(f"train step FLOPs (cost analysis): {flops_per_step:.3e}")
 
+    # MFU/steps-per-sec are measured over log_every-step windows with ONE
+    # device sync per window: a per-step block_until_ready would serialize
+    # async dispatch and systematically under-measure the pipeline the code
+    # is capable of. The global step is tracked host-side so no per-step
+    # state.step fetch forces a sync either.
+    log_every = max(1, config.train.log_every)
+    global_step = int(state.step)
     with mesh:
         for epoch in range(start_epoch, epochs):
+            window_steps = 0
+            mfu.start()
             for i, host_batch in enumerate(
                 prefetch_to_device(
                     dataset.batches(batch_size, shuffle=True, seed=args.seed + epoch), mesh
@@ -224,21 +233,31 @@ def main(argv=None):
             ):
                 if i >= steps_per_epoch:
                     break
-                mfu.start()
                 state, metrics = train_step(state, host_batch, args.seed)
-                jax.block_until_ready(metrics["loss"])
-                mfu.stop()
-                metrics_logger.log(
-                    int(state.step) - 1,
-                    {
-                        "loss": metrics["loss"],
-                        "grad_norm": metrics["grad_norm"],
-                        "lr": lr_at_step(config.train.lr, total_steps, int(state.step) - 1),
-                        "epoch": epoch,
-                        "mfu": mfu.mfu,
-                        "steps_per_sec": mfu.steps_per_sec,
-                    },
-                )
+                global_step += 1
+                window_steps += 1
+                if global_step % log_every == 0:
+                    jax.block_until_ready(metrics["loss"])
+                    mfu.stop(steps=window_steps)
+                    window_steps = 0
+                    metrics_logger.log(
+                        global_step - 1,
+                        {
+                            "loss": metrics["loss"],
+                            "grad_norm": metrics["grad_norm"],
+                            "lr": lr_at_step(config.train.lr, total_steps, global_step - 1),
+                            "epoch": epoch,
+                            "mfu": mfu.mfu,
+                            "steps_per_sec": mfu.steps_per_sec,
+                        },
+                        grads=metrics.get("grad_norms_by_layer"),
+                    )
+                    mfu.start()
+            if window_steps:
+                jax.block_until_ready(state.step)
+                mfu.stop(steps=window_steps)
+            else:
+                mfu.cancel()
             save_checkpoint(args.output, state, normalizer, params, epoch)
             logger.info(f"epoch {epoch} done; checkpoint -> {args.output}")
     metrics_logger.close()

@@ -136,6 +136,12 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            # per-top-level-module gradient norms — the counterpart of the
+            # reference's wandb run.watch(model) grad histograms (reference
+            # ml/training/train.py:148); cheap scalars, one per submodule
+            "grad_norms_by_layer": {
+                name: optax.global_norm(sub) for name, sub in grads.items()
+            },
         }
         return new_state, metrics
 

@@ -75,6 +75,10 @@ class MFUMeter:
         self._steps += steps
         self._t0 = None
 
+    def cancel(self) -> None:
+        """Discard an open start() window without recording it."""
+        self._t0 = None
+
     @property
     def mfu(self) -> float:
         if self._elapsed == 0:
