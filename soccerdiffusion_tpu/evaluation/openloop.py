@@ -1,0 +1,150 @@
+"""Open-loop quality evaluation: per-joint errors on held-out windows.
+
+Counterpart of the reference's offline eval plot semantics (reference
+ml/inference/plot.py:106-169: sample dataset items, run the full sampler or
+the distilled forward, compare against the ground-truth future commands) —
+but producing RECORDED numbers instead of pictures, so sampler variants
+(30-step teacher vs few-step distilled students) can be ranked:
+
+  * ``open_loop_metrics``    — denoised trajectory vs dataset target:
+    overall/per-joint MSE + MAE in the denormalized [0, 2pi) joint domain.
+  * ``sampler_agreement``    — student vs teacher on IDENTICAL noise and
+    context (the distillation objective itself, reference
+    ml/training/distill.py:198, measured instead of trained).
+
+Both evaluate a deterministic, seeded window subset so runs are comparable
+across checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample
+
+
+def sample_trajectories(model, variables, schedule: DiffusionSchedule, context,
+                        noise, num_steps: int, distilled: bool) -> jnp.ndarray:
+    """Run the checkpoint's sampler on encoded context; normalized domain.
+
+    ``distilled`` selects the single forward at t=0 (reference
+    ros.py:293-298); otherwise ``num_steps`` DDIM steps (ros.py:301-310).
+    """
+    bsz = noise.shape[0]
+    if distilled:
+        return model.apply(variables, context, noise,
+                           jnp.zeros((bsz,), jnp.int32), method=model.denoise)
+
+    def denoise_fn(x, t):
+        return model.apply(variables, context, x,
+                           jnp.full((bsz,), t, jnp.int32), method=model.denoise)
+
+    return ddim_sample(schedule, denoise_fn, noise, num_steps)
+
+
+def eval_batches(dataset, indices: Sequence[int], batch_size: int):
+    """Yield stacked batches over explicit window ``indices`` (the held-out
+    eval subset), deterministically ordered."""
+    for lo in range(0, len(indices), batch_size):
+        chunk = [dataset[int(i)] for i in indices[lo:lo + batch_size]]
+        yield {k: np.stack([c[k] for c in chunk]) for k in chunk[0]}
+
+
+def held_out_indices(dataset_len: int, num_windows: int, seed: int = 0) -> np.ndarray:
+    """Deterministic, seeded subset of window indices for evaluation."""
+    rng = np.random.default_rng(seed)
+    n = min(num_windows, dataset_len)
+    return np.sort(rng.choice(dataset_len, size=n, replace=False))
+
+
+def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
+                      dataset, indices: Sequence[int], num_steps: int,
+                      distilled: bool, batch_size: int = 64,
+                      seed: int = 0) -> dict:
+    """Denoised trajectory vs ground-truth future commands over ``indices``.
+
+    Returns overall + per-joint MSE/MAE in the denormalized joint domain
+    (radians, [0, 2pi) convention), plus the noise-floor MSE of predicting
+    pure denormalized noise — the "beats noise" reference point.
+    """
+    se_sum = ae_sum = noise_se_sum = None
+    count = 0
+    for b, batch in enumerate(eval_batches(dataset, indices, batch_size)):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        bsz = jb["joint_command"].shape[0]
+        shape = (bsz, model.config.trajectory_prediction_length,
+                 model.config.num_joints)
+        noise = jax.random.normal(jax.random.key(seed + b), shape, jnp.float32)
+        context = model.apply(variables, jb, False, method=model.encode_context)
+        traj = sample_trajectories(model, variables, schedule, context, noise,
+                                   num_steps, distilled)
+        traj = normalizer.denormalize(traj)
+        target = jb["joint_command"].astype(jnp.float32)
+        err = np.asarray(traj.astype(jnp.float32) - target)  # (B, P, J)
+        noise_err = np.asarray(
+            normalizer.denormalize(noise).astype(jnp.float32) - target)
+        se = np.sum(np.square(err), axis=(0, 1))  # (J,)
+        ae = np.sum(np.abs(err), axis=(0, 1))
+        nse = np.sum(np.square(noise_err), axis=(0, 1))
+        se_sum = se if se_sum is None else se_sum + se
+        ae_sum = ae if ae_sum is None else ae_sum + ae
+        noise_se_sum = nse if noise_se_sum is None else noise_se_sum + nse
+        count += bsz * model.config.trajectory_prediction_length
+    per_joint_mse = se_sum / count
+    per_joint_mae = ae_sum / count
+    return {
+        "num_windows": int(len(indices)),
+        "sampler": "distilled1" if distilled else f"ddim{num_steps}",
+        "mse": float(per_joint_mse.mean()),
+        "mae": float(per_joint_mae.mean()),
+        "noise_floor_mse": float((noise_se_sum / count).mean()),
+        "per_joint_mse": {
+            name: float(v)
+            for name, v in zip(model.config.joint_names, per_joint_mse)
+        },
+    }
+
+
+def sampler_agreement(model, teacher_vars, student_vars, normalizer,
+                      schedule: DiffusionSchedule, dataset,
+                      indices: Sequence[int], teacher_steps: int,
+                      student_steps: int, student_distilled: bool,
+                      batch_size: int = 64, seed: int = 0) -> dict:
+    """Student-vs-teacher trajectory error on identical noise and context.
+
+    The teacher encodes the context (both samplers consume the SAME tokens,
+    mirroring distillation's cached-context factorization, reference
+    distill.py:177); the student runs its own sampler from the same noise.
+    Returns MSE/MAE in the denormalized joint domain.
+    """
+    se_sum = ae_sum = 0.0
+    count = 0
+    for b, batch in enumerate(eval_batches(dataset, indices, batch_size)):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        bsz = jb["joint_command"].shape[0]
+        shape = (bsz, model.config.trajectory_prediction_length,
+                 model.config.num_joints)
+        noise = jax.random.normal(jax.random.key(seed + b), shape, jnp.float32)
+        t_ctx = model.apply(teacher_vars, jb, False, method=model.encode_context)
+        s_ctx = model.apply(student_vars, jb, False, method=model.encode_context)
+        t_traj = sample_trajectories(model, teacher_vars, schedule, t_ctx,
+                                     noise, teacher_steps, False)
+        s_traj = sample_trajectories(model, student_vars, schedule, s_ctx,
+                                     noise, student_steps, student_distilled)
+        diff = np.asarray(
+            normalizer.denormalize(s_traj).astype(jnp.float32)
+            - normalizer.denormalize(t_traj).astype(jnp.float32))
+        se_sum += float(np.sum(np.square(diff)))
+        ae_sum += float(np.sum(np.abs(diff)))
+        count += diff.size
+    return {
+        "num_windows": int(len(indices)),
+        "teacher": f"ddim{teacher_steps}",
+        "student": "distilled1" if student_distilled else f"ddim{student_steps}",
+        "mse_vs_teacher": se_sum / count,
+        "mae_vs_teacher": ae_sum / count,
+    }

@@ -1,0 +1,176 @@
+"""Quality report: one command -> JSON + markdown quality ledger.
+
+Evaluates a teacher checkpoint and any number of distilled students on the
+same held-out windows and identical noise streams, producing the evidence
+the speed headlines rest on:
+
+  * open-loop MSE/MAE vs ground truth (per checkpoint, reference
+    plot.py:106-169 semantics, recorded instead of plotted)
+  * open-loop agreement vs the teacher (the distillation objective,
+    reference distill.py:198, measured)
+  * closed-loop rollout divergence vs the teacher under feedback
+  * the teacher's own noise-resampling self-consistency as the yardstick
+
+  python -m soccerdiffusion_tpu.evaluation.report --teacher t.ckpt \
+      [--student s4.ckpt --student s1.ckpt] [--dummy-data | --db path] \
+      [--windows 256] [--chunks 10] [--out quality_report]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from soccerdiffusion_tpu import logger
+from soccerdiffusion_tpu.config import Config
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.evaluation.divergence import (
+    closed_loop_divergence,
+    self_consistency,
+)
+from soccerdiffusion_tpu.evaluation.openloop import (
+    held_out_indices,
+    open_loop_metrics,
+    sampler_agreement,
+)
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.training.checkpoint import load_checkpoint
+
+
+def _load(path: str):
+    """Load a checkpoint -> (hyperparams, variables, normalizer, sampler spec)."""
+    ckpt = load_checkpoint(path)
+    params = ckpt["hyperparams"]
+    variables = {"params": ckpt["state"]["params"]}
+    if ckpt["state"].get("batch_stats"):
+        variables["batch_stats"] = ckpt["state"]["batch_stats"]
+    distilled = bool(params.get("distilled_decoder", False))
+    # few-step students carry their inference step count in the checkpoint
+    # (training/distill.py --student-steps); teachers default to 30
+    steps = int(params.get("distilled_num_steps", 0)) or (1 if distilled else 30)
+    return params, variables, ckpt["norm"], steps, distilled
+
+
+def markdown_report(result: dict) -> str:
+    lines = ["# Quality report", ""]
+    lines.append(f"- windows: {result['num_windows']}, closed-loop chunks: "
+                 f"{result['closed_loop_chunks']}, batch {result['batch_size']}")
+    lines.append("")
+    lines.append("| checkpoint | sampler | open-loop MSE | open-loop MAE | "
+                 "vs-teacher MSE | closed-loop mean div (rad) | final div (rad) |")
+    lines.append("|---|---|---|---|---|---|---|")
+    for entry in result["checkpoints"]:
+        o = entry["open_loop"]
+        a = entry.get("agreement") or {}
+        d = entry.get("divergence") or {}
+        lines.append(
+            f"| {entry['name']} | {o['sampler']} | {o['mse']:.5f} | "
+            f"{o['mae']:.5f} | "
+            f"{a.get('mse_vs_teacher', float('nan')):.5f} | "
+            f"{d.get('mean_divergence_rad', float('nan')):.5f} | "
+            f"{d.get('final_divergence_rad', float('nan')):.5f} |"
+        )
+    sc = result.get("teacher_self_consistency")
+    if sc:
+        lines += ["", f"Teacher noise-resampling self-consistency (mean "
+                      f"closed-loop divergence against itself with a "
+                      f"different noise stream): "
+                      f"**{sc['mean_divergence_rad']:.5f} rad** — student "
+                      f"divergence at or below this is sampling noise."]
+    nf = result.get("noise_floor_mse")
+    if nf is not None:
+        lines += ["", f"Pure-noise open-loop MSE floor: **{nf:.5f}** (a "
+                      f"sampler must land well below this to have learned "
+                      f"anything)."]
+    return "\n".join(lines) + "\n"
+
+
+def run_report(teacher: str, students: list[str], dataset, windows: int,
+               chunks: int, batch_size: int, seed: int = 0) -> dict:
+    t_params, t_vars, normalizer, t_steps, t_distilled = _load(teacher)
+    config = Config.from_dict(t_params)
+    model = DiffusionPolicy(config.model)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    indices = held_out_indices(len(dataset), windows, seed)
+
+    result = {
+        "teacher": teacher,
+        "num_windows": int(len(indices)),
+        "closed_loop_chunks": chunks,
+        "batch_size": batch_size,
+        "checkpoints": [],
+    }
+    logger.info(f"open-loop eval: teacher ({t_steps} steps)")
+    t_open = open_loop_metrics(model, t_vars, normalizer, schedule, dataset,
+                               indices, t_steps, t_distilled,
+                               batch_size=batch_size, seed=seed)
+    result["noise_floor_mse"] = t_open.pop("noise_floor_mse")
+    result["checkpoints"].append(
+        {"name": Path(teacher).name, "open_loop": t_open})
+
+    for spath in students:
+        s_params, s_vars, _, s_steps, s_distilled = _load(spath)
+        name = Path(spath).name
+        logger.info(f"open-loop eval: {name} "
+                    f"({'distilled1' if s_distilled else f'ddim{s_steps}'})")
+        s_open = open_loop_metrics(model, s_vars, normalizer, schedule,
+                                   dataset, indices, s_steps, s_distilled,
+                                   batch_size=batch_size, seed=seed)
+        s_open.pop("noise_floor_mse")
+        agreement = sampler_agreement(model, t_vars, s_vars, normalizer,
+                                      schedule, dataset, indices, t_steps,
+                                      s_steps, s_distilled,
+                                      batch_size=batch_size, seed=seed)
+        logger.info(f"closed-loop divergence: {name} vs teacher")
+        divergence = closed_loop_divergence(
+            model, t_vars, s_vars, schedule, normalizer, t_steps, s_steps,
+            s_distilled, batch_size=min(batch_size, 64), num_chunks=chunks,
+            seed=seed)
+        result["checkpoints"].append({
+            "name": name, "open_loop": s_open, "agreement": agreement,
+            "divergence": divergence,
+        })
+
+    if students:
+        logger.info("teacher noise-resampling self-consistency")
+        result["teacher_self_consistency"] = self_consistency(
+            model, t_vars, schedule, normalizer, t_steps,
+            batch_size=min(batch_size, 64), num_chunks=chunks, seed=seed)
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Sampler quality report")
+    parser.add_argument("--teacher", required=True)
+    parser.add_argument("--student", action="append", default=[],
+                        help="distilled checkpoint (repeatable)")
+    parser.add_argument("--dummy-data", action="store_true")
+    parser.add_argument("--db", type=str, default=None)
+    parser.add_argument("--windows", type=int, default=256)
+    parser.add_argument("--chunks", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, default="quality_report")
+    args = parser.parse_args(argv)
+
+    ckpt_params, *_ = _load(args.teacher)
+    config = Config.from_dict(ckpt_params)
+    from soccerdiffusion_tpu.training.train import build_dataset
+
+    dataset = build_dataset(args, config)
+
+    result = run_report(args.teacher, args.student, dataset, args.windows,
+                        args.chunks, args.batch_size, args.seed)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.with_suffix(".json").write_text(json.dumps(result, indent=2))
+    out.with_suffix(".md").write_text(markdown_report(result))
+    logger.info(f"wrote {out.with_suffix('.json')} and {out.with_suffix('.md')}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

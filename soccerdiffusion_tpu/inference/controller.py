@@ -96,6 +96,13 @@ def make_controller_batch(config: ModelConfig, state: ControllerState) -> dict:
         batch["image_data"] = state.images
     if config.use_gamestate:
         batch["game_state"] = state.game_state
+    if not batch:
+        # decoder_only tier: every conditioning modality is off (reference
+        # config/decoder_only.yaml) — carry the batch size for
+        # encode_context's empty-context fallback via a zero-width
+        # placeholder under the training batch's target key
+        batch["joint_command"] = jnp.zeros(
+            (state.joint_command_history.shape[0], 0, 0))
     return batch
 
 

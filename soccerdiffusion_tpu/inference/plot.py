@@ -60,6 +60,10 @@ def main(argv=None):
     params = ckpt["hyperparams"]
     config = Config.from_dict(params)
     distilled = params.get("distilled_decoder", False)
+    # few-step students (training/distill.py --student-steps K) are served
+    # by the standard DDIM path with their trained step count
+    if params.get("distilled_num_steps"):
+        args.steps = int(params["distilled_num_steps"])
 
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)

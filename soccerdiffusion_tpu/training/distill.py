@@ -1,22 +1,32 @@
-"""Sampler distillation: 30-step DDIM teacher -> 1-step student.
+"""Sampler distillation: 30-step DDIM teacher -> few-step (1..K) student.
 
 Counterpart of reference ml/training/distill.py:120-224, as one jitted step:
 
   * teacher and student start from the same checkpoint (distill.py:127-142)
   * per batch: sample pure noise; the teacher encodes the context ONCE and
     rolls out ``distill_teacher_inference_steps`` DDIM steps (here a
-    ``lax.scan`` under ``stop_gradient``); the student does a single
-    ``denoise`` at t=0 on the ORIGINAL noise using the teacher's cached
-    context (distill.py:172-195) — so gradients flow only into the
-    student's denoiser/step-token
+    ``lax.scan`` under ``stop_gradient``) using the teacher's cached
+    context (distill.py:172-189)
+  * the student consumes the ORIGINAL noise and the same cached context:
+    with ``student_steps=1`` it is the reference's single ``denoise`` at
+    t=0 whose output IS the trajectory (distill.py:191-195); with
+    ``student_steps=K>1`` it runs its own K-step DDIM rollout WITH
+    gradients through all K steps (trajectory-matching few-step
+    distillation — the mid-quality/mid-speed points between the 30-step
+    teacher and the 1-step student; no reference counterpart)
   * loss = MSE(student_output, teacher_trajectory) (distill.py:198)
-  * the saved checkpoint's hyperparams carry ``distilled_decoder: True``,
-    which inference branches on (distill.py:62; ros.py:293)
+  * the saved checkpoint's hyperparams carry ``distilled_decoder: True``
+    for the 1-step student — which inference branches on (distill.py:62;
+    ros.py:293) — or ``distilled_num_steps: K`` for a few-step student,
+    which the evaluation/serving paths read as the DDIM step count (the
+    student still predicts epsilon, so the standard sampler machinery,
+    including the fused whole-chunk kernel, serves it with T=K).
 
 CLI (argument order matches the reference):
 
   python -m soccerdiffusion_tpu.training.distill <config.yaml> <teacher_ckpt>
-      [-o out] [--dummy-data] [--epochs N] [--steps-per-epoch N]
+      [-o out] [--student-steps K] [--dummy-data] [--epochs N]
+      [--steps-per-epoch N]
 """
 
 from __future__ import annotations
@@ -51,9 +61,17 @@ def make_distill_step(
     schedule: DiffusionSchedule,
     optimizer: optax.GradientTransformation,
     teacher_inference_steps: int = 30,
+    student_steps: int = 1,
     donate: bool = True,
 ) -> Callable:
-    """(student_state, teacher_params, batch, seed) -> (student_state, metrics)."""
+    """(student_state, teacher_params, batch, seed) -> (student_state, metrics).
+
+    ``student_steps=1``: single forward at t=0, output IS the trajectory
+    (reference distill.py:191-195). ``student_steps=K>1``: differentiable
+    K-step DDIM rollout of the student (epsilon-predicting) against the
+    teacher trajectory."""
+    if student_steps < 1:
+        raise ValueError(f"student_steps must be >= 1, got {student_steps}")
 
     def step_fn(state: TrainState, teacher_params, batch, rng_seed):
         rng = jax.random.fold_in(jax.random.key(rng_seed), state.step)
@@ -87,10 +105,20 @@ def make_distill_step(
             student_vars = {"params": params}
             if state.batch_stats:
                 student_vars["batch_stats"] = state.batch_stats
-            pred = model.apply(
-                student_vars, context, noise, jnp.zeros((bsz,), jnp.int32),
-                method=model.denoise,
-            )
+            if student_steps == 1:
+                pred = model.apply(
+                    student_vars, context, noise, jnp.zeros((bsz,), jnp.int32),
+                    method=model.denoise,
+                )
+            else:
+                def student_denoise(x, t):
+                    return model.apply(
+                        student_vars, context, x,
+                        jnp.full((bsz,), t, jnp.int32), method=model.denoise,
+                    )
+
+                # K-step DDIM with gradients flowing through every step
+                pred = ddim_sample(schedule, student_denoise, noise, student_steps)
             return jnp.mean(jnp.square(pred.astype(jnp.float32) - teacher_traj))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -109,6 +137,10 @@ def main(argv=None):
     parser.add_argument("config", type=str)
     parser.add_argument("checkpoint", type=str)
     parser.add_argument("--output", "-o", type=str, default="distilled_model.ckpt")
+    parser.add_argument("--student-steps", type=int, default=1,
+                        help="student DDIM steps: 1 = reference-style t=0 "
+                             "forward; K>1 = few-step trajectory-matching "
+                             "student served with T=K")
     parser.add_argument("--dummy-data", action="store_true")
     parser.add_argument("--db", type=str, default=None)
     parser.add_argument("--epochs", type=int, default=None)
@@ -152,11 +184,17 @@ def main(argv=None):
     distill_step = make_distill_step(
         model, schedule, optimizer,
         teacher_inference_steps=config.train.distill_teacher_inference_steps,
+        student_steps=args.student_steps,
     )
     metrics_logger = MetricsLogger(args.metrics, log_every=config.train.log_every)
 
     params = dict(params)
-    params["distilled_decoder"] = True  # inference branches on this (ros.py:293)
+    if args.student_steps == 1:
+        params["distilled_decoder"] = True  # inference branches on this (ros.py:293)
+    else:
+        # few-step student: epsilon-predicting, served by the standard DDIM
+        # machinery (incl. the fused chunk kernel) with T=K
+        params["distilled_num_steps"] = args.student_steps
 
     with mesh:
         for epoch in range(epochs):

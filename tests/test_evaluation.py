@@ -1,0 +1,166 @@
+"""Quality-evaluation harness tests: open-loop metrics, sampler agreement,
+closed-loop divergence, the few-step distillation path, and the report
+round trip — all on a tiny proprioceptive config (CPU)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu.config import ModelConfig
+from soccerdiffusion_tpu.data import WindowedDataset, generate_dummy_arrays
+from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.evaluation import (
+    closed_loop_divergence,
+    held_out_indices,
+    open_loop_metrics,
+    sampler_agreement,
+    self_consistency,
+)
+from soccerdiffusion_tpu.models import DiffusionPolicy
+from soccerdiffusion_tpu.training import create_train_state, make_optimizer
+from soccerdiffusion_tpu.training.distill import make_distill_step
+
+CFG = ModelConfig(
+    num_joints=6, hidden_dim=32, trajectory_prediction_length=5,
+    action_context_length=20, joint_state_context_length=20, imu_context_length=20,
+    use_images=False, use_imu=False, use_joint_states=False, use_gamestate=False,
+    num_action_history_encoder_layers=1, num_decoder_layers=1,
+)
+
+
+def setup():
+    dummy = generate_dummy_arrays(1, 200, num_joints=6)
+    ds = WindowedDataset.from_dummy(dummy, CFG)
+    model = DiffusionPolicy(CFG)
+    sched = make_schedule(50)
+    opt = make_optimizer(1e-3, total_steps=60, use_onecycle=False)
+    batch = next(ds.batches(8, shuffle=False))
+    state = create_train_state(model, jax.device_put(batch), opt, jax.random.key(0), 5, 6)
+    from soccerdiffusion_tpu.data.normalizer import Normalizer
+
+    norm = Normalizer.fit(ds.sample_targets(64))
+    return ds, model, sched, opt, state, norm
+
+
+class TestOpenLoop:
+    def test_metrics_shape_and_determinism(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        idx = held_out_indices(len(ds), 16, seed=3)
+        m1 = open_loop_metrics(model, variables, norm, sched, ds, idx,
+                               num_steps=4, distilled=False, batch_size=8)
+        m2 = open_loop_metrics(model, variables, norm, sched, ds, idx,
+                               num_steps=4, distilled=False, batch_size=8)
+        assert m1["sampler"] == "ddim4"
+        assert m1["mse"] == m2["mse"]  # seeded noise -> reproducible
+        assert np.isfinite(m1["mse"]) and np.isfinite(m1["mae"])
+        assert len(m1["per_joint_mse"]) == 6
+        assert np.isfinite(m1["noise_floor_mse"])
+
+    def test_agreement_identical_params_near_zero(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        idx = held_out_indices(len(ds), 8, seed=0)
+        # same params, same sampler -> agreement error is exactly 0
+        a = sampler_agreement(model, variables, variables, norm, sched, ds,
+                              idx, teacher_steps=4, student_steps=4,
+                              student_distilled=False, batch_size=8)
+        assert a["mse_vs_teacher"] == 0.0
+        # distilled single forward differs from 4-step DDIM
+        b = sampler_agreement(model, variables, variables, norm, sched, ds,
+                              idx, teacher_steps=4, student_steps=1,
+                              student_distilled=True, batch_size=8)
+        assert b["mse_vs_teacher"] > 0.0
+        assert b["student"] == "distilled1"
+
+
+class TestClosedLoop:
+    def test_divergence_zero_for_identical(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        d = closed_loop_divergence(model, variables, variables, sched, norm,
+                                   teacher_steps=3, student_steps=3,
+                                   student_distilled=False, batch_size=4,
+                                   num_chunks=3)
+        assert d["final_divergence_rad"] == 0.0
+        assert len(d["divergence_curve_rad"]) == 3
+
+    def test_divergence_positive_for_different_sampler(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        d = closed_loop_divergence(model, variables, variables, sched, norm,
+                                   teacher_steps=3, student_steps=1,
+                                   student_distilled=True, batch_size=4,
+                                   num_chunks=3)
+        assert d["mean_divergence_rad"] > 0.0
+
+    def test_self_consistency_positive(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        sc = self_consistency(model, variables, sched, norm, num_steps=3,
+                              batch_size=4, num_chunks=2)
+        assert sc["mean_divergence_rad"] > 0.0
+
+
+class TestFewStepDistill:
+    def test_4step_student_loss_decreases(self):
+        ds, model, sched, opt, state, _ = setup()
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        step = make_distill_step(model, sched, opt, teacher_inference_steps=5,
+                                 student_steps=4, donate=False)
+        losses = []
+        for i, batch in enumerate(ds.batches(8, shuffle=True, seed=1)):
+            if i >= 20:
+                break
+            state, metrics = step(state, teacher_params, batch, 0)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_student_steps_validation(self):
+        _, model, sched, opt, _, _ = setup()
+        try:
+            make_distill_step(model, sched, opt, student_steps=0)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+class TestReport:
+    def test_report_round_trip(self, tmp_path):
+        """End-to-end: save teacher + 2-step student checkpoints, run the
+        report CLI against dummy data, check the JSON/markdown outputs."""
+        from soccerdiffusion_tpu.evaluation.report import main as report_main
+        from soccerdiffusion_tpu.training.checkpoint import save_checkpoint
+
+        ds, model, sched, opt, state, norm = setup()
+        params = {
+            "num_joints": 6, "hidden_dim": 32,
+            "trajectory_prediction_length": 5,
+            "action_context_length": 20, "joint_state_context_length": 20,
+            "imu_context_length": 20, "use_images": False, "use_imu": False,
+            "use_joint_states": False, "use_gamestate": False,
+            "num_action_history_encoder_layers": 1, "num_decoder_layers": 1,
+            "train_denoising_timesteps": 50,
+        }
+        teacher = tmp_path / "teacher.ckpt"
+        save_checkpoint(str(teacher), state, norm, params, 0)
+        s_params = dict(params, distilled_num_steps=2)
+        student = tmp_path / "student2.ckpt"
+        save_checkpoint(str(student), state, norm, s_params, 0)
+
+        out = tmp_path / "report"
+        result = report_main([
+            "--teacher", str(teacher), "--student", str(student),
+            "--dummy-data", "--windows", "8", "--chunks", "2",
+            "--batch-size", "8", "--out", str(out),
+        ])
+        assert (out.with_suffix(".json")).exists()
+        md = (out.with_suffix(".md")).read_text()
+        assert "ddim2" in md and "ddim30" in md
+        loaded = json.loads(out.with_suffix(".json").read_text())
+        assert len(loaded["checkpoints"]) == 2
+        assert loaded["checkpoints"][1]["divergence"]["num_chunks"] == 2
+        assert result["teacher_self_consistency"]["mean_divergence_rad"] > 0
