@@ -71,6 +71,9 @@ def measure(args) -> dict:
         num_imu_encoder_layers=2,
         joint_state_encoder_layers=2,
         num_decoder_layers=4,
+        # reference-sanctioned temporal patching (sim_scratch.yaml:30,
+        # encoder/base.py:27): patch 5 cuts context tokens 301 -> 61
+        encoder_patch_size=args.patch,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     model = DiffusionPolicy(cfg)
@@ -84,6 +87,7 @@ def measure(args) -> dict:
         fused=fused, fused_block_robots=args.fused_block,
         fused_encoder=args.fused_encoder,
         fused_encoder_block_robots=args.fused_encoder_block,
+        fused_kv_quant=args.kv_quant,
     )
     carry = engine.init(args.batch, jax.random.key(0))
 
@@ -126,6 +130,8 @@ def measure(args) -> dict:
         "compute_dtype": "bfloat16" if args.bf16 else "float32",
         "sampler_path": args.sampler,
         "encoder_path": "fused" if args.fused_encoder else "xla",
+        "encoder_patch_size": args.patch,
+        "context_kv_quant": args.kv_quant,
     }
 
 
@@ -165,12 +171,25 @@ def main():
                         help="robot block for the distilled 1-step kernel (tiny "
                              "per-program work -> fewer launches wins)")
     parser.add_argument("--hidden", type=int, default=128)
+    parser.add_argument("--patch", type=int, default=1,
+                        help="encoder_patch_size (reference sanctions 1-10; "
+                             "5 cuts context tokens 301 -> 61)")
+    parser.add_argument("--kv-quant", choices=["none", "int8"], default="none",
+                        help="context K/V precision inside the fused chunk "
+                             "kernel")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
     parser.add_argument("--inline", action="store_true",
                         help="measure in-process (no fallback orchestration)")
+    parser.add_argument("--sidecars", type=str,
+                        default="distilled1,ddim4,patch5,int8kv",
+                        help="comma list of extra recorded points: distilled1 "
+                             "(1-step student path), ddim4 (few-step-student "
+                             "operating point through the chunk kernel), "
+                             "patch5 (encoder_patch_size=5, S=61), int8kv "
+                             "(int8 context K/V in-kernel); '' = headline only")
     parser.add_argument("--no-distilled-sidecar", action="store_true",
-                        help="skip the additional distilled-1-step measurement")
+                        help="skip all sidecar measurements (headline only)")
     parser.add_argument("--child-timeout", type=int, default=3600,
                         help="per-child wall limit; a cold-cache Mosaic "
                              "compile of the chunk program through the "
@@ -194,6 +213,8 @@ def main():
     if args.sampler == "chunk":
         result = run_child(base + enc + ["--steps", str(args.steps),
                                          "--sampler", "chunk",
+                                         "--patch", str(args.patch),
+                                         "--kv-quant", args.kv_quant,
                                          "--fused-block", str(args.fused_block)],
                            args.child_timeout)
         if result is None:
@@ -208,22 +229,42 @@ def main():
         log("benchmark failed on all paths")
         sys.exit(1)
 
-    # Sidecar: distilled 1-step real-time metric (BASELINE.md north star
-    # "30 Hz closed loop with distilled sampler"), recorded in the same line.
-    if not args.no_distilled_sidecar:
-        distilled = run_child(base + enc + ["--steps", "1", "--distilled",
-                                            "--sampler", "chunk",
-                                            "--fused-block",
-                                            str(args.fused_block_distilled)],
-                              args.child_timeout // 2)
-        if distilled is None:
-            distilled = run_child(base + ["--xla-encoder", "--steps", "1",
-                                          "--distilled", "--sampler", "none"],
-                                  args.child_timeout // 2)
-        if distilled is not None:
-            result["distilled1_chunks_per_sec_per_chip"] = distilled["value"]
-            result["distilled1_p50_replan_period_ms"] = distilled["p50_replan_period_ms"]
-            result["distilled1_sampler_path"] = distilled["sampler_path"]
+    # Sidecars: additional recorded operating points in the same JSON line.
+    #   distilled1 — 1-step student (BASELINE.md north star "30 Hz closed
+    #                loop with distilled sampler")
+    #   ddim4      — the few-step-distilled student's serving point (same
+    #                kernel, T=4; quality ledger: docs/quality_ledger_r3.md)
+    #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
+    #   int8kv     — int8 context K/V inside the chunk kernel
+    sidecar_flags = {
+        "distilled1": ["--steps", "1", "--distilled", "--sampler", "chunk",
+                       "--fused-block", str(args.fused_block_distilled)],
+        "ddim4": ["--steps", "4", "--sampler", "chunk",
+                  "--fused-block", str(args.fused_block)],
+        "patch5": ["--steps", str(args.steps), "--sampler", "chunk",
+                   "--patch", "5",
+                   "--fused-block", str(args.fused_block)],
+        "int8kv": ["--steps", str(args.steps), "--sampler", "chunk",
+                   "--kv-quant", "int8",
+                   "--fused-block", str(args.fused_block)],
+    }
+    wanted = [] if args.no_distilled_sidecar else [
+        s for s in args.sidecars.split(",") if s]
+    for name in wanted:
+        if name not in sidecar_flags:
+            log(f"unknown sidecar {name!r}; skipping")
+            continue
+        side = run_child(base + enc + sidecar_flags[name], args.child_timeout)
+        if side is None and name == "distilled1":
+            side = run_child(base + ["--xla-encoder", "--steps", "1",
+                                     "--distilled", "--sampler", "none"],
+                             args.child_timeout // 2)
+        if side is None:
+            log(f"sidecar {name} failed; omitting")
+            continue
+        result[f"{name}_chunks_per_sec_per_chip"] = side["value"]
+        result[f"{name}_p50_replan_period_ms"] = side["p50_replan_period_ms"]
+        result[f"{name}_sampler_path"] = side["sampler_path"]
 
     print(json.dumps(result), flush=True)
 

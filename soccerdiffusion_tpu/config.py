@@ -87,7 +87,11 @@ class ModelConfig:
     num_decoder_heads: int = 4  # every reference config uses 4 (model.py:115)
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # "auto" | "xla" | "pallas" | "ring" — "ring" enables sequence
+    # parallelism over a mesh "seq" axis (parallel/ring_attention.py):
+    # encoder self-attention rides the ring, the denoiser's cross-attention
+    # uses the head-sharded form, anything unshardable falls back to XLA
+    attention_impl: str = "auto"
     # remat the per-frame image-encoder blocks in backward (HBM-traffic
     # optimization for the bandwidth-bound image configs; perf_notes.md)
     remat_image_encoder: bool = False

@@ -76,6 +76,7 @@ class RolloutEngine:
         fused_group_robots: int = 1,
         fused_encoder: bool | str = False,
         fused_encoder_block_robots: int = 16,
+        fused_kv_quant: str = "none",
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -99,6 +100,9 @@ class RolloutEngine:
         # the XLA op graph; "interpret" runs it in interpret mode (tests).
         self.fused_encoder = fused_encoder
         self.fused_encoder_block_robots = fused_encoder_block_robots
+        # "int8": quantized context K/V inside the fused chunk kernel
+        # (ops/fused_chunk.py context_kv_quant)
+        self.fused_kv_quant = fused_kv_quant
 
     # ------------------------------------------------------------------ init
 
@@ -172,7 +176,8 @@ class RolloutEngine:
             while block % group:
                 group -= 1
             fused = FusedChunkSampler(self.model, variables["params"],
-                                      block_robots=block, group_robots=group)
+                                      block_robots=block, group_robots=group,
+                                      context_kv_quant=self.fused_kv_quant)
             # raw context goes straight in — K/V projection happens in-kernel
             ts = jnp.asarray(ddim_timesteps(
                 self.schedule.num_train_timesteps, self.num_inference_steps))

@@ -12,6 +12,10 @@ The inner attention computation is a backend function with signature
   * "pallas" — fused flash-attention kernel (soccerdiffusion_tpu.ops)
                keeping the score tile in VMEM; wins on long sequences.
   * "auto"   — shape-aware: pallas on TPU for long sequences, else xla.
+  * "ring"   — sequence parallelism over the ambient mesh's "seq" axis
+               (parallel/ring_attention.py): true ring attention for
+               self-attention whose length divides the axis, head-sharded
+               attention for cross-attention, XLA fallback otherwise.
 
 Cross-attention K/V can be precomputed once per memory
 (``compute_kv``/``precomputed_kv``) — the serving path caches the context's
@@ -51,6 +55,13 @@ def resolve_attention_fn(impl: str) -> AttentionFn:
         from soccerdiffusion_tpu.ops.flash_attention import flash_attention_auto
 
         return flash_attention_auto
+    if impl == "ring":
+        # sequence parallelism over the ambient mesh's "seq" axis: ring
+        # attention where the sequence divides the axis, head-sharded
+        # (Ulysses-style) where only the heads do, XLA otherwise
+        from soccerdiffusion_tpu.parallel.ring_attention import auto_ring_attention
+
+        return auto_ring_attention
     raise ValueError(f"unknown attention impl: {impl}")
 
 

@@ -43,6 +43,7 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                        pred_len: int, hidden: int, num_joints: int,
                        num_steps: int, block_robots: int, seq: int,
                        group_robots: int = 1, cross_orientation: str = "kstat",
+                       kv_quant: str = "none",
                        ablate: frozenset = frozenset()):
     """Build the chunk kernel. ``ablate`` is a microbenchmark-only hook
     (benchmarks/microbench_chunk_ablate.py) that drops named sub-blocks
@@ -55,6 +56,16 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
     G = group_robots  # robots packed into one flat block-diagonal attention
     NG = R // G
     QSTAT = G == 1 and cross_orientation == "qstat"
+    # int8 context K/V: quantize the per-chunk context K/V scratch with one
+    # fp32 scale per (layer, tensor) — scalar scales keep every broadcast
+    # Mosaic-legal (no size-1 sublane broadcasts) and let the score/value
+    # contractions run as int8 x int8 MXU dots, halving the per-robot
+    # stationary-operand transit that the round-2 ablation identified as
+    # the cross-attention floor (docs/perf_notes.md).
+    QUANT = kv_quant == "int8"
+    if QUANT and (QSTAT or G != 1):
+        raise ValueError("kv_quant='int8' supports the default kstat, "
+                         "group_robots=1 orientation only")
     # qstat scratch rows: S context rows + all T step-token rows (written
     # once at chunk init; a per-step mask selects row S+t)
     SK = S + T if QSTAT else S
@@ -97,13 +108,33 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 preferred_element_type=jnp.float32,
             )
 
+        def bdot_i32(a, b, contract_a, contract_b):
+            """int8 x int8 -> int32 batched dot (MXU int8 path)."""
+            return jax.lax.dot_general(
+                a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+
         # ---- once per chunk: project context K/V into scratch ----
         ctx2d = ctx_ref[...].reshape(R * S, E)
         ck_w_all, ck_b_all = ck_w_ref[...], ck_b_ref[...]
         cv_w_all, cv_b_all = cv_w_ref[...], cv_b_ref[...]
+        # per-(layer, tensor) fp32 quantization scales, captured as
+        # loop-invariant values by the step body (L-loop is Python-unrolled)
+        k_scales, v_scales = [], []
         for l in range(L):
             k_l = dot(ctx2d, at(ck_w_all, l)) + at(ck_b_all, l)
             v_l = dot(ctx2d, at(cv_w_all, l)) + at(cv_b_all, l)
+            if QUANT:
+                sk = jnp.maximum(jnp.max(jnp.abs(k_l)) / 127.0, 1e-8)
+                sv = jnp.maximum(jnp.max(jnp.abs(v_l)) / 127.0, 1e-8)
+                k_scales.append(sk)
+                v_scales.append(sv)
+                ctx_k_scr[l] = jnp.clip(jnp.round(k_l / sk), -127.0, 127.0
+                                        ).astype(jnp.int8).reshape(R, S, E)
+                ctx_v_scr[l] = jnp.clip(jnp.round(v_l / sv), -127.0, 127.0
+                                        ).astype(jnp.int8).reshape(R, S, E)
+                continue
             if QSTAT:
                 ctx_k_scr[l, :, pl.ds(0, S), :] = (
                     k_l.reshape(R, S, E).astype(compute_dtype))
@@ -218,10 +249,18 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 outs.append(o_g.astype(compute_dtype).reshape(G, HP, E))
             return jnp.concatenate(outs, axis=0)
 
-        def cross_attention(qs2, k_ctx, v_ctx, stk_l, stv_l, maskadd=None):
+        def cross_attention(qs2, k_ctx, v_ctx, stk_l, stv_l, maskadd=None,
+                            sk_l=None, sv_l=None):
             """Cross-attend head-stacked queries (R, HP, E) to per-robot
             context K/V (R, S, E) with the shared step-token column folded
-            into a joint softmax. Returns (R, HP, E) compute_dtype."""
+            into a joint softmax. Returns (R, HP, E) compute_dtype.
+
+            When ``sk_l``/``sv_l`` are given, k_ctx/v_ctx are int8 with
+            those per-tensor scales: queries are symmetrically quantized per
+            call, the score dot runs int8 x int8 -> int32, probabilities are
+            quantized to 1/127 granularity for the int8 value dot, and the
+            fp32 step-token column + final normalization keep the softmax
+            exact in fp32."""
             if QSTAT:
                 # Transposed scores: (R, SK, HP). The big context K (with
                 # all T step-token rows pre-written at rows S..S+T-1 and the
@@ -245,7 +284,15 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                     preferred_element_type=jnp.float32)  # (R, HP, E)
                 return (o / denom[..., None]).astype(compute_dtype)
             if G == 1:
-                s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
+                if sk_l is not None:
+                    q32 = qs2.astype(jnp.float32)
+                    sq = jnp.maximum(jnp.max(jnp.abs(q32)) / 127.0, 1e-8)
+                    q_q = jnp.clip(jnp.round(q32 / sq), -127.0, 127.0
+                                   ).astype(jnp.int8)
+                    s = (bdot_i32(q_q, k_ctx, 2, 2).astype(jnp.float32)
+                         * (sq * sk_l * scale))  # (R, HP, S) fp32
+                else:
+                    s = bdot(qs2, k_ctx, 2, 2) * scale  # (R, HP, S) fp32
                 s_x = jnp.sum(
                     qs2.astype(jnp.float32) * stk_l.astype(jnp.float32)[None],
                     axis=-1, keepdims=True,
@@ -258,7 +305,13 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                     p = jnp.exp(s - m)
                     p_x = jnp.exp(s_x - m)
                     denom = jnp.sum(p, axis=-1, keepdims=True) + p_x
-                o = bdot(p.astype(compute_dtype), v_ctx, 2, 1)  # fp32
+                if sv_l is not None:
+                    # p is in [0, 1]: fixed-point quantize at 1/127
+                    p_q = jnp.round(p * 127.0).astype(jnp.int8)
+                    o = (bdot_i32(p_q, v_ctx, 2, 1).astype(jnp.float32)
+                         * (sv_l * (1.0 / 127.0)))
+                else:
+                    o = bdot(p.astype(compute_dtype), v_ctx, 2, 1)  # fp32
                 o = o + p_x * stv_l.astype(jnp.float32)[None]
                 return (o / denom).astype(compute_dtype)
             kf = k_ctx.reshape(R * S, E)
@@ -337,8 +390,10 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                         # per-head score
                         stk_l = jax.lax.slice_in_dim(stk_t, l, l + 1, axis=0)
                         stv_l = jax.lax.slice_in_dim(stv_t, l, l + 1, axis=0)
-                    o = cross_attention(qs2, ctx_k_scr[l], ctx_v_scr[l],
-                                        stk_l, stv_l, maskadd)
+                    o = cross_attention(
+                        qs2, ctx_k_scr[l], ctx_v_scr[l], stk_l, stv_l, maskadd,
+                        sk_l=k_scales[l] if QUANT else None,
+                        sv_l=v_scales[l] if QUANT else None)
                     attn = dot(merge_heads(o), at(co_w_all, l)) + at(co_b_all, l)
                     h = h + attn.astype(compute_dtype)
 
@@ -383,7 +438,8 @@ class FusedChunkSampler(FusedDenoiser):
 
     def __init__(self, model, params, interpret: bool = False,
                  block_robots: int = 32, group_robots: int = 1,
-                 cross_orientation: str = "kstat"):
+                 cross_orientation: str = "kstat",
+                 context_kv_quant: str = "none"):
         super().__init__(model, params, interpret=interpret, block_robots=block_robots)
         if block_robots % group_robots != 0:
             raise ValueError(
@@ -393,8 +449,13 @@ class FusedChunkSampler(FusedDenoiser):
             raise ValueError(f"unknown cross_orientation {cross_orientation!r}")
         if cross_orientation == "qstat" and group_robots != 1:
             raise ValueError("cross_orientation='qstat' requires group_robots=1")
+        if context_kv_quant not in ("none", "int8"):
+            raise ValueError(f"unknown context_kv_quant {context_kv_quant!r}")
         self.group_robots = group_robots
         self.cross_orientation = cross_orientation
+        # "int8": context K/V live in VMEM scratch as int8 with per-(layer,
+        # tensor) scales; cross-attention dots run on the int8 MXU path
+        self.context_kv_quant = context_kv_quant
         # microbenchmark-only component-ablation hook (see _make_chunk_kernel)
         self._ablate = frozenset()
 
@@ -445,6 +506,7 @@ class FusedChunkSampler(FusedDenoiser):
         kernel = _make_chunk_kernel(self.num_layers, self.num_heads, self.head_dim,
                                     P, E, J, T, R, S, group_robots=G,
                                     cross_orientation=self.cross_orientation,
+                                    kv_quant=self.context_kv_quant,
                                     ablate=self._ablate)
         SK = S + T if (G == 1 and self.cross_orientation == "qstat") else S
         L = self.num_layers
@@ -464,8 +526,12 @@ class FusedChunkSampler(FusedDenoiser):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, P, J), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((L, R, SK, E), self.dtype),
-                pltpu.VMEM((L, R, SK, E), self.dtype),
+                pltpu.VMEM((L, R, SK, E),
+                           jnp.int8 if self.context_kv_quant == "int8"
+                           else self.dtype),
+                pltpu.VMEM((L, R, SK, E),
+                           jnp.int8 if self.context_kv_quant == "int8"
+                           else self.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,

@@ -14,9 +14,13 @@ from soccerdiffusion_tpu.parallel.mesh import (
     shard_batch,
 )
 from soccerdiffusion_tpu.parallel.ring_attention import (
+    auto_ring_attention,
+    head_sharded_attention,
     ring_attention,
     ring_attention_sharded,
+    ring_self_attention,
 )
 
 __all__ = ["make_mesh", "MeshRules", "shard_batch", "param_shardings",
-           "ring_attention", "ring_attention_sharded"]
+           "ring_attention", "ring_attention_sharded", "auto_ring_attention",
+           "ring_self_attention", "head_sharded_attention"]

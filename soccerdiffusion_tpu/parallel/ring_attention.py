@@ -94,3 +94,76 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "data"):
     sharding = NamedSharding(mesh, spec)
     q, k, v = (jax.device_put(x, sharding) for x in (q, k, v))
     return fn(q, k, v)
+
+
+# --------------------------------------------------------------------------
+# Model wiring: ``attention_impl: "ring"`` (models/attention.py) routes every
+# MultiHeadAttention through ``auto_ring_attention`` below, which reads the
+# ambient device mesh and picks the exact sharded form each call shape
+# admits. This makes sequence parallelism a CONFIG property of the model
+# rather than a standalone demo function.
+# --------------------------------------------------------------------------
+
+RING_AXIS = "seq"  # mesh axis the ring rotates over (parallel/mesh.py)
+BATCH_AXIS = "data"  # dp axis, kept sharded through the shard_map boundary
+
+
+def ambient_mesh() -> Mesh | None:
+    """The mesh in scope at trace time: the legacy ``with mesh:`` context
+    (used throughout training/serving here), else None."""
+    from jax._src import mesh as mesh_lib
+
+    pm = mesh_lib.thread_resources.env.physical_mesh
+    return None if pm.empty else pm
+
+
+def _batch_spec(mesh: Mesh):
+    return BATCH_AXIS if BATCH_AXIS in mesh.axis_names else None
+
+
+def ring_self_attention(q, k, v, mesh: Mesh, axis: str = RING_AXIS):
+    """Self-attention with the sequence dim of q/k/v sharded over ``axis``
+    (true ring: K/V shards rotate via ppermute). Requires S % axis_size == 0."""
+    spec = P(_batch_spec(mesh), axis, None, None)
+    fn = jax.shard_map(partial(ring_attention_sharded, axis_name=axis),
+                       mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+
+
+def head_sharded_attention(q, k, v, mesh: Mesh, axis: str = RING_AXIS):
+    """Exact attention with the HEAD dim sharded over ``axis`` (the
+    Ulysses-style form): each device holds full sequences for its head
+    subset, so arbitrary q/kv lengths work — the form the denoiser's
+    cross-attention (10 query rows vs a long context) admits when the ring
+    form does not. XLA inserts the boundary all-to-alls over ICI."""
+    from soccerdiffusion_tpu.models.attention import xla_attention
+
+    spec = P(_batch_spec(mesh), None, axis, None)
+    fn = jax.shard_map(xla_attention, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+
+
+def auto_ring_attention(q, k, v):
+    """Backend for ``attention_impl: "ring"``: shape-aware sequence
+    parallelism over the ambient mesh's ``seq`` axis.
+
+      * no mesh in scope, or no ``seq`` axis -> plain XLA attention
+      * self-attention with S divisible by the axis -> ring attention
+      * otherwise, heads divisible by the axis -> head-sharded attention
+      * else -> plain XLA attention (shapes admit no exact sharding)
+    """
+    from soccerdiffusion_tpu.models.attention import xla_attention
+
+    mesh = ambient_mesh()
+    if mesh is None or RING_AXIS not in mesh.axis_names:
+        return xla_attention(q, k, v)
+    n = mesh.shape[RING_AXIS]
+    if n == 1:
+        return xla_attention(q, k, v)
+    s_q, s_k, heads = q.shape[1], k.shape[1], q.shape[2]
+    if s_q == s_k and s_q % n == 0:
+        return ring_self_attention(q, k, v, mesh)
+    if heads % n == 0:
+        return head_sharded_attention(q, k, v, mesh)
+    return xla_attention(q, k, v)

@@ -146,11 +146,7 @@ class TestFusedChunkSampler:
 
 class TestQstatOrientation:
     def test_qstat_single_step_matches_xla(self):
-        """Streamed-K orientation, exact single-step parity. Multi-step
-        qstat drifts more than kstat (the normalized probabilities are
-        rounded to bf16 BEFORE the value dot instead of after), so the
-        tight gate is single-step; the looser multi-step gate below pins
-        accumulation within f32-reorder scale."""
+        """Streamed-K orientation, exact single-step parity."""
         model, variables, ctx, kv, noisy = full_setup(b=4)
         schedule = make_schedule(50)
         expected = xla_sample(model, variables, kv, noisy, schedule, 1)
@@ -162,6 +158,9 @@ class TestQstatOrientation:
                                    rtol=8e-3, atol=8e-3)
 
     def test_qstat_multi_step_bounded_drift(self):
+        """Multi-step drift now matches kstat-level accuracy: normalization
+        divides the fp32 output after the value contraction instead of
+        rounding normalized probabilities to bf16 before it."""
         model, variables, ctx, kv, noisy = full_setup(b=4)
         schedule = make_schedule(60)
         expected = xla_sample(model, variables, kv, noisy, schedule, 3)
@@ -170,7 +169,7 @@ class TestQstatOrientation:
         got = fused.sample(ctx, noisy, step_table(model, variables, schedule, 3),
                            schedule, 3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
-                                   rtol=5e-2, atol=5e-2)
+                                   rtol=8e-3, atol=8e-3)
 
     def test_qstat_rejects_grouping(self):
         model, variables, ctx, kv, noisy = full_setup(b=4)
@@ -178,3 +177,53 @@ class TestQstatOrientation:
             FusedChunkSampler(model, variables["params"], interpret=True,
                               block_robots=4, group_robots=2,
                               cross_orientation="qstat")
+
+
+class TestInt8ContextKV:
+    """context_kv_quant="int8": bounded-error study of the quantized
+    cross-attention path (per-(layer,tensor) scales, int8 score/value dots,
+    1/127 fixed-point probabilities)."""
+
+    def test_int8_single_step_bounded_error(self):
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        schedule = make_schedule(50)
+        expected = np.asarray(xla_sample(model, variables, kv, noisy, schedule, 1))
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=4, context_kv_quant="int8")
+        got = np.asarray(fused.sample(
+            ctx, noisy, step_table(model, variables, schedule, 1), schedule, 1))
+        err = np.abs(got - expected)
+        scale = np.abs(expected).mean() + 1e-6
+        assert err.max() / scale < 0.05, (err.max(), scale)
+
+    def test_int8_multi_step_bounded_drift(self):
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        schedule = make_schedule(60)
+        steps = 5
+        expected = np.asarray(xla_sample(model, variables, kv, noisy, schedule, steps))
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=4, context_kv_quant="int8")
+        got = np.asarray(fused.sample(
+            ctx, noisy, step_table(model, variables, schedule, steps),
+            schedule, steps))
+        err = np.abs(got - expected)
+        scale = np.abs(expected).mean() + 1e-6
+        # multi-step accumulation of the int8 rounding stays bounded
+        assert err.max() / scale < 0.15, (err.max(), scale)
+        assert err.mean() / scale < 0.05, (err.mean(), scale)
+
+    def test_int8_rejects_qstat_and_grouping(self):
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        st = step_table(model, variables, make_schedule(50), 1)
+        for kwargs in ({"cross_orientation": "qstat"}, {"group_robots": 2}):
+            fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                      block_robots=4, context_kv_quant="int8",
+                                      **kwargs)
+            with np.testing.assert_raises(ValueError):
+                fused.sample(ctx, noisy, st, make_schedule(50), 1)
+
+    def test_int8_rejects_unknown_mode(self):
+        model, variables, *_ = full_setup(b=4)
+        with np.testing.assert_raises(ValueError):
+            FusedChunkSampler(model, variables["params"], interpret=True,
+                              block_robots=4, context_kv_quant="fp8")

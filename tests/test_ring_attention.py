@@ -61,3 +61,111 @@ class TestRingAttention:
         want = xla_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestRingWiring:
+    """attention_impl="ring" routes the FULL policy through the sharded
+    attention forms under a seq-sharded mesh (VERDICT round-2 item 5)."""
+
+    def _cfg(self, impl):
+        from soccerdiffusion_tpu.config import ModelConfig
+
+        return ModelConfig(
+            num_joints=6, hidden_dim=32, trajectory_prediction_length=10,
+            action_context_length=100, joint_state_context_length=100,
+            imu_context_length=100, use_images=False, use_gamestate=True,
+            num_action_history_encoder_layers=1, num_imu_encoder_layers=1,
+            joint_state_encoder_layers=1, num_decoder_layers=2,
+            attention_impl=impl,
+        )
+
+    def _batch(self, b=8):
+        rng = np.random.default_rng(0)
+        return {
+            "joint_command": jnp.asarray(rng.random((b, 10, 6), np.float32)),
+            "joint_command_history": jnp.asarray(rng.random((b, 100, 6), np.float32)),
+            "rotation": jnp.asarray(rng.random((b, 100, 4), np.float32)),
+            "joint_state": jnp.asarray(rng.random((b, 100, 6), np.float32)),
+            "game_state": jnp.zeros((b,), jnp.int32),
+        }
+
+    def test_auto_ring_falls_back_without_mesh(self):
+        from soccerdiffusion_tpu.parallel.ring_attention import auto_ring_attention
+
+        q, k, v = _qkv(s=64)
+        np.testing.assert_allclose(np.asarray(auto_ring_attention(q, k, v)),
+                                   np.asarray(xla_attention(q, k, v)))
+
+    def test_policy_forward_matches_xla_under_mesh(self):
+        """Full policy forward under a data x seq mesh, ring vs plain xla:
+        encoder self-attention (S=100, divisible by 4) rides the ring, the
+        decoder cross-attention (10 q rows vs 302 kv rows) takes the
+        head-sharded form, decoder self-attention (10x10, 4 heads) too."""
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        model_x = DiffusionPolicy(self._cfg("xla"))
+        model_r = DiffusionPolicy(self._cfg("ring"))
+        batch = self._batch()
+        noisy = jnp.asarray(np.random.default_rng(1).random((8, 10, 6), np.float32))
+        t = jnp.full((8,), 3, jnp.int32)
+        variables = model_x.init(jax.random.key(0), batch, noisy, t)
+        want = model_x.apply(variables, batch, noisy, t, False)
+
+        mesh = make_mesh({"data": 2, "seq": 4})
+        with mesh:
+            got = jax.jit(
+                lambda v, b, n, tt: model_r.apply(v, b, n, tt, False)
+            )(variables, batch, noisy, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_train_step_under_ring_mesh(self):
+        """The trainer accepts the ring config end-to-end on the CPU mesh."""
+        from soccerdiffusion_tpu.data import Normalizer
+        from soccerdiffusion_tpu.diffusion import make_schedule
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+        from soccerdiffusion_tpu.training import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        model = DiffusionPolicy(self._cfg("ring"))
+        batch = self._batch()
+        schedule = make_schedule(50)
+        optimizer = make_optimizer(1e-3, total_steps=4, use_onecycle=False)
+        normalizer = Normalizer(mean=jnp.zeros(6), std=jnp.ones(6))
+        mesh = make_mesh({"data": 2, "seq": 4})
+        with mesh:
+            state = create_train_state(model, batch, optimizer,
+                                       jax.random.key(0), 10, 6)
+            step = make_train_step(model, schedule, optimizer, normalizer,
+                                   donate=False)
+            state, metrics = step(state, batch, 0)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_rollout_sampler_under_ring_mesh(self):
+        """The batched rollout engine (serving path) accepts the ring
+        config under the mesh too."""
+        from soccerdiffusion_tpu.data import Normalizer
+        from soccerdiffusion_tpu.diffusion import make_schedule
+        from soccerdiffusion_tpu.inference.rollout import RolloutEngine
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        model = DiffusionPolicy(self._cfg("ring"))
+        batch = self._batch(4)
+        noisy = jnp.zeros((4, 10, 6))
+        variables = model.init(jax.random.key(0), batch, noisy,
+                               jnp.zeros((4,), jnp.int32))
+        engine = RolloutEngine(
+            model, make_schedule(50),
+            Normalizer(mean=jnp.zeros(6), std=jnp.ones(6)),
+            num_inference_steps=3,
+        )
+        mesh = make_mesh({"data": 2, "seq": 4})
+        with mesh:
+            carry = engine.init(4, jax.random.key(1))
+            rollout = engine.make_rollout_fn(2, jit=True)
+            _, chunks = rollout(variables, carry)
+        assert chunks.shape == (2, 4, 10, 6)
+        assert np.all(np.isfinite(np.asarray(chunks)))
