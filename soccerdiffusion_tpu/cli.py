@@ -25,18 +25,40 @@ from pathlib import Path
 from soccerdiffusion_tpu import DB_PATH, IMAGE_MAX_RESAMPLE_RATE_HZ, DEFAULT_RESAMPLE_RATE_HZ, logger
 
 
-def _build_import_parser(sub):
-    p = sub.add_parser("import", help="import a recording into the dataset db")
+def _add_import_source_args(p):
     p.add_argument("type", choices=["bit-bots", "b-human"])
     p.add_argument("file", type=str)
     p.add_argument("location", type=str)
-    p.add_argument("--db", type=str, default=None)
     p.add_argument("--team-name", type=str, default=None)
     p.add_argument("--robot-type", type=str, default=None)
     p.add_argument("--public", action="store_true")
     p.add_argument("--simulated", action="store_true")
     p.add_argument("--caching", action="store_true", help="b-human: cache parsed frames")
     p.add_argument("--video", action="store_true", help="b-human: show live video")
+
+
+def _build_import_parser(sub):
+    p = sub.add_parser("import", help="import a recording into the dataset db")
+    _add_import_source_args(p)
+    p.add_argument("--db", type=str, default=None)
+    p.add_argument("--flush-rows", type=int, default=50_000,
+                   help="bounded-memory streaming insert interval; "
+                        "0 = materialize the whole bag first "
+                        "(reference behavior)")
+
+
+def _build_pack_parser(sub):
+    p = sub.add_parser(
+        "pack",
+        help="stream a recording straight into packed training shards "
+             "(mcap -> mmap .npy, no SQLite hop)")
+    _add_import_source_args(p)
+    p.add_argument("out_dir", type=str)
+    p.add_argument("--config", type=str, default=None,
+                   help="training config yaml fixing joint count / image "
+                        "resolution / IMU embedding (default: default.yaml "
+                        "geometry)")
+    p.add_argument("--flush-rows", type=int, default=50_000)
 
 
 def _build_db_parser(sub):
@@ -55,8 +77,21 @@ def _build_db_parser(sub):
         leaf.add_argument("--db", type=str, default=None)
 
 
-def cmd_import(args) -> int:
-    from soccerdiffusion_tpu.data.schema import connect, create_schema
+def _validate_source(args) -> Path | None:
+    file_path = Path(args.file)
+    if not file_path.exists():
+        logger.error(f"file not found: {file_path}")
+        return None
+    if args.type == "bit-bots" and file_path.suffix != ".mcap":
+        logger.error("bit-bots imports expect an .mcap file")
+        return None
+    if args.type == "b-human" and file_path.suffix != ".log":
+        logger.error("b-human imports expect a .log file")
+        return None
+    return file_path
+
+
+def _build_strategy(args):
     from soccerdiffusion_tpu.ingest import (
         BHumanGameStateConverter,
         BHumanImageConverter,
@@ -64,22 +99,10 @@ def cmd_import(args) -> int:
         BitbotsImageConverter,
         ImportMetadata,
         MaxRateResampler,
-        ModelImporter,
         OriginalRateResampler,
         PreviousInterpolationResampler,
         SyncedDataConverter,
     )
-
-    file_path = Path(args.file)
-    if not file_path.exists():
-        logger.error(f"file not found: {file_path}")
-        return 1
-    if args.type == "bit-bots" and file_path.suffix != ".mcap":
-        logger.error("bit-bots imports expect an .mcap file")
-        return 1
-    if args.type == "b-human" and file_path.suffix != ".log":
-        logger.error("b-human imports expect a .log file")
-        return 1
 
     metadata = ImportMetadata(
         allow_public=args.public,
@@ -92,29 +115,38 @@ def cmd_import(args) -> int:
     if args.type == "bit-bots":
         from soccerdiffusion_tpu.ingest.bitbots import BitBotsImportStrategy
 
-        strategy = BitBotsImportStrategy(
+        return BitBotsImportStrategy(
             metadata,
             BitbotsImageConverter(MaxRateResampler(IMAGE_MAX_RESAMPLE_RATE_HZ)),
             BitBotsGameStateConverter(OriginalRateResampler()),
             synced,
         )
-    else:
-        from soccerdiffusion_tpu.ingest.bhuman import BHumanImportStrategy
+    from soccerdiffusion_tpu.ingest.bhuman import BHumanImportStrategy
 
-        strategy = BHumanImportStrategy(
-            metadata,
-            BHumanImageConverter(MaxRateResampler(IMAGE_MAX_RESAMPLE_RATE_HZ)),
-            BHumanGameStateConverter(OriginalRateResampler()),
-            synced,
-            caching=args.caching,
-            video=args.video,
-        )
+    return BHumanImportStrategy(
+        metadata,
+        BHumanImageConverter(MaxRateResampler(IMAGE_MAX_RESAMPLE_RATE_HZ)),
+        BHumanGameStateConverter(OriginalRateResampler()),
+        synced,
+        caching=args.caching,
+        video=args.video,
+    )
 
+
+def cmd_import(args) -> int:
+    from soccerdiffusion_tpu.data.schema import connect, create_schema
+    from soccerdiffusion_tpu.ingest import ModelImporter
+
+    file_path = _validate_source(args)
+    if file_path is None:
+        return 1
+    strategy = _build_strategy(args)
     conn = connect(args.db or DB_PATH)
     try:
         create_schema(conn)
         try:
-            rec_id = ModelImporter(conn, strategy).import_to_db(file_path)
+            rec_id = ModelImporter(conn, strategy).import_to_db(
+                file_path, flush_rows=args.flush_rows or None)
         except (AssertionError, ImportError, ValueError) as exc:
             logger.error(f"import failed: {exc}")
             return 1
@@ -122,6 +154,26 @@ def cmd_import(args) -> int:
         return 0
     finally:
         conn.close()
+
+
+def cmd_pack(args) -> int:
+    from soccerdiffusion_tpu.config import Config, ModelConfig
+    from soccerdiffusion_tpu.ingest.streaming import pack_from_stream
+
+    file_path = _validate_source(args)
+    if file_path is None:
+        return 1
+    config = (Config.from_yaml(args.config).model if args.config
+              else ModelConfig())
+    strategy = _build_strategy(args)
+    try:
+        stats = pack_from_stream(strategy, file_path, config, args.out_dir,
+                                 flush_rows=args.flush_rows)
+    except (AssertionError, ImportError, ValueError) as exc:
+        logger.error(f"pack failed: {exc}")
+        return 1
+    logger.info(f"packed {stats['rows']} rows -> {stats['out_dir']}")
+    return 0
 
 
 def cmd_db(args) -> int:
@@ -191,10 +243,13 @@ def main(argv=None) -> int:
                ".inference.plot (run e.g. %(prog)s train --help)")
     sub = parser.add_subparsers(dest="command", required=True)
     _build_import_parser(sub)
+    _build_pack_parser(sub)
     _build_db_parser(sub)
     args = parser.parse_args(argv)
     if args.command == "import":
         return cmd_import(args)
+    if args.command == "pack":
+        return cmd_pack(args)
     if args.command == "db":
         return cmd_db(args)
     return 1

@@ -86,6 +86,15 @@ class BitBotsImportStrategy(ImportStrategy):
         info, stream = read_mcap(Path(file_path))
         return self.convert_stream(info, stream, original_file=Path(file_path).name)
 
+    def stream_model_data(self, file_path: Path,
+                          flush_rows: int = 50_000) -> Iterator[ModelData]:
+        """Bounded-memory protocol (ImportStrategy.stream_model_data): the
+        mcap message iterator is consumed lazily and rows are handed off
+        every ~``flush_rows``."""
+        info, stream = read_mcap(Path(file_path))
+        yield from self.convert_stream_chunks(
+            info, stream, Path(file_path).name, flush_rows)
+
     # ------------------------------------------------------ conversion core
 
     def convert_stream(
@@ -94,6 +103,41 @@ class BitBotsImportStrategy(ImportStrategy):
         messages: Iterable[tuple[str, int, Any]],
         original_file: str = "<stream>",
     ) -> ModelData:
+        """All-at-once conversion (reference semantics): merge every chunk."""
+        out = ModelData()
+        for delta in self.convert_stream_chunks(info, messages, original_file,
+                                                flush_rows=0):
+            out.recording = out.recording or delta.recording
+            out.merge(delta)
+        self.model_data = out
+        return out
+
+    def _pending_rows(self) -> int:
+        d = self.model_data
+        return (len(d.joint_states) + len(d.joint_commands) + len(d.rotations)
+                + len(d.images) + len(d.game_states))
+
+    def _take_delta(self) -> ModelData:
+        """Hand off accumulated rows, keeping the (shared) recording row."""
+        delta = self.model_data
+        self.model_data = ModelData(recording=delta.recording)
+        return delta
+
+    def convert_stream_chunks(
+        self,
+        info: RecordingInfo,
+        messages: Iterable[tuple[str, int, Any]],
+        original_file: str = "<stream>",
+        flush_rows: int = 50_000,
+    ) -> Iterator[ModelData]:
+        """Bounded-memory conversion: yield a ``ModelData`` delta every time
+        ~``flush_rows`` rows have accumulated (0 = only one final delta).
+        Every delta shares the same ``recording`` object, whose metadata
+        (image scaling etc.) keeps being populated as conversion proceeds —
+        consumers should re-read it after exhaustion (SURVEY.md §2.9
+        streaming extraction hot path; the reference materializes the whole
+        bag in RAM, model_importer.py:27-41)."""
+        self.model_data = ModelData()
         self.model_data.recording = self._create_recording(info, original_file)
         first_used_msg_time: int | None = None
         latest = InputData()
@@ -140,7 +184,10 @@ class BitBotsImportStrategy(ImportStrategy):
                     rel_ts = (publish_time_ns - first_used_msg_time) / 1e9
                     self._create_models(converter, latest, rel_ts)
 
-        return self.model_data
+            if flush_rows and self._pending_rows() >= flush_rows:
+                yield self._take_delta()
+
+        yield self._take_delta()
 
     def _initial_conversion(self, data: InputData) -> None:
         assert self._is_all_synced_data_available(data)
