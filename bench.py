@@ -100,17 +100,31 @@ def measure(args) -> dict:
     rollout = engine.make_rollout_fn(num_chunks=args.chunks, jit=True)
 
     t0 = time.perf_counter()
-    carry, chunks = rollout(variables, carry)
+    _, chunks = rollout(variables, carry)
     jax.block_until_ready(chunks)
     log(f"compile+first run ({args.sampler}): {time.perf_counter() - t0:.2f}s")
 
+    # MEASUREMENT VALIDITY (CLAUDE.md): the tunnel runtime result-caches
+    # repeated calls whose input buffers are identical (donated carries can
+    # alias!), so every timed call gets its own freshly materialized carry
+    # (distinct rng -> distinct buffers), one call per measurement with all
+    # chunks_per_call work inside, per-call sync, and a per-iteration
+    # checksum printed as a did-it-really-run cross-check.
+    carries = [engine.init(args.batch, jax.random.key(100 + i))
+               for i in range(args.iters)]
+    jax.block_until_ready(carries)
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        carry, chunks = rollout(variables, carry)
+        _, chunks = rollout(variables, carries[i])
         jax.block_until_ready(chunks)
         times.append(time.perf_counter() - t0)
-        log(f"iter {i}: {times[-1] * 1e3:.1f} ms for {args.chunks} chunks x {args.batch} robots")
+        log(f"iter {i}: {times[-1] * 1e3:.1f} ms for {args.chunks} chunks x "
+            f"{args.batch} robots (checksum {float(jnp.sum(chunks)):.6e})")
+    floor_ms = 0.2 * args.chunks  # no real chunk completes in <0.2 ms
+    if min(times) * 1e3 < floor_ms:
+        log("SUSPECT TIMINGS: sub-floor measurement, treating as invalid")
+        raise SystemExit(3)
 
     per_period_ms = [t / args.chunks * 1e3 for t in times]
     p50_period_ms = statistics.median(per_period_ms)

@@ -77,9 +77,12 @@ def device_batch(cfg, b, rng):
     return jax.device_put(batch)
 
 
-def bench_config(name: str, yaml_path: str, batch_sizes, steps=12):
+def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
+                 overrides: dict | None = None):
     with open(yaml_path) as f:
         params = yaml.safe_load(f)
+    if overrides:
+        params.update(overrides)
     config = Config.from_dict(params)
     cfg = config.model
     model = DiffusionPolicy(cfg)
@@ -130,6 +133,17 @@ def main():
     emit(bench="devices", devices=str(jax.devices()),
          peak_bf16_flops=device_peak_flops())
     cfgdir = os.path.join(REPO, "soccerdiffusion_tpu", "training", "configs")
+    only = os.environ.get("MFU_ONLY", "")
+    if not only or only == "vit_flagship_fused":
+        # fused Pallas fwd+bwd ViT blocks (ops/fused_vit_block.py): the
+        # HBM-traffic cut measured against the plain path below
+        bench_config("vit_flagship_fused",
+                     os.path.join(cfgdir, "vit_flagship.yaml"),
+                     batch_sizes=(256, 128, 64),
+                     overrides={"vit_fused_block": True})
+    if only and only != "vit_flagship":
+        emit(bench="done")
+        return
     bench_config("vit_flagship", os.path.join(cfgdir, "vit_flagship.yaml"),
                  batch_sizes=(256, 128, 64, 32))
     # NB: a failed oversized device_put poisons the tunnel device for the

@@ -108,6 +108,11 @@ class ModelConfig:
     vit_patch_size: int = 16
     vit_width: int = 192
     vit_depth: int = 6
+    # Run each ViT block as ONE fused Pallas program with a custom-VJP
+    # backward that recomputes in VMEM (ops/fused_vit_block.py): the
+    # activation stream never touches HBM, the structural fix for the
+    # HBM-bound image-training roofline (docs/perf_notes.md).
+    vit_fused_block: bool = False
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:

@@ -77,6 +77,7 @@ class DiffusionPolicy(nn.Module):
                 use_final_avgpool=cfg.image_use_final_avgpool,
                 remat=cfg.remat_image_encoder,
                 vit_geometry=(cfg.vit_patch_size, cfg.vit_width, cfg.vit_depth),
+                vit_fused_block=cfg.vit_fused_block,
                 **common,
             )
         if cfg.use_gamestate:

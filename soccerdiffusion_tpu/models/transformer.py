@@ -97,6 +97,90 @@ class TransformerDecoderLayer(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Param-only stand-in for nn.Dense (same names/shapes/init)."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.fin, self.fout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.fout,),
+                       jnp.float32)
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _MhaParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {name: _DenseParams(self.dim, self.dim, name=name)()
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    ff: int
+
+    @nn.compact
+    def __call__(self):
+        return {"linear1": _DenseParams(self.dim, self.ff, name="linear1")(),
+                "linear2": _DenseParams(self.ff, self.dim, name="linear2")()}
+
+
+class FusedTransformerEncoderLayer(nn.Module):
+    """Drop-in TransformerEncoderLayer executed by the fused Pallas
+    fwd+bwd block (ops/fused_vit_block.py). The param tree is IDENTICAL to
+    the plain layer (declared through param-only stand-in modules), so
+    checkpoints trained either way interchange; the custom-VJP backward
+    recomputes the block in VMEM instead of streaming every intermediate
+    through HBM (the vit_flagship roofline fix, docs/perf_notes.md)."""
+
+    hidden_dim: int
+    num_heads: int
+    ff_dim: int | None = None
+    dtype: Any = jnp.float32
+    block_frames: int = 8
+    # None: Mosaic on TPU, interpret on CPU (tests / multichip dryrun)
+    interpret: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from soccerdiffusion_tpu.ops.fused_vit_block import make_vit_block_fn
+
+        dim, ff = self.hidden_dim, self.ff_dim or self.hidden_dim
+        g1, be1 = _LayerNormParams(dim, name="norm1")()
+        g2, be2 = _LayerNormParams(dim, name="norm2")()
+        sa = _MhaParams(dim, name="self_attn")()
+        mlp = _MlpParams(dim, ff, name="mlp")()
+        wqkv = jnp.concatenate([sa["q_proj"][0], sa["k_proj"][0],
+                                sa["v_proj"][0]], axis=1)
+        bqkv = jnp.concatenate([sa["q_proj"][1], sa["k_proj"][1],
+                                sa["v_proj"][1]])
+        fn = make_vit_block_fn(self.num_heads, self.block_frames,
+                               self.interpret)
+        c = lambda t: t.astype(self.dtype)
+        return fn(x.astype(self.dtype), c(g1), c(be1), c(wqkv), c(bqkv),
+                  c(sa["out_proj"][0]), c(sa["out_proj"][1]), c(g2), c(be2),
+                  c(mlp["linear1"][0]), c(mlp["linear1"][1]),
+                  c(mlp["linear2"][0]), c(mlp["linear2"][1]))
+
+
 class TransformerEncoder(nn.Module):
     hidden_dim: int
     num_heads: int
@@ -110,9 +194,23 @@ class TransformerEncoder(nn.Module):
     # trading recompute FLOPs for activation traffic is the right default
     # for the large image encoders.
     remat: bool = False
+    # Run each block as the fused Pallas fwd+bwd program instead
+    # (ops/fused_vit_block.py) — strictly less HBM traffic than remat:
+    # intermediates never exist in HBM at all.
+    fused_block: bool = False
+    fused_block_frames: int = 8
+    fused_interpret: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_block:
+            for i in range(self.num_layers):
+                x = FusedTransformerEncoderLayer(
+                    self.hidden_dim, self.num_heads, self.ff_dim,
+                    dtype=self.dtype, block_frames=self.fused_block_frames,
+                    interpret=self.fused_interpret, name=f"layer_{i}",
+                )(x)
+            return x
         layer_cls = nn.remat(TransformerEncoderLayer) if self.remat \
             else TransformerEncoderLayer
         for i in range(self.num_layers):

@@ -143,6 +143,9 @@ class ViTImageEncoder(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
     remat: bool = False
+    # run blocks through the fused Pallas fwd+bwd program
+    # (ops/fused_vit_block.py) — the HBM-traffic fix for training MFU
+    fused_block: bool = False
 
     def _patchify(self, x: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) -> (N, patches, P*P*C) via reshape/transpose — the
@@ -195,7 +198,9 @@ class ViTImageEncoder(nn.Module):
         x = TransformerEncoder(self.width, self.num_heads, self.depth,
                                ff_dim=4 * self.width, dtype=self.dtype,
                                attention_impl=self.attention_impl,
-                               remat=self.remat, name="blocks")(x)
+                               remat=self.remat,
+                               fused_block=self.fused_block,
+                               name="blocks")(x)
         x = jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc")(x)
@@ -209,6 +214,7 @@ def make_image_encoder(
     attention_impl: str = "xla",
     remat: bool = False,
     vit_geometry: tuple = (16, 192, 6),
+    vit_fused_block: bool = False,
 ) -> nn.Module:
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
     # ViT remats its own transformer blocks; the conv/swin encoders remat
@@ -228,7 +234,8 @@ def make_image_encoder(
         return ViTImageEncoder(hidden_dim, patch_size=vit_geometry[0],
                                width=vit_geometry[1], depth=vit_geometry[2],
                                dtype=dtype, attention_impl=attention_impl,
-                               remat=remat, name="image_encoder")
+                               remat=remat, fused_block=vit_fused_block,
+                               name="image_encoder")
     if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
         from soccerdiffusion_tpu.models.swin import SwinImageEncoder
 
@@ -261,6 +268,7 @@ class ImageSequenceEncoder(nn.Module):
     attention_impl: str = "xla"
     remat: bool = False
     vit_geometry: tuple = (16, 192, 6)
+    vit_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -273,7 +281,8 @@ class ImageSequenceEncoder(nn.Module):
         encoder = make_image_encoder(self.encoder_type, self.hidden_dim,
                                      self.use_final_avgpool, self.dtype,
                                      self.attention_impl, remat=self.remat,
-                                     vit_geometry=self.vit_geometry)
+                                     vit_geometry=self.vit_geometry,
+                                     vit_fused_block=self.vit_fused_block)
         if valid is not None and self.encoder_type != "vit":
             from soccerdiffusion_tpu.data.pipeline import device_normalize_images
 

@@ -1,0 +1,332 @@
+"""Fused ViT transformer block with a hand-derived backward kernel.
+
+Why: the vit_flagship train step is HBM-bandwidth-bound (docs/perf_notes.md:
+3.06 TFLOP over ~81 GB accessed -> ~16% MFU ceiling). Most of that traffic
+is the image encoder's per-block activation stream — XLA stores every
+intermediate (LN outputs, qkv, attention probabilities, the 4x-wide MLP
+hidden) to HBM for the backward pass. This module runs one whole pre-norm
+transformer block (reference layer semantics: ml/model/encoder/base.py:29-39
+via models/transformer.py — LN1 -> MHA -> +res -> LN2 -> exact-GELU MLP ->
++res) as ONE Pallas program per frame block, with a ``jax.custom_vjp``
+backward kernel that RECOMPUTES the block's internals in VMEM: the only
+HBM traffic per block is x, y, dy, dx and the (tiny) weights/grads.
+
+Numerics: dots in the input dtype with fp32 accumulation; LayerNorm,
+softmax, and GELU in fp32 (flax LayerNorm eps 1e-6). Attention uses the
+head-stacked lane-mask formulation from ops/fused_denoise.py (all heads in
+one batched dot per frame block).
+
+Used by the ViT image encoder when ``vit_fused_block: true``
+(models/vision.py); parity + gradient tests: tests/test_fused_vit_block.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from soccerdiffusion_tpu.ops.fused_denoise import _gelu_exact
+
+_EPS = 1e-6  # flax nn.LayerNorm default
+
+
+def _gelu_grad(z):
+    """d/dz of exact GELU: Phi(z) + z * phi(z) (fp32)."""
+    z = z.astype(jnp.float32)
+    phi = jnp.exp(-0.5 * z * z) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    return 0.5 * (1.0 + jax.lax.erf(z * np.float32(1.0 / np.sqrt(2.0)))) + z * phi
+
+
+def _ln_fwd(x32, g, b):
+    """fp32 LayerNorm; returns (out, xhat, rstd)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = xc * rstd
+    return xhat * g.astype(jnp.float32) + b.astype(jnp.float32), xhat, rstd
+
+
+def _ln_bwd(dn, xhat, rstd, g):
+    """Input-gradient of LayerNorm (fp32); dn/(xhat) are (R, W)."""
+    dxhat = dn * g.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return rstd * (dxhat - m1 - xhat * m2)
+
+
+def _block_core(num_heads):
+    """Shared forward recomputation used by both kernels. Returns a
+    function computing every intermediate from (x2d, weights...)."""
+
+    def core(x2d, F, T, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
+             head_masks, self_mask, dtype):
+        W = x2d.shape[-1]
+        H = num_heads
+        HT = H * T
+        scale = 1.0 / np.sqrt(W // H)
+
+        def dot(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def bdot(a, b, ca, cb):
+            return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32)
+
+        def head_stack(t2d):
+            t3 = t2d.reshape(F, T, W)
+            return jnp.concatenate([t3 * m for m in head_masks], axis=1)
+
+        def merge_heads(o3):
+            total = None
+            for hh in range(num_heads):
+                part = jax.lax.slice_in_dim(o3, hh * T, (hh + 1) * T, axis=1)
+                part = part * head_masks[hh].astype(part.dtype)
+                total = part if total is None else total + part
+            return total.reshape(F * T, W)
+
+        x32 = x2d.astype(jnp.float32)
+        n1_32, xh1, r1 = _ln_fwd(x32, g1, be1)
+        n1 = n1_32.astype(dtype)
+        qkv = (dot(n1, wqkv) + bqkv).astype(dtype)  # (FT, 3W)
+        q = jax.lax.slice_in_dim(qkv, 0, W, axis=1)
+        k = jax.lax.slice_in_dim(qkv, W, 2 * W, axis=1)
+        v = jax.lax.slice_in_dim(qkv, 2 * W, 3 * W, axis=1)
+        qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
+        s = bdot(qs, ks, 2, 2) * scale + self_mask  # (F, HT, HT) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32
+        o3 = bdot(p.astype(dtype), vs, 2, 1).astype(dtype)  # (F, HT, W)
+        om = merge_heads(o3)  # (FT, W)
+        a = dot(om, wo) + bo  # fp32
+        x2_32 = x32 + a
+        x2 = x2_32.astype(dtype)
+        n2_32, xh2, r2 = _ln_fwd(x2_32, g2, be2)
+        n2 = n2_32.astype(dtype)
+        z = dot(n2, w1) + b1  # (FT, FF) fp32
+        hg = _gelu_exact(z).astype(dtype)
+        y32 = x2_32 + dot(hg, w2) + b2
+        return dict(dot=dot, bdot=bdot, head_stack=head_stack,
+                    merge_heads=merge_heads, scale=scale,
+                    x32=x32, xh1=xh1, r1=r1, n1=n1, qkv=qkv,
+                    qs=qs, ks=ks, vs=vs, p=p, o3=o3, om=om,
+                    x2=x2, x2_32=x2_32, xh2=xh2, r2=r2, n2=n2,
+                    z=z, hg=hg, y32=y32)
+
+    return core
+
+
+def _masks(num_heads, T, W, dtype):
+    H = num_heads
+    D = W // H
+    HT = H * T
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // D
+    head_masks = [(lane == h).astype(dtype).reshape(1, 1, W)
+                  for h in range(H)]
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (HT, HT), 0) // T
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (HT, HT), 1) // T
+    self_mask = jnp.where(hrow == hcol, 0.0, -1e9).astype(jnp.float32)[None]
+    return head_masks, self_mask
+
+
+def _make_fwd_kernel(num_heads, F, T):
+    core = _block_core(num_heads)
+
+    def kernel(x_ref, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
+               y_ref):
+        dtype = x_ref.dtype
+        W = x_ref.shape[-1]
+        head_masks, self_mask = _masks(num_heads, T, W, dtype)
+        x2d = x_ref[...].reshape(F * T, W)
+        c = core(x2d, F, T, g1[...], be1[...], wqkv[...], bqkv[...], wo[...],
+                 bo[...], g2[...], be2[...], w1[...], b1[...], w2[...],
+                 b2[...], head_masks, self_mask, dtype)
+        y_ref[...] = c["y32"].astype(dtype).reshape(F, T, W)
+
+    return kernel
+
+
+def _make_bwd_kernel(num_heads, F, T):
+    core = _block_core(num_heads)
+
+    def kernel(x_ref, dy_ref, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1,
+               w2, b2, dx_ref, dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref,
+               dwo_ref, dbo_ref, dg2_ref, dbe2_ref, dw1_ref, db1_ref,
+               dw2_ref, db2_ref):
+        dtype = x_ref.dtype
+        W = x_ref.shape[-1]
+        head_masks, self_mask = _masks(num_heads, T, W, dtype)
+        x2d = x_ref[...].reshape(F * T, W)
+        c = core(x2d, F, T, g1[...], be1[...], wqkv[...], bqkv[...], wo[...],
+                 bo[...], g2[...], be2[...], w1[...], b1[...], w2[...],
+                 b2[...], head_masks, self_mask, dtype)
+        dot, bdot = c["dot"], c["bdot"]
+        head_stack, merge_heads = c["head_stack"], c["merge_heads"]
+
+        def tdot(a, b):
+            """a^T @ b with contraction over rows (fp32 result)."""
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        g = dy_ref[...].reshape(F * T, W).astype(jnp.float32)
+
+        # ---- MLP backward ----
+        dhg = dot(g.astype(dtype), jnp.transpose(w2[...]))  # (FT, FF) fp32
+        dw2 = tdot(c["hg"], g.astype(dtype))
+        db2 = jnp.sum(g, axis=0, keepdims=True)  # (1, W)
+        dz = dhg * _gelu_grad(c["z"])  # fp32
+        dzc = dz.astype(dtype)
+        dw1 = tdot(c["n2"], dzc)
+        db1 = jnp.sum(dz, axis=0, keepdims=True)  # (1, FF)
+        dn2 = dot(dzc, jnp.transpose(w1[...]))  # (FT, W) fp32
+
+        # ---- LN2 backward (input x2) ----
+        dg2 = jnp.sum(dn2 * c["xh2"], axis=0, keepdims=True)
+        dbe2 = jnp.sum(dn2, axis=0, keepdims=True)
+        dx2 = g + _ln_bwd(dn2, c["xh2"], c["r2"], g2[...])
+
+        # ---- attention output projection ----
+        da = dx2.astype(dtype)
+        dwo = tdot(c["om"], da)
+        dbo = jnp.sum(dx2, axis=0, keepdims=True)
+        dom = dot(da, jnp.transpose(wo[...])).astype(dtype)  # (FT, W)
+
+        # ---- attention core backward ----
+        do3 = head_stack(dom)  # (F, HT, W)
+        dp = bdot(do3, c["vs"], 2, 2)  # (F, HT, HT) fp32
+        dvs = bdot(c["p"].astype(dtype), do3, 1, 1)  # (F, HT, W) fp32
+        ds = c["p"] * (dp - jnp.sum(dp * c["p"], axis=-1, keepdims=True))
+        ds = (ds * c["scale"]).astype(dtype)
+        dqs = bdot(ds, c["ks"], 2, 1)  # (F, HT, W) fp32
+        dks = bdot(ds, c["qs"], 1, 1)  # contraction over HT rows -> (F, HT, W)
+        dq = merge_heads(dqs.astype(dtype))
+        dk = merge_heads(dks.astype(dtype))
+        dv = merge_heads(dvs.astype(dtype))
+        dqkv = jnp.concatenate([dq, dk, dv], axis=1)  # (FT, 3W)
+        dwqkv = tdot(c["n1"], dqkv.astype(dtype))
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+        dn1 = dot(dqkv.astype(dtype), jnp.transpose(wqkv[...]))  # fp32
+
+        # ---- LN1 backward (input x) ----
+        dg1 = jnp.sum(dn1 * c["xh1"], axis=0, keepdims=True)
+        dbe1 = jnp.sum(dn1, axis=0, keepdims=True)
+        dx = dx2 + _ln_bwd(dn1, c["xh1"], c["r1"], g1[...])
+
+        dx_ref[...] = dx.astype(dtype).reshape(F, T, W)
+
+        # ---- weight-grad accumulation across the sequential grid ----
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for ref in (dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                        dbo_ref, dg2_ref, dbe2_ref, dw1_ref, db1_ref,
+                        dw2_ref, db2_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        dg1_ref[...] += dg1
+        dbe1_ref[...] += dbe1
+        dwqkv_ref[...] += dwqkv
+        dbqkv_ref[...] += dbqkv
+        dwo_ref[...] += dwo
+        dbo_ref[...] += dbo
+        dg2_ref[...] += dg2
+        dbe2_ref[...] += dbe2
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def make_vit_block_fn(num_heads: int, block_frames: int = 8,
+                      interpret: bool | None = None):
+    """Build the custom-VJP fused block fn for a head count / frame block.
+
+    Returned fn: ``(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2)
+    -> y`` with x (N, T, W); N must be divisible by the (auto-shrunk) frame
+    block. All weight args differentiable. ``interpret=None`` resolves per
+    call: Mosaic on TPU, interpret mode on CPU (tests / dryrun).
+    """
+
+    def _interp() -> bool:
+        return (jax.default_backend() == "cpu") if interpret is None else interpret
+
+    def _grid(n):
+        f = min(block_frames, n)
+        while n % f:
+            f -= 1
+        return f, n // f
+
+    def _fwd_impl(x, *w):
+        n, T, W = x.shape
+        F, nb = _grid(n)
+        return pl.pallas_call(
+            _make_fwd_kernel(num_heads, F, T),
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            out_specs=pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, T, W), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=_interp(),
+        )(x, *w)
+
+    def _bwd_impl(x, dy, *w):
+        n, T, W = x.shape
+        FF = w[8].shape[-1]  # w1 (W, FF)
+        F, nb = _grid(n)
+        acc = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+        grads = pl.pallas_call(
+            _make_bwd_kernel(num_heads, F, T),
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            out_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((a, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+               for a, b in ((1, W), (1, W), (W, 3 * W), (1, 3 * W), (W, W),
+                            (1, W), (1, W), (1, W), (W, FF), (1, FF),
+                            (FF, W), (1, W))],
+            out_shape=[jax.ShapeDtypeStruct((n, T, W), x.dtype),
+                       acc(1, W), acc(1, W), acc(W, 3 * W), acc(1, 3 * W),
+                       acc(W, W), acc(1, W), acc(1, W), acc(1, W),
+                       acc(W, FF), acc(1, FF), acc(FF, W), acc(1, W)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=_interp(),
+        )(x, dy, *w)
+        return grads
+
+    @jax.custom_vjp
+    def block(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2):
+        return _fwd_impl(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2,
+                         w1, b1, w2, b2)
+
+    def fwd(x, *w):
+        return _fwd_impl(x, *w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        out = _bwd_impl(x, dy, *w)
+        dx = out[0]
+        (dg1, dbe1, dwqkv, dbqkv, dwo, dbo, dg2, dbe2, dw1, db1, dw2,
+         db2) = out[1:]
+        squeeze = lambda t: t.reshape(t.shape[-1])
+        return (dx, squeeze(dg1), squeeze(dbe1), dwqkv, squeeze(dbqkv), dwo,
+                squeeze(dbo), squeeze(dg2), squeeze(dbe2), dw1, squeeze(db1),
+                dw2, squeeze(db2))
+
+    block.defvjp(fwd, bwd)
+    return block

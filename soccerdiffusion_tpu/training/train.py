@@ -240,6 +240,9 @@ def main(argv=None):
                     jax.block_until_ready(metrics["loss"])
                     mfu.stop(steps=window_steps)
                     window_steps = 0
+                    # force: the window cadence IS the gate; the logger's own
+                    # step % log_every filter would drop these (step is
+                    # global_step-1 here, ≡ -1 mod log_every)
                     metrics_logger.log(
                         global_step - 1,
                         {
@@ -250,6 +253,7 @@ def main(argv=None):
                             "mfu": mfu.mfu,
                             "steps_per_sec": mfu.steps_per_sec,
                         },
+                        force=True,
                         grads=metrics.get("grad_norms_by_layer"),
                     )
                     mfu.start()

@@ -171,6 +171,63 @@ def port_resnet(sd: Mapping[str, Any], stage_sizes, bottleneck: bool,
     return params, stats
 
 
+def _swin_merge_col_perm(c: int) -> np.ndarray:
+    """Column permutation mapping torchvision PatchMerging's 4-patch concat
+    order [x(0,0), x(1,0), x(0,1), x(1,1)] (torchvision swin v1) onto this
+    repo's reshape order [x(0,0), x(0,1), x(1,0), x(1,1)]
+    (models/swin.py PatchMerging). ``c`` is the per-patch channel count."""
+    perm = [0, 2, 1, 3]  # ours group g reads torchvision group perm[g]
+    return np.concatenate([np.arange(g * c, (g + 1) * c) for g in perm])
+
+
+def port_swin(sd: Mapping[str, Any], variant: str, prefix: str = "") -> Params:
+    """torchvision swin_t / swin_s state dict -> SwinImageEncoder params.
+
+    Key layout: torchvision ``features.0`` patch embed (conv + LN),
+    ``features.{1,3,5,7}`` block stages (fused qkv Linear + relative
+    position bias table), ``features.{2,4,6}`` patch mergings, final
+    ``norm`` + ``head`` (the reference replaces the head with a
+    hidden_dim Linear, reference ml/model/encoder/image.py:86-100).
+    """
+    depths = (2, 2, 6, 2) if variant == "tiny" else (2, 2, 18, 2)
+    k = lambda name: _key(prefix, name)
+    params: Params = {
+        "patch_embed": port_conv2d(sd, k("features.0.0")),
+        "patch_norm": port_layernorm(sd, k("features.0.2")),
+    }
+    embed_dim = params["patch_embed"]["kernel"].shape[-1]
+    dim = embed_dim
+    for stage, depth in enumerate(depths):
+        feat = 2 * stage + 1
+        for i in range(depth):
+            bp = k(f"features.{feat}.{i}")
+            params[f"stage{stage}_block{i}"] = {
+                "norm1": port_layernorm(sd, f"{bp}.norm1"),
+                "attn": {
+                    "qkv": port_linear(sd, f"{bp}.attn.qkv"),
+                    "proj": port_linear(sd, f"{bp}.attn.proj"),
+                    "relative_position_bias_table": _np(
+                        sd[f"{bp}.attn.relative_position_bias_table"]),
+                },
+                "norm2": port_layernorm(sd, f"{bp}.norm2"),
+                "mlp_fc1": port_linear(sd, f"{bp}.mlp.0"),
+                "mlp_fc2": port_linear(sd, f"{bp}.mlp.3"),
+            }
+        if stage < len(depths) - 1:
+            mp = k(f"features.{2 * stage + 2}")
+            perm = _swin_merge_col_perm(dim)
+            norm = port_layernorm(sd, f"{mp}.norm")
+            red_kernel = _np(sd[f"{mp}.reduction.weight"]).T  # (4C, 2C)
+            params[f"merge{stage}"] = {
+                "norm": {"scale": norm["scale"][perm], "bias": norm["bias"][perm]},
+                "reduction": {"kernel": red_kernel[perm]},
+            }
+            dim *= 2
+    params["norm"] = port_layernorm(sd, k("norm"))
+    params["head"] = port_linear(sd, k("head"))
+    return params
+
+
 def port_policy_state_dict(sd: Mapping[str, Any], config) -> tuple[Params, Params, Params]:
     """Full reference End2EndDiffusionTransformer state dict -> (params,
     batch_stats, norm) for DiffusionPolicy with the same hyperparams.
@@ -226,6 +283,15 @@ def port_policy_state_dict(sd: Mapping[str, Any], config) -> tuple[Params, Param
                 enc_params["spatial_head_conv"] = port_conv2d(sd, f"{enc_prefix}avgpool")
             ise["image_encoder"] = enc_params
             ise_stats["image_encoder"] = enc_stats
+        elif cfg.image_encoder_type in ("swin_transformer_tiny",
+                                        "swin_transformer_small"):
+            if cfg.image_sequence_encoder_type == "transformer":
+                enc_prefix = "image_sequence_encoder.image_encoder.encoder"
+            else:
+                enc_prefix = "image_sequence_encoder.encoder"
+            variant = ("tiny" if cfg.image_encoder_type.endswith("tiny")
+                       else "small")
+            ise["image_encoder"] = port_swin(sd, variant, prefix=enc_prefix)
         else:
             raise NotImplementedError(
                 f"porting {cfg.image_encoder_type} from reference checkpoints is not supported"

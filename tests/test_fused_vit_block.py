@@ -1,0 +1,161 @@
+"""Fused ViT block (interpret mode): forward parity vs the flax layer and
+gradient parity vs autodiff — the custom-VJP backward recomputes in-kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soccerdiffusion_tpu.models.transformer import TransformerEncoderLayer
+from soccerdiffusion_tpu.ops.fused_vit_block import make_vit_block_fn
+
+W, T, H, FF = 64, 13, 4, 256
+
+
+def setup(n=6, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, T, W)).astype(np.float32), dtype)
+    layer = TransformerEncoderLayer(W, H, ff_dim=FF, dtype=dtype)
+    params = layer.init(jax.random.key(0), x)["params"]
+    return layer, params, x
+
+
+def flat_weights(params):
+    sa = params["self_attn"]
+    wqkv = jnp.concatenate([sa["q_proj"]["kernel"], sa["k_proj"]["kernel"],
+                            sa["v_proj"]["kernel"]], axis=1)
+    bqkv = jnp.concatenate([sa["q_proj"]["bias"], sa["k_proj"]["bias"],
+                            sa["v_proj"]["bias"]])
+    return (params["norm1"]["scale"], params["norm1"]["bias"], wqkv, bqkv,
+            sa["out_proj"]["kernel"], sa["out_proj"]["bias"],
+            params["norm2"]["scale"], params["norm2"]["bias"],
+            params["mlp"]["linear1"]["kernel"], params["mlp"]["linear1"]["bias"],
+            params["mlp"]["linear2"]["kernel"], params["mlp"]["linear2"]["bias"])
+
+
+class TestForward:
+    def test_matches_flax_layer(self):
+        layer, params, x = setup()
+        want = layer.apply({"params": params}, x)
+        fn = make_vit_block_fn(H, block_frames=3, interpret=True)
+        got = fn(x, *flat_weights(params))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_block_sizes_agree(self):
+        _, params, x = setup(n=8)
+        w = flat_weights(params)
+        outs = [np.asarray(make_vit_block_fn(H, block_frames=f, interpret=True)(x, *w))
+                for f in (2, 4, 8)]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-5)
+
+    def test_indivisible_batch_shrinks_block(self):
+        _, params, x = setup(n=5)
+        fn = make_vit_block_fn(H, block_frames=4, interpret=True)
+        assert fn(x, *flat_weights(params)).shape == (5, T, W)
+
+
+class TestGradients:
+    def test_grads_match_autodiff(self):
+        """d(loss)/d(x, every weight) vs jax.grad through the flax layer."""
+        layer, params, x = setup(n=4, seed=3)
+        cot = jnp.asarray(
+            np.random.default_rng(9).standard_normal((4, T, W)).astype(np.float32))
+
+        def loss_ref(params, x):
+            return jnp.sum(layer.apply({"params": params}, x) * cot)
+
+        want_dp, want_dx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+
+        fn = make_vit_block_fn(H, block_frames=2, interpret=True)
+
+        def loss_fused(weights, x):
+            return jnp.sum(fn(x, *weights) * cot)
+
+        got_dw, got_dx = jax.grad(loss_fused, argnums=(0, 1))(
+            flat_weights(params), x)
+
+        rtol = atol = 2e-3
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=rtol, atol=atol, err_msg="dx")
+        want_w = flat_weights(want_dp)
+        names = ("g1", "be1", "wqkv", "bqkv", "wo", "bo", "g2", "be2",
+                 "w1", "b1", "w2", "b2")
+        for name, got, want in zip(names, got_dw, want_w):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=rtol, atol=atol, err_msg=name)
+
+    def test_grad_accumulates_across_grid(self):
+        """Weight grads must sum over ALL frame blocks (grid accumulation):
+        doubling the batch by concatenation doubles the weight grads."""
+        _, params, x = setup(n=3, seed=5)
+        w = flat_weights(params)
+        fn = make_vit_block_fn(H, block_frames=3, interpret=True)
+
+        def wgrad(xin):
+            return jax.grad(lambda ww: jnp.sum(fn(xin, *ww)))(w)
+
+        g1 = wgrad(x)
+        g2 = wgrad(jnp.concatenate([x, x], axis=0))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(2 * np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_policy_wiring_param_compat_and_grad(self):
+        """vit_fused_block=True: identical param tree to the plain ViT
+        policy, matching forward, and a finite train-step gradient."""
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        kw = dict(num_joints=6, hidden_dim=32, trajectory_prediction_length=5,
+                  action_context_length=10, joint_state_context_length=10,
+                  imu_context_length=10, use_images=True,
+                  image_encoder_type="vit", image_resolution=32,
+                  image_context_length=2, vit_patch_size=16, vit_width=64,
+                  vit_depth=2, num_action_history_encoder_layers=1,
+                  num_imu_encoder_layers=1, joint_state_encoder_layers=1,
+                  num_decoder_layers=1)
+        plain = DiffusionPolicy(ModelConfig(**kw))
+        fused = DiffusionPolicy(ModelConfig(**kw, vit_fused_block=True))
+        rng = np.random.default_rng(0)
+        b = 3
+        batch = {
+            "joint_command": jnp.asarray(rng.random((b, 5, 6), np.float32)),
+            "joint_command_history": jnp.asarray(rng.random((b, 10, 6), np.float32)),
+            "rotation": jnp.asarray(rng.random((b, 10, 4), np.float32)),
+            "joint_state": jnp.asarray(rng.random((b, 10, 6), np.float32)),
+            "image_data": jnp.asarray(rng.random((b, 2, 32, 32, 3), np.float32)),
+            "game_state": jnp.zeros((b,), jnp.int32),
+        }
+        noisy = jnp.asarray(rng.random((b, 5, 6), np.float32))
+        t = jnp.full((b,), 2, jnp.int32)
+        vp = plain.init(jax.random.key(0), batch, noisy, t)
+        vf = fused.init(jax.random.key(0), batch, noisy, t)
+        assert (jax.tree_util.tree_structure(vp)
+                == jax.tree_util.tree_structure(vf))
+        # same seed -> same init values -> same forward (tolerance: fp32)
+        out_p = plain.apply(vp, batch, noisy, t, False)
+        out_f = fused.apply(vp, batch, noisy, t, False)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                                   rtol=2e-4, atol=2e-4)
+        grads = jax.grad(
+            lambda p: jnp.mean(jnp.square(
+                fused.apply({"params": p}, batch, noisy, t, False))))(vp["params"])
+        flat, _ = jax.tree_util.tree_flatten(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        vit_grads = grads["image_sequence_encoder"]["image_encoder"]["blocks"]
+        assert float(jnp.abs(vit_grads["layer_0"]["mlp"]["linear1"]["kernel"]).sum()) > 0
+
+    def test_bf16_finite_and_close(self):
+        layer, params, x = setup(n=4, dtype=jnp.bfloat16)
+        fn = make_vit_block_fn(H, block_frames=2, interpret=True)
+        w = flat_weights(params)
+        y = fn(x.astype(jnp.bfloat16), *w)
+        assert y.dtype == jnp.bfloat16
+        want = layer.apply({"params": params}, x.astype(jnp.bfloat16))
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(want, np.float32),
+            rtol=6e-2, atol=6e-2)
+        g = jax.grad(lambda xx: jnp.sum(fn(xx, *w).astype(jnp.float32)))(
+            x.astype(jnp.bfloat16))
+        assert np.all(np.isfinite(np.asarray(g, np.float32)))
