@@ -52,3 +52,44 @@ def test_bfloat16_inputs(rng):
         np.asarray(got, dtype=np.float32), np.asarray(expected, dtype=np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_gradients_match_xla(rng):
+    """custom-VJP backward (recompute-in-VMEM) vs autodiff of XLA attention."""
+    import jax
+
+    b, tq, tk, h, d = 2, 12, 40, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+
+    want = jax.grad(lambda *a: jnp.sum(xla_attention(*a) * cot), argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(
+        lambda *a: jnp.sum(flash_attention(*a, interpret=True) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, g, w in zip("qkv", got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_gradients_streaming_match_xla(rng):
+    import jax
+
+    b, tq, tk, h, d = 1, 8, 1408, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(q, k, v, interpret=True, block_k=512)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(q, k, v)))
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, g, w in zip("qkv", got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
