@@ -30,16 +30,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from soccerdiffusion_tpu.ops.fused_denoise import _gelu_exact
+from soccerdiffusion_tpu.ops.fused_denoise import _erf, _gelu_exact
 
 _EPS = 1e-6  # flax nn.LayerNorm default
 
 
 def _gelu_grad(z):
-    """d/dz of exact GELU: Phi(z) + z * phi(z) (fp32)."""
+    """d/dz of exact GELU: Phi(z) + z * phi(z) (fp32; polynomial erf —
+    Mosaic has no erf primitive)."""
     z = z.astype(jnp.float32)
     phi = jnp.exp(-0.5 * z * z) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
-    return 0.5 * (1.0 + jax.lax.erf(z * np.float32(1.0 / np.sqrt(2.0)))) + z * phi
+    return 0.5 * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0)))) + z * phi
 
 
 def _ln_fwd(x32, g, b):
