@@ -99,7 +99,20 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
             )
             train_step = make_train_step(model, schedule, optimizer,
                                          Normalizer.identity(cfg.num_joints))
-            flops = estimate_flops(train_step, state, batch, 0)
+            if getattr(cfg, "vit_fused_block", False):
+                # XLA cost analysis cannot see FLOPs inside Pallas custom
+                # calls; estimate from the mathematically identical
+                # unfused model instead (same params/shapes).
+                import dataclasses as _dc
+
+                plain_model = DiffusionPolicy(
+                    _dc.replace(cfg, vit_fused_block=False))
+                plain_step = make_train_step(
+                    plain_model, schedule, optimizer,
+                    Normalizer.identity(cfg.num_joints), donate=False)
+                flops = estimate_flops(plain_step, state, batch, 0)
+            else:
+                flops = estimate_flops(train_step, state, batch, 0)
             t0 = time.perf_counter()
             state, metrics = train_step(state, batch, 0)
             jax.block_until_ready(metrics["loss"])
@@ -137,10 +150,14 @@ def main():
     if not only or only == "vit_flagship_fused":
         # fused Pallas fwd+bwd ViT blocks (ops/fused_vit_block.py): the
         # HBM-traffic cut measured against the plain path below
-        bench_config("vit_flagship_fused",
-                     os.path.join(cfgdir, "vit_flagship.yaml"),
-                     batch_sizes=(256, 128, 64),
-                     overrides={"vit_fused_block": True})
+        frames = [int(f) for f in
+                  os.environ.get("MFU_FUSED_FRAMES", "8").split(",")]
+        for f in frames:
+            bench_config(f"vit_flagship_fused_f{f}",
+                         os.path.join(cfgdir, "vit_flagship.yaml"),
+                         batch_sizes=(256, 128, 64),
+                         overrides={"vit_fused_block": True,
+                                    "vit_fused_block_frames": f})
     if only and only != "vit_flagship":
         emit(bench="done")
         return

@@ -113,6 +113,8 @@ class ModelConfig:
     # activation stream never touches HBM, the structural fix for the
     # HBM-bound image-training roofline (docs/perf_notes.md).
     vit_fused_block: bool = False
+    # frames per fused-block Pallas program (VMEM/grid trade-off)
+    vit_fused_block_frames: int = 8
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:

@@ -78,6 +78,7 @@ class DiffusionPolicy(nn.Module):
                 remat=cfg.remat_image_encoder,
                 vit_geometry=(cfg.vit_patch_size, cfg.vit_width, cfg.vit_depth),
                 vit_fused_block=cfg.vit_fused_block,
+                vit_fused_block_frames=cfg.vit_fused_block_frames,
                 **common,
             )
         if cfg.use_gamestate:

@@ -146,6 +146,7 @@ class ViTImageEncoder(nn.Module):
     # run blocks through the fused Pallas fwd+bwd program
     # (ops/fused_vit_block.py) — the HBM-traffic fix for training MFU
     fused_block: bool = False
+    fused_block_frames: int = 8
 
     def _patchify(self, x: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) -> (N, patches, P*P*C) via reshape/transpose — the
@@ -200,6 +201,7 @@ class ViTImageEncoder(nn.Module):
                                attention_impl=self.attention_impl,
                                remat=self.remat,
                                fused_block=self.fused_block,
+                               fused_block_frames=self.fused_block_frames,
                                name="blocks")(x)
         x = jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -215,6 +217,7 @@ def make_image_encoder(
     remat: bool = False,
     vit_geometry: tuple = (16, 192, 6),
     vit_fused_block: bool = False,
+    vit_fused_block_frames: int = 8,
 ) -> nn.Module:
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
     # ViT remats its own transformer blocks; the conv/swin encoders remat
@@ -235,6 +238,7 @@ def make_image_encoder(
                                width=vit_geometry[1], depth=vit_geometry[2],
                                dtype=dtype, attention_impl=attention_impl,
                                remat=remat, fused_block=vit_fused_block,
+                               fused_block_frames=vit_fused_block_frames,
                                name="image_encoder")
     if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
         from soccerdiffusion_tpu.models.swin import SwinImageEncoder
@@ -269,6 +273,7 @@ class ImageSequenceEncoder(nn.Module):
     remat: bool = False
     vit_geometry: tuple = (16, 192, 6)
     vit_fused_block: bool = False
+    vit_fused_block_frames: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -282,7 +287,8 @@ class ImageSequenceEncoder(nn.Module):
                                      self.use_final_avgpool, self.dtype,
                                      self.attention_impl, remat=self.remat,
                                      vit_geometry=self.vit_geometry,
-                                     vit_fused_block=self.vit_fused_block)
+                                     vit_fused_block=self.vit_fused_block,
+                                     vit_fused_block_frames=self.vit_fused_block_frames)
         if valid is not None and self.encoder_type != "vit":
             from soccerdiffusion_tpu.data.pipeline import device_normalize_images
 
