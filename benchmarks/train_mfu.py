@@ -146,30 +146,41 @@ def main():
     emit(bench="devices", devices=str(jax.devices()),
          peak_bf16_flops=device_peak_flops())
     cfgdir = os.path.join(REPO, "soccerdiffusion_tpu", "training", "configs")
+    lanes = ("vit_flagship_fused", "vit_flagship", "default_resnet18",
+             "larger_model")
     only = os.environ.get("MFU_ONLY", "")
-    if not only or only == "vit_flagship_fused":
+    if only and only not in lanes:
+        raise SystemExit(f"MFU_ONLY={only!r} is not one of {lanes}")
+
+    def want(name):
+        return not only or only == name
+
+    if want("vit_flagship_fused"):
         # fused Pallas fwd+bwd ViT blocks (ops/fused_vit_block.py): the
-        # HBM-traffic cut measured against the plain path below
+        # HBM-traffic cut measured against the plain baseline below
         frames = [int(f) for f in
-                  os.environ.get("MFU_FUSED_FRAMES", "8").split(",")]
+                  os.environ.get("MFU_FUSED_FRAMES", "16").split(",")]
         for f in frames:
             bench_config(f"vit_flagship_fused_f{f}",
                          os.path.join(cfgdir, "vit_flagship.yaml"),
                          batch_sizes=(256, 128, 64),
                          overrides={"vit_fused_block": True,
                                     "vit_fused_block_frames": f})
-    if only and only != "vit_flagship":
-        emit(bench="done")
-        return
-    bench_config("vit_flagship", os.path.join(cfgdir, "vit_flagship.yaml"),
-                 batch_sizes=(256, 128, 64, 32))
+    if want("vit_flagship"):
+        # plain-XLA baseline: force the fused blocks OFF (the flagship yaml
+        # enables them by default now)
+        bench_config("vit_flagship", os.path.join(cfgdir, "vit_flagship.yaml"),
+                     batch_sizes=(256, 128, 64, 32),
+                     overrides={"vit_fused_block": False})
     # NB: a failed oversized device_put poisons the tunnel device for the
     # rest of the process (server-side allocations are not reclaimed), so
     # only attempt batches known to fit for the conv configs.
-    bench_config("default_resnet18", os.path.join(cfgdir, "default.yaml"),
-                 batch_sizes=(64, 32))
-    bench_config("larger_model", os.path.join(cfgdir, "larger_model.yaml"),
-                 batch_sizes=(64, 32))
+    if want("default_resnet18"):
+        bench_config("default_resnet18", os.path.join(cfgdir, "default.yaml"),
+                     batch_sizes=(64, 32))
+    if want("larger_model"):
+        bench_config("larger_model", os.path.join(cfgdir, "larger_model.yaml"),
+                     batch_sizes=(64, 32))
     emit(bench="done")
 
 

@@ -59,6 +59,10 @@ def _build_pack_parser(sub):
                         "resolution / IMU embedding (default: default.yaml "
                         "geometry)")
     p.add_argument("--flush-rows", type=int, default=50_000)
+    p.add_argument("--sampling-rate", type=int,
+                   default=DEFAULT_RESAMPLE_RATE_HZ,
+                   help="rate the import resampler produced rows at "
+                        "(drives the packed index's stamp grid)")
 
 
 def _build_db_parser(sub):
@@ -168,7 +172,8 @@ def cmd_pack(args) -> int:
     strategy = _build_strategy(args)
     try:
         stats = pack_from_stream(strategy, file_path, config, args.out_dir,
-                                 flush_rows=args.flush_rows)
+                                 flush_rows=args.flush_rows,
+                                 sampling_rate=args.sampling_rate)
     except (AssertionError, ImportError, ValueError) as exc:
         logger.error(f"pack failed: {exc}")
         return 1

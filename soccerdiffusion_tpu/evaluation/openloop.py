@@ -114,12 +114,16 @@ def sampler_agreement(model, teacher_vars, student_vars, normalizer,
                       indices: Sequence[int], teacher_steps: int,
                       student_steps: int, student_distilled: bool,
                       batch_size: int = 64, seed: int = 0) -> dict:
-    """Student-vs-teacher trajectory error on identical noise and context.
+    """Student-vs-teacher trajectory error on identical noise.
 
-    The teacher encodes the context (both samplers consume the SAME tokens,
-    mirroring distillation's cached-context factorization, reference
-    distill.py:177); the student runs its own sampler from the same noise.
-    Returns MSE/MAE in the denormalized joint domain.
+    Each checkpoint encodes the context with its OWN params — this measures
+    the deployed student end-to-end. For students from
+    ``training/distill.py`` the encodings are bit-identical anyway: only
+    the denoiser/step-token are trainable there (the optimizer is masked,
+    matching the reference where frozen params never enter optimizer.step),
+    so the comparison reduces to the distillation objective (reference
+    distill.py:198) while staying honest for any future
+    finetuned-encoder student. Returns MSE/MAE, denormalized joint domain.
     """
     se_sum = ae_sum = 0.0
     count = 0

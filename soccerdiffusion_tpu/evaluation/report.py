@@ -49,8 +49,11 @@ def _load(path: str):
         variables["batch_stats"] = ckpt["state"]["batch_stats"]
     distilled = bool(params.get("distilled_decoder", False))
     # few-step students carry their inference step count in the checkpoint
-    # (training/distill.py --student-steps); teachers default to 30
-    steps = int(params.get("distilled_num_steps", 0)) or (1 if distilled else 30)
+    # (training/distill.py --student-steps); teachers sample with the step
+    # count their students were distilled against
+    steps = int(params.get("distilled_num_steps", 0)) or (
+        1 if distilled
+        else int(params.get("distill_teacher_inference_steps", 30)))
     return params, variables, ckpt["norm"], steps, distilled
 
 
@@ -89,8 +92,10 @@ def markdown_report(result: dict) -> str:
 
 
 def run_report(teacher: str, students: list[str], dataset, windows: int,
-               chunks: int, batch_size: int, seed: int = 0) -> dict:
-    t_params, t_vars, normalizer, t_steps, t_distilled = _load(teacher)
+               chunks: int, batch_size: int, seed: int = 0,
+               teacher_loaded: tuple | None = None) -> dict:
+    t_params, t_vars, normalizer, t_steps, t_distilled = (
+        teacher_loaded if teacher_loaded is not None else _load(teacher))
     config = Config.from_dict(t_params)
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)
@@ -156,14 +161,15 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="quality_report")
     args = parser.parse_args(argv)
 
-    ckpt_params, *_ = _load(args.teacher)
-    config = Config.from_dict(ckpt_params)
+    teacher_loaded = _load(args.teacher)
+    config = Config.from_dict(teacher_loaded[0])
     from soccerdiffusion_tpu.training.train import build_dataset
 
     dataset = build_dataset(args, config)
 
     result = run_report(args.teacher, args.student, dataset, args.windows,
-                        args.chunks, args.batch_size, args.seed)
+                        args.chunks, args.batch_size, args.seed,
+                        teacher_loaded=teacher_loaded)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.with_suffix(".json").write_text(json.dumps(result, indent=2))

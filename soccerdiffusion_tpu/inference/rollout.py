@@ -170,11 +170,8 @@ class RolloutEngine:
 
             block = largest_dividing_block(self.fused_block_robots, bsz)
             # largest configured group that divides the (possibly
-            # batch-shrunk) block — min() alone can produce a
-            # non-dividing group the constructor rejects
-            group = min(self.fused_group_robots, block)
-            while block % group:
-                group -= 1
+            # batch-shrunk) block
+            group = largest_dividing_block(self.fused_group_robots, block)
             fused = FusedChunkSampler(self.model, variables["params"],
                                       block_robots=block, group_robots=group,
                                       context_kv_quant=self.fused_kv_quant)

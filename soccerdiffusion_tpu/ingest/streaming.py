@@ -10,8 +10,11 @@ appends rows straight into ``PackedDataset``-format shards on disk:
     binary files that become .npy shards at finalize (header + O(1)-memory
     byte copy), so peak RSS is O(flush interval);
   * images resize once to the training resolution and append as uint8;
-  * game states forward-fill onto the 50 Hz row grid at finalize (their
-    row count is tiny);
+  * game states forward-fill onto the row grid at finalize (their row
+    count is tiny); ``sampling_rate`` must be the rate the rows were
+    RESAMPLED at (the CLI passes the 50 Hz default import rate — note the
+    reference's own dataset layer assumes a 100 Hz stamp grid,
+    pytorch.py:63/:314, which only matches its dummy data);
   * the result loads with ``PackedDataset.load`` and feeds the C++
     framepack assembler directly.
 
@@ -131,15 +134,19 @@ def pack_from_stream(strategy: ImportStrategy, file_path: str | Path,
             f"inconsistent row counts: {cmds.count} commands, "
             f"{states.count} states, {rots.count} rotations")
 
-    # Forward-fill game state onto the 50 Hz row grid (counts are tiny).
-    stamps_grid = np.arange(n_rows) / sampling_rate
-    gs_stamp_arr = np.asarray(gs_stamps, dtype=np.float32)
-    gs_val_arr = np.asarray(gs_vals, dtype=np.int32)
-    order = np.argsort(gs_stamp_arr, kind="stable")
-    gs_stamp_arr, gs_val_arr = gs_stamp_arr[order], gs_val_arr[order]
-    pos = np.searchsorted(gs_stamp_arr, stamps_grid, side="right") - 1
-    filled = np.where(pos >= 0, gs_val_arr[np.maximum(pos, 0)],
-                      int(RobotState.UNKNOWN)).astype(np.int32)
+    # Forward-fill game state onto the row grid (counts are tiny).
+    if gs_vals:
+        stamps_grid = np.arange(n_rows) / sampling_rate
+        gs_stamp_arr = np.asarray(gs_stamps, dtype=np.float32)
+        gs_val_arr = np.asarray(gs_vals, dtype=np.int32)
+        order = np.argsort(gs_stamp_arr, kind="stable")
+        gs_stamp_arr, gs_val_arr = gs_stamp_arr[order], gs_val_arr[order]
+        pos = np.searchsorted(gs_stamp_arr, stamps_grid, side="right") - 1
+        filled = np.where(pos >= 0, gs_val_arr[np.maximum(pos, 0)],
+                          int(RobotState.UNKNOWN)).astype(np.int32)
+    else:
+        # a bag with no /gamestate messages is importable; every row UNKNOWN
+        filled = np.full(n_rows, int(RobotState.UNKNOWN), dtype=np.int32)
 
     cmds.finalize()
     states.finalize()

@@ -166,7 +166,19 @@ def main(argv=None):
 
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)
-    optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay)
+    # Only the denoiser + step token receive gradients (the context comes
+    # from the teacher's cached encoding, distill.py:177); mask the
+    # optimizer so frozen encoder params are not touched — torch skips
+    # None-grad params in optimizer.step(), so the reference's student
+    # encoder stays bit-identical to the teacher's, and AdamW weight decay
+    # must not erode ours either.
+    optimizer = optax.masked(
+        make_optimizer(config.train.lr, total_steps, config.train.weight_decay),
+        lambda params: {
+            k: k in ("diffusion_action_generator", "step_encoding")
+            for k in params
+        },
+    )
     mesh = make_mesh(parse_mesh(args.mesh) or None)
 
     sample_batch = next(dataset.batches(batch_size, shuffle=False))
@@ -175,10 +187,18 @@ def main(argv=None):
             model, jax.device_put(sample_batch), optimizer, jax.random.key(args.seed),
             config.model.trajectory_prediction_length, config.model.num_joints,
         )
-    # Teacher and student both initialized from the checkpoint (distill.py:127-142).
-    ckpt = load_checkpoint(args.checkpoint, state_template=state)
-    state = ckpt["state"].replace(step=jnp.zeros((), jnp.int32), opt_state=state.opt_state)
-    teacher_params = jax.tree.map(jnp.asarray, ckpt["state"].params)
+    # Teacher and student both initialized from the checkpoint
+    # (distill.py:127-142). Loaded template-free: the teacher's optimizer
+    # state is discarded (the student starts a fresh masked optimizer), so
+    # its layout need not match.
+    ckpt = load_checkpoint(args.checkpoint)
+    teacher_params = jax.tree.map(jnp.asarray, ckpt["state"]["params"])
+    # distinct buffers: the student state is donated by the jitted step
+    # while teacher_params is passed alongside every call
+    state = state.replace(params=jax.tree.map(jnp.copy, teacher_params))
+    if ckpt["state"].get("batch_stats"):
+        state = state.replace(
+            batch_stats=jax.tree.map(jnp.asarray, ckpt["state"]["batch_stats"]))
     normalizer = ckpt["norm"]
 
     distill_step = make_distill_step(

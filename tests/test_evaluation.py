@@ -119,6 +119,41 @@ class TestFewStepDistill:
         assert losses[-1] < losses[0]
         assert all(np.isfinite(l) for l in losses)
 
+    def test_masked_optimizer_freezes_encoders(self):
+        """Distillation must not touch encoder params (the reference's
+        torch optimizer skips None-grad params; AdamW weight decay on the
+        frozen encoder would otherwise erode it)."""
+        import optax
+
+        ds, model, sched, _, state, _ = setup()
+        from soccerdiffusion_tpu.training import create_train_state, make_optimizer
+
+        opt = optax.masked(
+            make_optimizer(1e-2, total_steps=20, use_onecycle=False,
+                           weight_decay=0.1),
+            lambda params: {
+                k: k in ("diffusion_action_generator", "step_encoding")
+                for k in params
+            },
+        )
+        batch = next(ds.batches(8, shuffle=False))
+        state = create_train_state(model, batch, opt, jax.random.key(0), 5, 6)
+        before = jax.tree.map(np.asarray, state.params)
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        step = make_distill_step(model, sched, opt, teacher_inference_steps=3,
+                                 donate=False)
+        for i, b in enumerate(ds.batches(8, shuffle=True, seed=2)):
+            if i >= 3:
+                break
+            state, _ = step(state, teacher_params, b, 0)
+        after = jax.tree.map(np.asarray, state.params)
+        np.testing.assert_array_equal(
+            after["action_history_encoder"]["seq"]["embedding"]["proj"]["kernel"],
+            before["action_history_encoder"]["seq"]["embedding"]["proj"]["kernel"])
+        assert not np.array_equal(
+            after["diffusion_action_generator"]["embedding"]["kernel"],
+            before["diffusion_action_generator"]["embedding"]["kernel"])
+
     def test_student_steps_validation(self):
         _, model, sched, opt, _, _ = setup()
         try:
