@@ -61,9 +61,16 @@ def _ln_bwd(dn, xhat, rstd, g):
     return rstd * (dxhat - m1 - xhat * m2)
 
 
-def _block_core(num_heads):
+def _block_core(num_heads, ablate=frozenset()):
     """Shared forward recomputation used by both kernels. Returns a
-    function computing every intermediate from (x2d, weights...)."""
+    function computing every intermediate from (x2d, weights...).
+
+    ``ablate`` is a microbench-only knob (benchmarks/microbench_vit_block.py)
+    that disables pieces of the block to attribute kernel time; production
+    callers never set it. Options: "no_attn" (attention sublayer = identity),
+    "no_mlp" (MLP sublayer = identity), "relu_gelu" (ReLU instead of exact
+    GELU — isolates the polynomial-erf VPU cost), "no_softmax" (scores used
+    as probabilities — isolates exp/normalize VPU cost)."""
 
     def core(x2d, F, T, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
              head_masks, self_mask, dtype):
@@ -95,25 +102,39 @@ def _block_core(num_heads):
         x32 = x2d.astype(jnp.float32)
         n1_32, xh1, r1 = _ln_fwd(x32, g1, be1)
         n1 = n1_32.astype(dtype)
-        qkv = (dot(n1, wqkv) + bqkv).astype(dtype)  # (FT, 3W)
-        q = jax.lax.slice_in_dim(qkv, 0, W, axis=1)
-        k = jax.lax.slice_in_dim(qkv, W, 2 * W, axis=1)
-        v = jax.lax.slice_in_dim(qkv, 2 * W, 3 * W, axis=1)
-        qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
-        s = bdot(qs, ks, 2, 2) * scale + self_mask  # (F, HT, HT) fp32
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32
-        o3 = bdot(p.astype(dtype), vs, 2, 1).astype(dtype)  # (F, HT, W)
-        om = merge_heads(o3)  # (FT, W)
-        a = dot(om, wo) + bo  # fp32
-        x2_32 = x32 + a
+        if "no_attn" in ablate:
+            qkv = qs = ks = vs = p = o3 = om = None
+            x2_32 = x32
+        else:
+            qkv = (dot(n1, wqkv) + bqkv).astype(dtype)  # (FT, 3W)
+            q = jax.lax.slice_in_dim(qkv, 0, W, axis=1)
+            k = jax.lax.slice_in_dim(qkv, W, 2 * W, axis=1)
+            v = jax.lax.slice_in_dim(qkv, 2 * W, 3 * W, axis=1)
+            qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
+            s = bdot(qs, ks, 2, 2) * scale + self_mask  # (F, HT, HT) fp32
+            if "no_softmax" in ablate:
+                p = s * np.float32(1e-2)
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32
+            o3 = bdot(p.astype(dtype), vs, 2, 1).astype(dtype)  # (F, HT, W)
+            om = merge_heads(o3)  # (FT, W)
+            a = dot(om, wo) + bo  # fp32
+            x2_32 = x32 + a
         x2 = x2_32.astype(dtype)
         n2_32, xh2, r2 = _ln_fwd(x2_32, g2, be2)
         n2 = n2_32.astype(dtype)
-        z = dot(n2, w1) + b1  # (FT, FF) fp32
-        hg = _gelu_exact(z).astype(dtype)
-        y32 = x2_32 + dot(hg, w2) + b2
+        if "no_mlp" in ablate:
+            z = hg = None
+            y32 = x2_32
+        else:
+            z = dot(n2, w1) + b1  # (FT, FF) fp32
+            if "relu_gelu" in ablate:
+                hg = jnp.maximum(z, 0.0).astype(dtype)
+            else:
+                hg = _gelu_exact(z).astype(dtype)
+            y32 = x2_32 + dot(hg, w2) + b2
         return dict(dot=dot, bdot=bdot, head_stack=head_stack,
                     merge_heads=merge_heads, scale=scale,
                     x32=x32, xh1=xh1, r1=r1, n1=n1, qkv=qkv,
@@ -137,8 +158,8 @@ def _masks(num_heads, T, W, dtype):
     return head_masks, self_mask
 
 
-def _make_fwd_kernel(num_heads, F, T):
-    core = _block_core(num_heads)
+def _make_fwd_kernel(num_heads, F, T, ablate=frozenset()):
+    core = _block_core(num_heads, ablate)
 
     def kernel(x_ref, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
                y_ref):
@@ -154,8 +175,8 @@ def _make_fwd_kernel(num_heads, F, T):
     return kernel
 
 
-def _make_bwd_kernel(num_heads, F, T):
-    core = _block_core(num_heads)
+def _make_bwd_kernel(num_heads, F, T, ablate=frozenset()):
+    core = _block_core(num_heads, ablate)
 
     def kernel(x_ref, dy_ref, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1,
                w2, b2, dx_ref, dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref,
@@ -177,48 +198,69 @@ def _make_bwd_kernel(num_heads, F, T):
                                        preferred_element_type=jnp.float32)
 
         g = dy_ref[...].reshape(F * T, W).astype(jnp.float32)
+        zeros = lambda a, b: jnp.zeros((a, b), jnp.float32)
+        FF = w1.shape[-1]
 
-        # ---- MLP backward ----
-        dhg = dot(g.astype(dtype), jnp.transpose(w2[...]))  # (FT, FF) fp32
-        dw2 = tdot(c["hg"], g.astype(dtype))
-        db2 = jnp.sum(g, axis=0, keepdims=True)  # (1, W)
-        dz = dhg * _gelu_grad(c["z"])  # fp32
-        dzc = dz.astype(dtype)
-        dw1 = tdot(c["n2"], dzc)
-        db1 = jnp.sum(dz, axis=0, keepdims=True)  # (1, FF)
-        dn2 = dot(dzc, jnp.transpose(w1[...]))  # (FT, W) fp32
+        if "no_mlp" in ablate:
+            dw1, db1 = zeros(W, FF), zeros(1, FF)
+            dw2, db2 = zeros(FF, W), zeros(1, W)
+            dg2, dbe2 = zeros(1, W), zeros(1, W)
+            dx2 = g
+        else:
+            # ---- MLP backward ----
+            dhg = dot(g.astype(dtype), jnp.transpose(w2[...]))  # (FT, FF) fp32
+            dw2 = tdot(c["hg"], g.astype(dtype))
+            db2 = jnp.sum(g, axis=0, keepdims=True)  # (1, W)
+            if "relu_gelu" in ablate:
+                dz = dhg * (c["z"] > 0.0).astype(jnp.float32)
+            else:
+                dz = dhg * _gelu_grad(c["z"])  # fp32
+            dzc = dz.astype(dtype)
+            dw1 = tdot(c["n2"], dzc)
+            db1 = jnp.sum(dz, axis=0, keepdims=True)  # (1, FF)
+            dn2 = dot(dzc, jnp.transpose(w1[...]))  # (FT, W) fp32
 
-        # ---- LN2 backward (input x2) ----
-        dg2 = jnp.sum(dn2 * c["xh2"], axis=0, keepdims=True)
-        dbe2 = jnp.sum(dn2, axis=0, keepdims=True)
-        dx2 = g + _ln_bwd(dn2, c["xh2"], c["r2"], g2[...])
+            # ---- LN2 backward (input x2) ----
+            dg2 = jnp.sum(dn2 * c["xh2"], axis=0, keepdims=True)
+            dbe2 = jnp.sum(dn2, axis=0, keepdims=True)
+            dx2 = g + _ln_bwd(dn2, c["xh2"], c["r2"], g2[...])
 
-        # ---- attention output projection ----
-        da = dx2.astype(dtype)
-        dwo = tdot(c["om"], da)
-        dbo = jnp.sum(dx2, axis=0, keepdims=True)
-        dom = dot(da, jnp.transpose(wo[...])).astype(dtype)  # (FT, W)
+        if "no_attn" in ablate:
+            dwqkv, dbqkv = zeros(W, 3 * W), zeros(1, 3 * W)
+            dwo, dbo = zeros(W, W), zeros(1, W)
+            dg1, dbe1 = zeros(1, W), zeros(1, W)
+            dx = dx2
+        else:
+            # ---- attention output projection ----
+            da = dx2.astype(dtype)
+            dwo = tdot(c["om"], da)
+            dbo = jnp.sum(dx2, axis=0, keepdims=True)
+            dom = dot(da, jnp.transpose(wo[...])).astype(dtype)  # (FT, W)
 
-        # ---- attention core backward ----
-        do3 = head_stack(dom)  # (F, HT, W)
-        dp = bdot(do3, c["vs"], 2, 2)  # (F, HT, HT) fp32
-        dvs = bdot(c["p"].astype(dtype), do3, 1, 1)  # (F, HT, W) fp32
-        ds = c["p"] * (dp - jnp.sum(dp * c["p"], axis=-1, keepdims=True))
-        ds = (ds * c["scale"]).astype(dtype)
-        dqs = bdot(ds, c["ks"], 2, 1)  # (F, HT, W) fp32
-        dks = bdot(ds, c["qs"], 1, 1)  # contraction over HT rows -> (F, HT, W)
-        dq = merge_heads(dqs.astype(dtype))
-        dk = merge_heads(dks.astype(dtype))
-        dv = merge_heads(dvs.astype(dtype))
-        dqkv = jnp.concatenate([dq, dk, dv], axis=1)  # (FT, 3W)
-        dwqkv = tdot(c["n1"], dqkv.astype(dtype))
-        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
-        dn1 = dot(dqkv.astype(dtype), jnp.transpose(wqkv[...]))  # fp32
+            # ---- attention core backward ----
+            do3 = head_stack(dom)  # (F, HT, W)
+            dp = bdot(do3, c["vs"], 2, 2)  # (F, HT, HT) fp32
+            dvs = bdot(c["p"].astype(dtype), do3, 1, 1)  # (F, HT, W) fp32
+            if "no_softmax" in ablate:
+                ds = dp * np.float32(1e-2)
+            else:
+                ds = c["p"] * (dp - jnp.sum(dp * c["p"], axis=-1,
+                                            keepdims=True))
+            ds = (ds * c["scale"]).astype(dtype)
+            dqs = bdot(ds, c["ks"], 2, 1)  # (F, HT, W) fp32
+            dks = bdot(ds, c["qs"], 1, 1)  # contraction over HT rows -> (F, HT, W)
+            dq = merge_heads(dqs.astype(dtype))
+            dk = merge_heads(dks.astype(dtype))
+            dv = merge_heads(dvs.astype(dtype))
+            dqkv = jnp.concatenate([dq, dk, dv], axis=1)  # (FT, 3W)
+            dwqkv = tdot(c["n1"], dqkv.astype(dtype))
+            dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+            dn1 = dot(dqkv.astype(dtype), jnp.transpose(wqkv[...]))  # fp32
 
-        # ---- LN1 backward (input x) ----
-        dg1 = jnp.sum(dn1 * c["xh1"], axis=0, keepdims=True)
-        dbe1 = jnp.sum(dn1, axis=0, keepdims=True)
-        dx = dx2 + _ln_bwd(dn1, c["xh1"], c["r1"], g1[...])
+            # ---- LN1 backward (input x) ----
+            dg1 = jnp.sum(dn1 * c["xh1"], axis=0, keepdims=True)
+            dbe1 = jnp.sum(dn1, axis=0, keepdims=True)
+            dx = dx2 + _ln_bwd(dn1, c["xh1"], c["r1"], g1[...])
 
         dx_ref[...] = dx.astype(dtype).reshape(F, T, W)
 
@@ -248,14 +290,18 @@ def _make_bwd_kernel(num_heads, F, T):
 
 @lru_cache(maxsize=None)
 def make_vit_block_fn(num_heads: int, block_frames: int = 8,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      ablate: tuple = ()):
     """Build the custom-VJP fused block fn for a head count / frame block.
 
     Returned fn: ``(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2)
     -> y`` with x (N, T, W); N must be divisible by the (auto-shrunk) frame
     block. All weight args differentiable. ``interpret=None`` resolves per
     call: Mosaic on TPU, interpret mode on CPU (tests / dryrun).
+    ``ablate`` is the microbench-only attribution knob (see _block_core);
+    production callers leave it empty.
     """
+    ablate = frozenset(ablate)
 
     def _interp() -> bool:
         return (jax.default_backend() == "cpu") if interpret is None else interpret
@@ -270,7 +316,7 @@ def make_vit_block_fn(num_heads: int, block_frames: int = 8,
         n, T, W = x.shape
         F, nb = _grid(n)
         return pl.pallas_call(
-            _make_fwd_kernel(num_heads, F, T),
+            _make_fwd_kernel(num_heads, F, T, ablate),
             grid=(nb,),
             in_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)]
@@ -289,7 +335,7 @@ def make_vit_block_fn(num_heads: int, block_frames: int = 8,
         F, nb = _grid(n)
         acc = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
         grads = pl.pallas_call(
-            _make_bwd_kernel(num_heads, F, T),
+            _make_bwd_kernel(num_heads, F, T, ablate),
             grid=(nb,),
             in_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 2
