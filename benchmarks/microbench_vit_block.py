@@ -46,6 +46,10 @@ from soccerdiffusion_tpu.ops.fused_vit_block import make_vit_block_fn
 
 # vit_flagship geometry: B=256, 10 frames -> N=2560 rows of (T=49, W=256)
 N, T, W, FF, HEADS, DEPTH, FRAMES = 2560, 49, 256, 1024, 4, 8, 16
+# every one-call measurement includes one tunnel round trip (~15-35 ms,
+# CLAUDE.md); measure at MB_DEPTH=16 too and difference against 8 to get
+# the RTT-free marginal cost of an 8-block stack
+DEPTH = int(os.environ.get("MB_DEPTH", DEPTH))
 ITERS = 3
 
 
@@ -72,10 +76,17 @@ def bench_variant(name: str, ablate: tuple, weights, rng):
     block = make_vit_block_fn(HEADS, FRAMES, ablate=ablate)
 
     def stack(x, w):
-        def body(xc, _):
-            return block(xc, *w).astype(xc.dtype), None
-        y, _ = jax.lax.scan(body, x, None, length=DEPTH)
-        return y
+        # fp32 master weights cast to the bf16 compute dtype INSIDE the
+        # differentiated fn — exactly what FusedTransformerEncoderLayer
+        # does (models/transformer.py), so dots run at bf16 MXU rate and
+        # the fp32 weight grads flow back through the astype. Python loop
+        # (8 inlined blocks), matching the production encoder structure —
+        # lax.scan would also assert on the kernel's fp32 weight-grad
+        # accumulators vs bf16 primals in its transpose rule.
+        wb = tuple(t.astype(jnp.bfloat16) for t in w)
+        for _ in range(DEPTH):
+            x = block(x, *wb).astype(x.dtype)
+        return x
 
     fwd = jax.jit(stack)
     vjp_call = jax.jit(
@@ -128,6 +139,9 @@ def main():
         ("no_softmax", ("no_softmax",)),
         ("no_attn", ("no_attn",)),
         ("no_mlp", ("no_mlp",)),
+        # both sublayers ablated: LN x2 + residual + x/y streaming + grid
+        # skeleton — the non-additive "base" the deltas above sit on
+        ("ln_only", ("no_attn", "no_mlp")),
     ]
     for name, ablate in variants:
         if only and name not in only:

@@ -35,12 +35,19 @@ from soccerdiffusion_tpu.ops.fused_denoise import _erf, _gelu_exact
 _EPS = 1e-6  # flax nn.LayerNorm default
 
 
-def _gelu_grad(z):
-    """d/dz of exact GELU: Phi(z) + z * phi(z) (fp32; polynomial erf —
-    Mosaic has no erf primitive)."""
+def _gelu_cdf(z):
+    """Phi(z) = 0.5*(1+erf(z/sqrt(2))) in fp32 (polynomial erf — Mosaic has
+    no erf primitive). GELU(z) = z*Phi(z); shared between the forward
+    recompute and the gradient so the (FT, FF)-wide erf runs ONCE in bwd."""
+    z = z.astype(jnp.float32)
+    return 0.5 * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def _gelu_grad(z, cdf):
+    """d/dz of exact GELU given precomputed Phi(z): Phi(z) + z * phi(z)."""
     z = z.astype(jnp.float32)
     phi = jnp.exp(-0.5 * z * z) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
-    return 0.5 * (1.0 + _erf(z * np.float32(1.0 / np.sqrt(2.0)))) + z * phi
+    return cdf + z * phi
 
 
 def _ln_fwd(x32, g, b):
@@ -87,15 +94,27 @@ def _block_core(num_heads, ablate=frozenset()):
             return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
                                        preferred_element_type=jnp.float32)
 
-        def head_stack(t2d):
+        def head_stack(t2d, masked=True):
+            """(FT, W) -> (F, HT, W): H stacked copies, each lane-masked to
+            its head. ``masked=False`` tiles WITHOUT the mask multiplies —
+            valid wherever the other dot operand already carries the lane
+            mask (one-sided masking: q.k^T only needs ONE masked side since
+            the zero lanes of the masked operand kill the cross-head terms,
+            and the off-diagonal head blocks are -inf'd by self_mask)."""
             t3 = t2d.reshape(F, T, W)
+            if not masked:
+                return jnp.concatenate([t3] * num_heads, axis=1)
             return jnp.concatenate([t3 * m for m in head_masks], axis=1)
 
-        def merge_heads(o3):
+        def merge_heads(o3, masked=True):
+            """(F, HT, W) -> (FT, W): sum the H row blocks. ``masked=False``
+            skips the per-head lane mask — valid when each row block is
+            already zero outside its own head's lanes."""
             total = None
             for hh in range(num_heads):
                 part = jax.lax.slice_in_dim(o3, hh * T, (hh + 1) * T, axis=1)
-                part = part * head_masks[hh].astype(part.dtype)
+                if masked:
+                    part = part * head_masks[hh].astype(part.dtype)
                 total = part if total is None else total + part
             return total.reshape(F * T, W)
 
@@ -110,7 +129,10 @@ def _block_core(num_heads, ablate=frozenset()):
             q = jax.lax.slice_in_dim(qkv, 0, W, axis=1)
             k = jax.lax.slice_in_dim(qkv, W, 2 * W, axis=1)
             v = jax.lax.slice_in_dim(qkv, 2 * W, 3 * W, axis=1)
-            qs, ks, vs = head_stack(q), head_stack(k), head_stack(v)
+            # one-sided masking: qs carries the lane mask, so ks can be a
+            # plain tile (the masked operand zeroes cross-head lanes in the
+            # contraction; self_mask kills the off-diagonal head blocks)
+            qs, ks, vs = head_stack(q), head_stack(k, masked=False), head_stack(v)
             s = bdot(qs, ks, 2, 2) * scale + self_mask  # (F, HT, HT) fp32
             if "no_softmax" in ablate:
                 p = s * np.float32(1e-2)
@@ -118,29 +140,33 @@ def _block_core(num_heads, ablate=frozenset()):
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32
+            # vs is lane-masked, so each o3 row block is already zero
+            # outside its head's lanes -> merge without re-masking
             o3 = bdot(p.astype(dtype), vs, 2, 1).astype(dtype)  # (F, HT, W)
-            om = merge_heads(o3)  # (FT, W)
+            om = merge_heads(o3, masked=False)  # (FT, W)
             a = dot(om, wo) + bo  # fp32
             x2_32 = x32 + a
         x2 = x2_32.astype(dtype)
         n2_32, xh2, r2 = _ln_fwd(x2_32, g2, be2)
         n2 = n2_32.astype(dtype)
         if "no_mlp" in ablate:
-            z = hg = None
+            z = cdf = hg = None
             y32 = x2_32
         else:
             z = dot(n2, w1) + b1  # (FT, FF) fp32
+            cdf = None
             if "relu_gelu" in ablate:
                 hg = jnp.maximum(z, 0.0).astype(dtype)
             else:
-                hg = _gelu_exact(z).astype(dtype)
+                cdf = _gelu_cdf(z)  # fp32, shared with the bwd GELU grad
+                hg = (z * cdf).astype(dtype)
             y32 = x2_32 + dot(hg, w2) + b2
         return dict(dot=dot, bdot=bdot, head_stack=head_stack,
                     merge_heads=merge_heads, scale=scale,
                     x32=x32, xh1=xh1, r1=r1, n1=n1, qkv=qkv,
                     qs=qs, ks=ks, vs=vs, p=p, o3=o3, om=om,
                     x2=x2, x2_32=x2_32, xh2=xh2, r2=r2, n2=n2,
-                    z=z, hg=hg, y32=y32)
+                    z=z, cdf=cdf, hg=hg, y32=y32)
 
     return core
 
@@ -214,7 +240,7 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset()):
             if "relu_gelu" in ablate:
                 dz = dhg * (c["z"] > 0.0).astype(jnp.float32)
             else:
-                dz = dhg * _gelu_grad(c["z"])  # fp32
+                dz = dhg * _gelu_grad(c["z"], c["cdf"])  # fp32
             dzc = dz.astype(dtype)
             dw1 = tdot(c["n2"], dzc)
             db1 = jnp.sum(dz, axis=0, keepdims=True)  # (1, FF)
@@ -238,7 +264,9 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset()):
             dom = dot(da, jnp.transpose(wo[...])).astype(dtype)  # (FT, W)
 
             # ---- attention core backward ----
-            do3 = head_stack(dom)  # (F, HT, W)
+            # do3 can be a plain tile: dp's other operand (vs) carries the
+            # lane mask, and dvs is re-masked at the dv merge below
+            do3 = head_stack(dom, masked=False)  # (F, HT, W)
             dp = bdot(do3, c["vs"], 2, 2)  # (F, HT, HT) fp32
             dvs = bdot(c["p"].astype(dtype), do3, 1, 1)  # (F, HT, W) fp32
             if "no_softmax" in ablate:
@@ -249,8 +277,11 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset()):
             ds = (ds * c["scale"]).astype(dtype)
             dqs = bdot(ds, c["ks"], 2, 1)  # (F, HT, W) fp32
             dks = bdot(ds, c["qs"], 1, 1)  # contraction over HT rows -> (F, HT, W)
+            # dqs needs the mask (ks was an unmasked tile); dks rows are
+            # already lane-masked through qs (ds is block-diagonal: p is
+            # exactly 0 across heads after the -1e9 self_mask softmax)
             dq = merge_heads(dqs.astype(dtype))
-            dk = merge_heads(dks.astype(dtype))
+            dk = merge_heads(dks.astype(dtype), masked="no_softmax" in ablate)
             dv = merge_heads(dvs.astype(dtype))
             dqkv = jnp.concatenate([dq, dk, dv], axis=1)  # (FT, 3W)
             dwqkv = tdot(c["n1"], dqkv.astype(dtype))
