@@ -166,6 +166,15 @@ def main():
                          batch_sizes=(256, 128, 64),
                          overrides={"vit_fused_block": True,
                                     "vit_fused_block_frames": f})
+    if os.environ.get("MFU_ABLATE") == "depth0":
+        # vit_depth 0: patch embed + posenc + pool only — measures the
+        # NON-ViT-stack remainder of the flagship step (proprio encoders,
+        # sequence encoder, denoiser, loss, AdamW). Difference against the
+        # full step attributes the 8-block stack RTT-free.
+        bench_config("vit_flagship_depth0",
+                     os.path.join(cfgdir, "vit_flagship.yaml"),
+                     batch_sizes=(256,),
+                     overrides={"vit_depth": 0, "vit_fused_block": False})
     if want("vit_flagship"):
         # plain-XLA baseline: force the fused blocks OFF (the flagship yaml
         # enables them by default now)

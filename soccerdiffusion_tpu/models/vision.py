@@ -151,7 +151,16 @@ class ViTImageEncoder(nn.Module):
     def _patchify(self, x: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) -> (N, patches, P*P*C) via reshape/transpose — the
         conv-free patch extraction XLA lowers to one transpose instead of
-        the conv path's repeated full-image relayouts (perf_notes.md)."""
+        the conv path's repeated full-image relayouts (perf_notes.md).
+
+        Runs in the INPUT dtype on purpose: for raw-uint8 frames the
+        relayout then moves 1-byte elements and the bf16 convert fuses
+        into the patch-embed GEMM, instead of materializing and
+        transposing a 2x bigger bf16 image tensor (profiled: the
+        cast-then-patchify order cost ~13 ms/step of pure copies at the
+        flagship geometry — the largest single chunk of the non-ViT
+        step remainder). u8 -> bf16 is exact (integers < 2^8), so the
+        order change is bit-identical."""
         n, h, w, c = x.shape
         p = self.patch_size
         x = x.reshape(n, h // p, p, w // p, p, c)
@@ -187,13 +196,13 @@ class ViTImageEncoder(nn.Module):
             row_scale = jnp.tile(1.0 / (255.0 * std), p * p)  # (p*p*c,)
             k_fold = (kernel * row_scale[:, None]).astype(self.dtype)
             b_fold = bias - jnp.tile(mean / std, p * p) @ kernel
-            tokens = self._patchify(x.astype(self.dtype)) @ k_fold
+            tokens = self._patchify(x).astype(self.dtype) @ k_fold
             tokens = tokens + b_fold.astype(jnp.float32)
             # invalid frames must equal the zero-image embedding (= bias)
             gate = valid.astype(jnp.float32)[:, None, None]
             x = (bias + gate * (tokens - bias)).astype(self.dtype)
         else:
-            tokens = self._patchify(x.astype(self.dtype)) @ kernel.astype(self.dtype)
+            tokens = self._patchify(x).astype(self.dtype) @ kernel.astype(self.dtype)
             x = (tokens + bias).astype(self.dtype)
         x = PositionalEncoding(self.width, num_patches, dtype=self.dtype, name="pos")(x)
         x = TransformerEncoder(self.width, self.num_heads, self.depth,

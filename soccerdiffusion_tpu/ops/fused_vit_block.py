@@ -12,9 +12,11 @@ backward kernel that RECOMPUTES the block's internals in VMEM: the only
 HBM traffic per block is x, y, dy, dx and the (tiny) weights/grads.
 
 Numerics: dots in the input dtype with fp32 accumulation; LayerNorm,
-softmax, and GELU in fp32 (flax LayerNorm eps 1e-6). Attention uses the
-head-stacked lane-mask formulation from ops/fused_denoise.py (all heads in
-one batched dot per frame block).
+softmax, and GELU in fp32 (flax LayerNorm eps 1e-6). Attention uses a
+lane-masked (F, HT, T) score layout: only q is head-stacked+masked and it
+contracts against single unmasked k/v copies, so scores/softmax/value
+dots are H x smaller than the (F, HT, HT) block-diagonal formulation of
+ops/fused_denoise.py and no -1e9 cross-head mask exists at all.
 
 Used by the ViT image encoder when ``vit_fused_block: true``
 (models/vision.py); parity + gradient tests: tests/test_fused_vit_block.py.
@@ -80,7 +82,7 @@ def _block_core(num_heads, ablate=frozenset()):
     as probabilities — isolates exp/normalize VPU cost)."""
 
     def core(x2d, F, T, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
-             head_masks, self_mask, dtype):
+             head_masks, dtype):
         W = x2d.shape[-1]
         H = num_heads
         HT = H * T
@@ -98,9 +100,9 @@ def _block_core(num_heads, ablate=frozenset()):
             """(FT, W) -> (F, HT, W): H stacked copies, each lane-masked to
             its head. ``masked=False`` tiles WITHOUT the mask multiplies —
             valid wherever the other dot operand already carries the lane
-            mask (one-sided masking: q.k^T only needs ONE masked side since
-            the zero lanes of the masked operand kill the cross-head terms,
-            and the off-diagonal head blocks are -inf'd by self_mask)."""
+            mask (one-sided masking: a dot between one masked and one
+            unmasked operand only ever reads the masked side's head
+            lanes)."""
             t3 = t2d.reshape(F, T, W)
             if not masked:
                 return jnp.concatenate([t3] * num_heads, axis=1)
@@ -122,28 +124,33 @@ def _block_core(num_heads, ablate=frozenset()):
         n1_32, xh1, r1 = _ln_fwd(x32, g1, be1)
         n1 = n1_32.astype(dtype)
         if "no_attn" in ablate:
-            qkv = qs = ks = vs = p = o3 = om = None
+            qkv = qs = k3 = v3 = p = o3 = om = None
             x2_32 = x32
         else:
             qkv = (dot(n1, wqkv) + bqkv).astype(dtype)  # (FT, 3W)
             q = jax.lax.slice_in_dim(qkv, 0, W, axis=1)
             k = jax.lax.slice_in_dim(qkv, W, 2 * W, axis=1)
             v = jax.lax.slice_in_dim(qkv, 2 * W, 3 * W, axis=1)
-            # one-sided masking: qs carries the lane mask, so ks can be a
-            # plain tile (the masked operand zeroes cross-head lanes in the
-            # contraction; self_mask kills the off-diagonal head blocks)
-            qs, ks, vs = head_stack(q), head_stack(k, masked=False), head_stack(v)
-            s = bdot(qs, ks, 2, 2) * scale + self_mask  # (F, HT, HT) fp32
+            # (F, HT, T) score layout: ONLY q is head-stacked+lane-masked;
+            # contracting it against the single unmasked k copy yields the
+            # exact per-head scores (the masked operand zeroes every
+            # cross-head lane), with H x fewer score entries than the old
+            # (F, HT, HT) block-diagonal form — H x cheaper score/value
+            # dots and softmax, and no -1e9 self-mask at all.
+            qs = head_stack(q)  # (F, HT, W) lane-masked
+            k3 = k.reshape(F, T, W)
+            v3 = v.reshape(F, T, W)
+            s = bdot(qs, k3, 2, 2) * scale  # (F, HT, T) fp32
             if "no_softmax" in ablate:
                 p = s * np.float32(1e-2)
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32
-            # vs is lane-masked, so each o3 row block is already zero
-            # outside its head's lanes -> merge without re-masking
-            o3 = bdot(p.astype(dtype), vs, 2, 1).astype(dtype)  # (F, HT, W)
-            om = merge_heads(o3, masked=False)  # (FT, W)
+            # o3 rows mix ALL of v's lanes -> the merge must re-mask each
+            # head block to its own lanes
+            o3 = bdot(p.astype(dtype), v3, 2, 1).astype(dtype)  # (F, HT, W)
+            om = merge_heads(o3)  # (FT, W)
             a = dot(om, wo) + bo  # fp32
             x2_32 = x32 + a
         x2 = x2_32.astype(dtype)
@@ -164,7 +171,7 @@ def _block_core(num_heads, ablate=frozenset()):
         return dict(dot=dot, bdot=bdot, head_stack=head_stack,
                     merge_heads=merge_heads, scale=scale,
                     x32=x32, xh1=xh1, r1=r1, n1=n1, qkv=qkv,
-                    qs=qs, ks=ks, vs=vs, p=p, o3=o3, om=om,
+                    qs=qs, k3=k3, v3=v3, p=p, o3=o3, om=om,
                     x2=x2, x2_32=x2_32, xh2=xh2, r2=r2, n2=n2,
                     z=z, cdf=cdf, hg=hg, y32=y32)
 
@@ -172,16 +179,12 @@ def _block_core(num_heads, ablate=frozenset()):
 
 
 def _masks(num_heads, T, W, dtype):
-    H = num_heads
-    D = W // H
-    HT = H * T
+    """Per-head lane masks (1, 1, W). No score mask is needed: the
+    (F, HT, T) layout never materializes cross-head score entries."""
+    D = W // num_heads
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // D
-    head_masks = [(lane == h).astype(dtype).reshape(1, 1, W)
-                  for h in range(H)]
-    hrow = jax.lax.broadcasted_iota(jnp.int32, (HT, HT), 0) // T
-    hcol = jax.lax.broadcasted_iota(jnp.int32, (HT, HT), 1) // T
-    self_mask = jnp.where(hrow == hcol, 0.0, -1e9).astype(jnp.float32)[None]
-    return head_masks, self_mask
+    return [(lane == h).astype(dtype).reshape(1, 1, W)
+            for h in range(num_heads)]
 
 
 def _make_fwd_kernel(num_heads, F, T, ablate=frozenset()):
@@ -191,11 +194,11 @@ def _make_fwd_kernel(num_heads, F, T, ablate=frozenset()):
                y_ref):
         dtype = x_ref.dtype
         W = x_ref.shape[-1]
-        head_masks, self_mask = _masks(num_heads, T, W, dtype)
+        head_masks = _masks(num_heads, T, W, dtype)
         x2d = x_ref[...].reshape(F * T, W)
         c = core(x2d, F, T, g1[...], be1[...], wqkv[...], bqkv[...], wo[...],
                  bo[...], g2[...], be2[...], w1[...], b1[...], w2[...],
-                 b2[...], head_masks, self_mask, dtype)
+                 b2[...], head_masks, dtype)
         y_ref[...] = c["y32"].astype(dtype).reshape(F, T, W)
 
     return kernel
@@ -210,11 +213,11 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset()):
                dw2_ref, db2_ref):
         dtype = x_ref.dtype
         W = x_ref.shape[-1]
-        head_masks, self_mask = _masks(num_heads, T, W, dtype)
+        head_masks = _masks(num_heads, T, W, dtype)
         x2d = x_ref[...].reshape(F * T, W)
         c = core(x2d, F, T, g1[...], be1[...], wqkv[...], bqkv[...], wo[...],
                  bo[...], g2[...], be2[...], w1[...], b1[...], w2[...],
-                 b2[...], head_masks, self_mask, dtype)
+                 b2[...], head_masks, dtype)
         dot, bdot = c["dot"], c["bdot"]
         head_stack, merge_heads = c["head_stack"], c["merge_heads"]
 
@@ -263,26 +266,28 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset()):
             dbo = jnp.sum(dx2, axis=0, keepdims=True)
             dom = dot(da, jnp.transpose(wo[...])).astype(dtype)  # (FT, W)
 
-            # ---- attention core backward ----
-            # do3 can be a plain tile: dp's other operand (vs) carries the
-            # lane mask, and dvs is re-masked at the dv merge below
-            do3 = head_stack(dom, masked=False)  # (F, HT, W)
-            dp = bdot(do3, c["vs"], 2, 2)  # (F, HT, HT) fp32
-            dvs = bdot(c["p"].astype(dtype), do3, 1, 1)  # (F, HT, W) fp32
+            # ---- attention core backward ((F, HT, T) score layout) ----
+            # the merge masked each o3 head block, so its cotangent is the
+            # lane-masked stack of dom
+            do3 = head_stack(dom)  # (F, HT, W)
+            dp = bdot(do3, c["v3"], 2, 2)  # (F, HT, T) fp32
+            # dv comes out as a SINGLE copy: contracting p and do3 over the
+            # stacked-row axis sums the per-head terms, each already in its
+            # own lanes through do3's mask
+            dv3 = bdot(c["p"].astype(dtype), do3, 1, 1)  # (F, T, W) fp32
             if "no_softmax" in ablate:
                 ds = dp * np.float32(1e-2)
             else:
                 ds = c["p"] * (dp - jnp.sum(dp * c["p"], axis=-1,
                                             keepdims=True))
             ds = (ds * c["scale"]).astype(dtype)
-            dqs = bdot(ds, c["ks"], 2, 1)  # (F, HT, W) fp32
-            dks = bdot(ds, c["qs"], 1, 1)  # contraction over HT rows -> (F, HT, W)
-            # dqs needs the mask (ks was an unmasked tile); dks rows are
-            # already lane-masked through qs (ds is block-diagonal: p is
-            # exactly 0 across heads after the -1e9 self_mask softmax)
-            dq = merge_heads(dqs.astype(dtype))
-            dk = merge_heads(dks.astype(dtype), masked="no_softmax" in ablate)
-            dv = merge_heads(dvs.astype(dtype))
+            dqs = bdot(ds, c["k3"], 2, 1)  # (F, HT, W) fp32
+            # dk is likewise direct: qs carries the lane mask, so the
+            # HT-contraction lands every head's term in its own lanes
+            dk3 = bdot(ds, c["qs"], 1, 1)  # (F, T, W) fp32
+            dq = merge_heads(dqs.astype(dtype))  # k3 was unmasked -> mask
+            dk = dk3.astype(dtype).reshape(F * T, W)
+            dv = dv3.astype(dtype).reshape(F * T, W)
             dqkv = jnp.concatenate([dq, dk, dv], axis=1)  # (FT, 3W)
             dwqkv = tdot(c["n1"], dqkv.astype(dtype))
             dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
