@@ -70,9 +70,19 @@ def device_batch(cfg, b, rng):
     if cfg.use_gamestate:
         batch["game_state"] = jnp.zeros((b,), jnp.int32)
     if cfg.use_images:
-        batch["image_u8"] = jnp.asarray(rng.integers(
-            0, 255, (b, cfg.image_context_length, cfg.image_resolution,
-                     cfg.image_resolution, 3), dtype=np.uint8))
+        if cfg.image_encoder_type == "vit" and os.environ.get("MFU_PREPATCH", "1") != "0":
+            # production packed layout for ViT configs: frames stored
+            # pre-patchified (data/pipeline.patchify_frames) so the step
+            # has no device-side patchify relayouts
+            p = cfg.vit_patch_size
+            n_patch = (cfg.image_resolution // p) ** 2
+            batch["image_u8"] = jnp.asarray(rng.integers(
+                0, 255, (b, cfg.image_context_length, n_patch, p * p * 3),
+                dtype=np.uint8))
+        else:
+            batch["image_u8"] = jnp.asarray(rng.integers(
+                0, 255, (b, cfg.image_context_length, cfg.image_resolution,
+                         cfg.image_resolution, 3), dtype=np.uint8))
         batch["image_valid"] = jnp.ones((b, cfg.image_context_length), jnp.float32)
     return jax.device_put(batch)
 

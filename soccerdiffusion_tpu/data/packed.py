@@ -301,10 +301,12 @@ class PackedDataset:
         """
         cfg = self.cfg
         F = cfg.image_context_length
-        res = cfg.image_resolution
         b = len(rec_ids)
         context_len = (F + 1) / self.max_fps_video
-        u8 = np.zeros((b, F, res, res, 3), dtype=np.uint8)
+        # frame storage layout is whatever the shard holds: (res, res, 3)
+        # whole frames, or (patches, P*P*C) pre-patchified for ViT configs
+        # (prepatchify_images) — the gather below is layout-agnostic
+        u8 = np.zeros((b, F) + self.images.shape[1:], dtype=np.uint8)
         valid = np.zeros((b, F), dtype=np.float32)
         stamps_out = np.empty((b, F), dtype=np.float32)
         for i, (ri, li) in enumerate(zip(rec_ids, local_idx)):
@@ -324,6 +326,24 @@ class PackedDataset:
         out["image_u8"] = u8
         out["image_valid"] = valid
         out["image_stamps"] = stamps_out
+
+    def prepatchify_images(self, patch: int) -> None:
+        """Re-layout stored frames to the ViT patch layout
+        (data/pipeline.patchify_frames): (N, res, res, 3) ->
+        (N, (res//P)^2, P*P*3) uint8, once, on the host.
+
+        Batches then carry ``image_u8`` pre-patchified and the device step
+        is a straight patches @ kernel GEMM — no per-step patchify
+        relayouts (~8-13 ms/step on the flagship geometry,
+        docs/perf_notes.md round 3). Bit-identical to the on-device path.
+        Materializes the shard in RAM (drops a read-only mmap view), so
+        call it before training, not per batch."""
+        if self.images is None or self.images.ndim == 3:
+            return  # no images, or already patchified
+        from soccerdiffusion_tpu.data.pipeline import patchify_frames
+
+        self.images = np.ascontiguousarray(
+            patchify_frames(np.asarray(self.images), patch))
 
     def _assemble_numpy(self, rec_starts, local_idx, out) -> None:
         cfg = self.cfg

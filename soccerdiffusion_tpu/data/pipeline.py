@@ -65,9 +65,38 @@ def device_normalize_images(u8, valid):
 
     from soccerdiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    if u8.shape[-1] != 3:
+        # pre-patchified frames (..., patches, P*P*3): the channel pattern
+        # repeats every 3 along the last axis (patchify_frames)
+        reps = u8.shape[-1] // 3
+        mean, std = jnp.tile(mean, reps), jnp.tile(std, reps)
+        x = (u8.astype(jnp.float32) / 255.0 - mean) / std
+        return x * valid[..., None, None]
     x = u8.astype(jnp.float32) / 255.0
-    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    x = (x - mean) / std
     return x * valid[..., None, None, None]
+
+
+def patchify_frames(frames, patch: int):
+    """(..., H, W, C) -> (..., (H//P)*(W//P), P*P*C), any dtype, numpy or jnp.
+
+    The ViT patch layout, produced on the HOST (pack time or batch
+    assembly) so the device step is a straight patches @ kernel GEMM with
+    the uint8 -> bf16 convert fused into the operand load. Profiled on the
+    flagship step: device-side patchify of the (B, F, 224, 224, 3) uint8
+    batch costs ~8-13 ms/step in pure layout copies
+    (benchmarks/profile_train_step.py; docs/perf_notes.md round 3).
+    """
+    *lead, h, w, c = frames.shape
+    p = patch
+    x = frames.reshape(*lead, h // p, p, w // p, p, c)
+    ndim = x.ndim
+    # (..., h/p, p, w/p, p, c) -> (..., h/p, w/p, p, p, c)
+    perm = tuple(range(ndim - 5)) + (ndim - 5, ndim - 3, ndim - 4, ndim - 2, ndim - 1)
+    x = x.transpose(*perm)
+    return x.reshape(*lead, (h // p) * (w // p), p * p * c)
 
 
 def prepare_batch(batch: dict, keep_u8: bool = False) -> dict:

@@ -180,9 +180,19 @@ class ViTImageEncoder(nn.Module):
         produces)."""
         from soccerdiffusion_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
-        n, h, w, c = x.shape
         p = self.patch_size
-        num_patches = (h // p) * (w // p)
+        if x.ndim == 3:
+            # PRE-PATCHIFIED frames (N, patches, P*P*C) — the production
+            # packed layout (data/pipeline.patchify_frames): the on-device
+            # patchify transpose disappears and the uint8 -> bf16 convert
+            # fuses into the patch-embed GEMM. Profiled: the device-side
+            # relayouts of the (B, F, 224, 224, 3) tensor cost ~8-13 ms
+            # per flagship step (benchmarks/profile_train_step.py).
+            n, num_patches, pk = x.shape
+            c = pk // (p * p)
+        else:
+            n, h, w, c = x.shape
+            num_patches = (h // p) * (w // p)
         kernel = self.param("patch_kernel", nn.initializers.lecun_normal(),
                             (p * p * c, self.width), jnp.float32)
         bias = self.param("patch_bias", nn.initializers.zeros,
@@ -196,13 +206,15 @@ class ViTImageEncoder(nn.Module):
             row_scale = jnp.tile(1.0 / (255.0 * std), p * p)  # (p*p*c,)
             k_fold = (kernel * row_scale[:, None]).astype(self.dtype)
             b_fold = bias - jnp.tile(mean / std, p * p) @ kernel
-            tokens = self._patchify(x).astype(self.dtype) @ k_fold
+            patches = x if x.ndim == 3 else self._patchify(x)
+            tokens = patches.astype(self.dtype) @ k_fold
             tokens = tokens + b_fold.astype(jnp.float32)
             # invalid frames must equal the zero-image embedding (= bias)
             gate = valid.astype(jnp.float32)[:, None, None]
             x = (bias + gate * (tokens - bias)).astype(self.dtype)
         else:
-            tokens = self._patchify(x).astype(self.dtype) @ kernel.astype(self.dtype)
+            patches = x if x.ndim == 3 else self._patchify(x)
+            tokens = patches.astype(self.dtype) @ kernel.astype(self.dtype)
             x = (tokens + bias).astype(self.dtype)
         x = PositionalEncoding(self.width, num_patches, dtype=self.dtype, name="pos")(x)
         x = TransformerEncoder(self.width, self.num_heads, self.depth,
@@ -292,6 +304,10 @@ class ImageSequenceEncoder(nn.Module):
         (normalization folded into its patch embed); other encoders
         normalize here in-jit."""
         b, t = x.shape[0], x.shape[1]
+        if x.ndim == 4 and self.encoder_type != "vit":
+            raise ValueError(
+                "pre-patchified frames (B, T, patches, P*P*C) are a ViT-only "
+                "input layout (data/pipeline.patchify_frames)")
         encoder = make_image_encoder(self.encoder_type, self.hidden_dim,
                                      self.use_final_avgpool, self.dtype,
                                      self.attention_impl, remat=self.remat,

@@ -113,6 +113,11 @@ def build_dataset(args, config: Config):
         from soccerdiffusion_tpu.data.packed import PackedDataset
 
         dataset = PackedDataset.from_windowed(dataset)
+        if config.model.use_images and config.model.image_encoder_type == "vit":
+            # ViT batches ship frames in the patch layout: bit-identical,
+            # and the device step loses its patchify relayouts
+            # (docs/perf_notes.md round 3)
+            dataset.prepatchify_images(config.model.vit_patch_size)
     return dataset
 
 

@@ -182,3 +182,33 @@ class TestStreamingImages:
         ds_eager = WindowedDataset.from_sqlite(db, IMG_CFG, stream_images=False)
         np.testing.assert_array_equal(
             ds_eager[len(ds) - 1]["image_data"], item["image_data"])
+
+
+class TestPrepatchified:
+    def test_prepatchify_matches_whole_frame_path(self):
+        """Pre-patchified shards produce bit-identical normalized windows."""
+        from soccerdiffusion_tpu.data.pipeline import (
+            device_normalize_images, patchify_frames)
+
+        _, packed = make_image_pair()
+        idx = np.array([0, 5, 120])
+        whole = packed.assemble(idx)
+        p = IMG_CFG.vit_patch_size
+        packed.prepatchify_images(p)
+        assert packed.images.ndim == 3  # (N, patches, P*P*3)
+        pre = packed.assemble(idx)
+        assert pre["image_u8"].shape[-1] == p * p * 3
+        np.testing.assert_array_equal(
+            pre["image_u8"], patchify_frames(whole["image_u8"], p))
+        np.testing.assert_array_equal(pre["image_valid"], whole["image_valid"])
+        # normalization handles the patch layout and matches exactly
+        a = np.asarray(device_normalize_images(whole["image_u8"], whole["image_valid"]))
+        b = np.asarray(device_normalize_images(pre["image_u8"], pre["image_valid"]))
+        np.testing.assert_allclose(patchify_frames(a, p), b, atol=1e-6)
+
+    def test_prepatchify_idempotent(self):
+        _, packed = make_image_pair()
+        packed.prepatchify_images(IMG_CFG.vit_patch_size)
+        shape = packed.images.shape
+        packed.prepatchify_images(IMG_CFG.vit_patch_size)  # no-op
+        assert packed.images.shape == shape
