@@ -72,8 +72,8 @@ def make_weights(rng):
             s(FF, W), jnp.zeros((W,), jnp.float32))
 
 
-def bench_variant(name: str, ablate: tuple, weights, rng):
-    block = make_vit_block_fn(HEADS, FRAMES, ablate=ablate)
+def bench_variant(name: str, ablate: tuple, weights, rng, gelu="exact"):
+    block = make_vit_block_fn(HEADS, FRAMES, ablate=ablate, gelu=gelu)
 
     def stack(x, w):
         # fp32 master weights cast to the bf16 compute dtype INSIDE the
@@ -134,19 +134,20 @@ def main():
     weights = make_weights(rng)
     only = [v for v in os.environ.get("MB_VARIANTS", "").split(",") if v]
     variants = [
-        ("full", ()),
-        ("relu_gelu", ("relu_gelu",)),
-        ("no_softmax", ("no_softmax",)),
-        ("no_attn", ("no_attn",)),
-        ("no_mlp", ("no_mlp",)),
+        ("full", (), "exact"),
+        ("poly_gelu", (), "poly"),
+        ("relu_gelu", ("relu_gelu",), "exact"),
+        ("no_softmax", ("no_softmax",), "exact"),
+        ("no_attn", ("no_attn",), "exact"),
+        ("no_mlp", ("no_mlp",), "exact"),
         # both sublayers ablated: LN x2 + residual + x/y streaming + grid
         # skeleton — the non-additive "base" the deltas above sit on
-        ("ln_only", ("no_attn", "no_mlp")),
+        ("ln_only", ("no_attn", "no_mlp"), "exact"),
     ]
-    for name, ablate in variants:
+    for name, ablate, gelu in variants:
         if only and name not in only:
             continue
-        bench_variant(name, ablate, weights, rng)
+        bench_variant(name, ablate, weights, rng, gelu)
     emit(bench="done")
 
 

@@ -115,6 +115,10 @@ class ModelConfig:
     vit_fused_block: bool = False
     # frames per fused-block Pallas program (VMEM/grid trade-off)
     vit_fused_block_frames: int = 8
+    # fused-kernel GELU numerics: "exact" (erf) or "poly" (FMA-only
+    # minimax, |err| <= 3.4e-4 fwd / 1.8e-3 grad; ~12 ms cheaper per
+    # flagship fwd+bwd stack)
+    vit_fused_gelu: str = "exact"
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:

@@ -79,6 +79,7 @@ class DiffusionPolicy(nn.Module):
                 vit_geometry=(cfg.vit_patch_size, cfg.vit_width, cfg.vit_depth),
                 vit_fused_block=cfg.vit_fused_block,
                 vit_fused_block_frames=cfg.vit_fused_block_frames,
+                vit_fused_gelu=cfg.vit_fused_gelu,
                 **common,
             )
         if cfg.use_gamestate:

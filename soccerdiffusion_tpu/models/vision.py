@@ -147,6 +147,7 @@ class ViTImageEncoder(nn.Module):
     # (ops/fused_vit_block.py) — the HBM-traffic fix for training MFU
     fused_block: bool = False
     fused_block_frames: int = 8
+    fused_gelu: str = "exact"
 
     def _patchify(self, x: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) -> (N, patches, P*P*C) via reshape/transpose — the
@@ -223,6 +224,7 @@ class ViTImageEncoder(nn.Module):
                                remat=self.remat,
                                fused_block=self.fused_block,
                                fused_block_frames=self.fused_block_frames,
+                               fused_gelu=self.fused_gelu,
                                name="blocks")(x)
         x = jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -239,6 +241,7 @@ def make_image_encoder(
     vit_geometry: tuple = (16, 192, 6),
     vit_fused_block: bool = False,
     vit_fused_block_frames: int = 8,
+    vit_fused_gelu: str = "exact",
 ) -> nn.Module:
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
     # ViT remats its own transformer blocks; the conv/swin encoders remat
@@ -260,6 +263,7 @@ def make_image_encoder(
                                dtype=dtype, attention_impl=attention_impl,
                                remat=remat, fused_block=vit_fused_block,
                                fused_block_frames=vit_fused_block_frames,
+                               fused_gelu=vit_fused_gelu,
                                name="image_encoder")
     if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
         from soccerdiffusion_tpu.models.swin import SwinImageEncoder
@@ -295,6 +299,7 @@ class ImageSequenceEncoder(nn.Module):
     vit_geometry: tuple = (16, 192, 6)
     vit_fused_block: bool = False
     vit_fused_block_frames: int = 8
+    vit_fused_gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -313,7 +318,8 @@ class ImageSequenceEncoder(nn.Module):
                                      self.attention_impl, remat=self.remat,
                                      vit_geometry=self.vit_geometry,
                                      vit_fused_block=self.vit_fused_block,
-                                     vit_fused_block_frames=self.vit_fused_block_frames)
+                                     vit_fused_block_frames=self.vit_fused_block_frames,
+                                     vit_fused_gelu=self.vit_fused_gelu)
         if valid is not None and self.encoder_type != "vit":
             from soccerdiffusion_tpu.data.pipeline import device_normalize_images
 

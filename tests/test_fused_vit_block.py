@@ -159,3 +159,44 @@ class TestGradients:
         g = jax.grad(lambda xx: jnp.sum(fn(xx, *w).astype(jnp.float32)))(
             x.astype(jnp.bfloat16))
         assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
+
+class TestPolyGelu:
+    """The "poly" GELU option: FMA-only minimax approximation with bounded
+    error vs the exact erf-based path (ops/fused_vit_block._gelu_poly)."""
+
+    def test_function_level_error_bounds(self):
+        from soccerdiffusion_tpu.ops.fused_denoise import _gelu_exact
+        from soccerdiffusion_tpu.ops.fused_vit_block import (
+            _gelu_cdf, _gelu_grad, _gelu_poly, _gelu_poly_grad)
+
+        z = jnp.linspace(-12.0, 12.0, 200001)
+        assert float(jnp.max(jnp.abs(_gelu_poly(z) - _gelu_exact(z)))) < 5e-4
+        exact_grad = _gelu_grad(z, _gelu_cdf(z))
+        assert float(jnp.max(jnp.abs(_gelu_poly_grad(z) - exact_grad))) < 2.5e-3
+
+    def test_kernel_outputs_close_to_exact(self):
+        layer, params, x = setup()
+        w = flat_weights(params)
+        y_exact = make_vit_block_fn(H, block_frames=3, interpret=True)(x, *w)
+        y_poly = make_vit_block_fn(H, block_frames=3, interpret=True,
+                                   gelu="poly")(x, *w)
+        np.testing.assert_allclose(np.asarray(y_poly), np.asarray(y_exact),
+                                   atol=2e-3)
+
+    def test_poly_grads_close_to_exact(self):
+        layer, params, x = setup(n=4)
+        w = flat_weights(params)
+
+        def loss(fn, weights, xin):
+            return jnp.sum(fn(xin, *weights) ** 2)
+
+        f_exact = make_vit_block_fn(H, block_frames=2, interpret=True)
+        f_poly = make_vit_block_fn(H, block_frames=2, interpret=True,
+                                   gelu="poly")
+        ge = jax.grad(lambda ws: loss(f_exact, ws, x))(w)
+        gp = jax.grad(lambda ws: loss(f_poly, ws, x))(w)
+        for i, (a, b) in enumerate(zip(ge, gp)):
+            ref = float(jnp.max(jnp.abs(a))) + 1e-6
+            err = float(jnp.max(jnp.abs(a - b)))
+            assert err / ref < 2e-2, f"weight {i}: rel {err / ref}"
