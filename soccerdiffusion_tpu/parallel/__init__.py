@@ -8,9 +8,12 @@ no NCCL-style explicit communication API to port.
 """
 
 from soccerdiffusion_tpu.parallel.mesh import (
+    DCN_AXIS,
     MeshRules,
+    make_hybrid_mesh,
     make_mesh,
     param_shardings,
+    rules_for_mesh,
     shard_batch,
 )
 from soccerdiffusion_tpu.parallel.ring_attention import (
@@ -21,6 +24,7 @@ from soccerdiffusion_tpu.parallel.ring_attention import (
     ring_self_attention,
 )
 
-__all__ = ["make_mesh", "MeshRules", "shard_batch", "param_shardings",
+__all__ = ["make_mesh", "make_hybrid_mesh", "rules_for_mesh", "DCN_AXIS",
+           "MeshRules", "shard_batch", "param_shardings",
            "ring_attention", "ring_attention_sharded", "auto_ring_attention",
            "ring_self_attention", "head_sharded_attention"]

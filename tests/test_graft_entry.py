@@ -18,3 +18,6 @@ class TestGraftEntry:
         fn, args = graft.entry()
         out = jax.eval_shape(fn, *args)
         assert out.shape == (2, 10, 20)
+
+    def test_dryrun_dcn_8(self):
+        graft.dryrun_dcn(8)

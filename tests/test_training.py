@@ -190,3 +190,67 @@ class TestOrbaxBackend:
         )
         # optimizer state restored into the optax namedtuple structure
         assert type(restored["state"].opt_state) is type(state.opt_state)
+
+
+class TestHybridMesh:
+    """DCN-aware two-level mesh: "dcn" outermost, ICI axes inside a slice
+    (parallel/mesh.make_hybrid_mesh; SURVEY.md §5.8)."""
+
+    def test_construction_and_grouping(self):
+        from soccerdiffusion_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"dcn": 2, "data": 2, "model": 2})
+        assert mesh.axis_names == ("dcn", "data", "model")
+        assert mesh.devices.shape == (2, 2, 2)
+        # contiguous simulated slices: all of slice 0's devices precede
+        # slice 1's (dcn varies slowest)
+        ids = [[d.id for d in row.flat] for row in mesh.devices]
+        assert max(ids[0]) < min(ids[1])
+
+    def test_rules_for_mesh_derivation(self):
+        from soccerdiffusion_tpu.parallel import make_mesh, rules_for_mesh
+        from jax.sharding import PartitionSpec as P
+
+        rules = rules_for_mesh(make_mesh({"dcn": 2, "data": 4}))
+        assert rules.dcn and rules.data_axis == "data"
+        assert rules.batch_spec() == P(("dcn", "data"))
+        plain = rules_for_mesh(make_mesh({"data": 8}))
+        assert not plain.dcn and plain.batch_spec() == P("data")
+
+    def test_model_axis_over_dcn_rejected(self):
+        from soccerdiffusion_tpu.parallel import MeshRules
+        import pytest
+
+        with pytest.raises(ValueError):
+            MeshRules(model_axis="dcn")
+
+    def test_dcn_dp_matches_single_device(self):
+        from soccerdiffusion_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh({"dcn": 2, "data": 4})
+        ds, norm, model, sched, opt, state = make_env(batch_size=16)
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        host_batch = next(ds.batches(16, shuffle=False))
+        _, m_single = step(state, jax.device_put(host_batch), 0)
+        with mesh:
+            _, m_dcn = step(state, shard_batch(mesh, host_batch), 0)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_dcn["loss"]), rtol=1e-5)
+
+    def test_dcn_tp_train_step_matches(self):
+        from soccerdiffusion_tpu.parallel import (
+            MeshRules, make_mesh, param_shardings, shard_batch)
+
+        mesh = make_mesh({"dcn": 2, "data": 2, "model": 2})
+        ds, norm, model, sched, opt, state = make_env(batch_size=16)
+        step = make_train_step(model, sched, opt, norm, donate=False)
+        host_batch = next(ds.batches(16, shuffle=False))
+        _, m_single = step(state, jax.device_put(host_batch), 0)
+        rules = MeshRules(model_axis="model", dcn=True)
+        with mesh:
+            sharded = jax.device_put(state.params,
+                                     param_shardings(mesh, state.params, rules))
+            batch = shard_batch(mesh, host_batch, rules)
+            _, m = step(state.replace(params=sharded), batch, 0)
+        np.testing.assert_allclose(float(m_single["loss"]), float(m["loss"]),
+                                   rtol=1e-4)
