@@ -116,8 +116,8 @@ class ModelConfig:
     # frames per fused-block Pallas program (VMEM/grid trade-off)
     vit_fused_block_frames: int = 8
     # fused-kernel GELU numerics: "exact" (erf) or "poly" (FMA-only
-    # minimax, |err| <= 3.4e-4 fwd / 1.8e-3 grad; ~12 ms cheaper per
-    # flagship fwd+bwd stack)
+    # minimax, |err| <= 3.4e-4 fwd / 1.8e-3 grad; measured perf-NEUTRAL
+    # on v5e — docs/perf_notes.md round 3)
     vit_fused_gelu: str = "exact"
 
     def __post_init__(self) -> None:
@@ -133,6 +133,8 @@ class ModelConfig:
                 f"image_resolution {self.image_resolution} not divisible by "
                 f"vit_patch_size {self.vit_patch_size} (the reshape-based "
                 f"patch embed has no VALID-conv cropping)")
+        if self.vit_fused_gelu not in ("exact", "poly"):
+            raise ValueError(f"unknown vit_fused_gelu: {self.vit_fused_gelu}")
 
     @property
     def imu_input_dim(self) -> int:

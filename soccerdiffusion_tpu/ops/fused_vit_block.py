@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from soccerdiffusion_tpu.ops.fused_denoise import _erf, _gelu_exact
+from soccerdiffusion_tpu.ops.fused_denoise import _erf
 
 _EPS = 1e-6  # flax nn.LayerNorm default
 
@@ -132,27 +132,20 @@ def _block_core(num_heads, ablate=frozenset(), gelu="exact"):
             return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
                                        preferred_element_type=jnp.float32)
 
-        def head_stack(t2d, masked=True):
+        def head_stack(t2d):
             """(FT, W) -> (F, HT, W): H stacked copies, each lane-masked to
-            its head. ``masked=False`` tiles WITHOUT the mask multiplies —
-            valid wherever the other dot operand already carries the lane
-            mask (one-sided masking: a dot between one masked and one
-            unmasked operand only ever reads the masked side's head
-            lanes)."""
+            its head (the mask makes a full-W contraction against a single
+            unmasked operand read only this head's lanes)."""
             t3 = t2d.reshape(F, T, W)
-            if not masked:
-                return jnp.concatenate([t3] * num_heads, axis=1)
             return jnp.concatenate([t3 * m for m in head_masks], axis=1)
 
-        def merge_heads(o3, masked=True):
-            """(F, HT, W) -> (FT, W): sum the H row blocks. ``masked=False``
-            skips the per-head lane mask — valid when each row block is
-            already zero outside its own head's lanes."""
+        def merge_heads(o3):
+            """(F, HT, W) -> (FT, W): re-mask each head's row block to its
+            own lanes and sum the blocks."""
             total = None
             for hh in range(num_heads):
                 part = jax.lax.slice_in_dim(o3, hh * T, (hh + 1) * T, axis=1)
-                if masked:
-                    part = part * head_masks[hh].astype(part.dtype)
+                part = part * head_masks[hh].astype(part.dtype)
                 total = part if total is None else total + part
             return total.reshape(F * T, W)
 

@@ -84,6 +84,10 @@ def make_hybrid_mesh(
         groups.setdefault(_slice_id(d), []).append(d)
     if len(groups) == 1 and num_slices and num_slices > 1:
         # single-process simulation (CPU mesh): contiguous equal blocks
+        if len(devices) % num_slices:
+            raise ValueError(
+                f"{len(devices)} devices do not split into {num_slices} "
+                "equal slices")
         per = len(devices) // num_slices
         groups = {i: devices[i * per : (i + 1) * per] for i in range(num_slices)}
     ns = num_slices or len(groups)
@@ -154,9 +158,24 @@ def rules_for_mesh(mesh: Mesh) -> MeshRules:
     axis) carries the batch, "model" (if present) tensor-parallelism, and a
     "dcn" axis extends data parallelism across slices."""
     names = tuple(mesh.axis_names)
-    ici = [n for n in names if n != DCN_AXIS]
+    # batch-axis candidates: ICI axes that are not the TP axis
+    candidates = [n for n in names if n not in (DCN_AXIS, "model")]
+    if "data" in candidates:
+        data_axis = "data"
+    elif candidates:
+        data_axis = candidates[-1]
+    elif DCN_AXIS in names:
+        # pure cross-slice DP mesh ("dcn" only, or dcn x model): the dcn
+        # axis itself carries the batch (dcn=False avoids a duplicate
+        # axis in batch_spec)
+        return MeshRules(data_axis=DCN_AXIS,
+                         model_axis="model" if "model" in names else None,
+                         dcn=False)
+    else:
+        raise ValueError(
+            f"mesh axes {names} leave no axis to shard the batch over")
     return MeshRules(
-        data_axis="data" if "data" in names else (ici[-1] if ici else DCN_AXIS),
+        data_axis=data_axis,
         model_axis="model" if "model" in names else None,
         dcn=DCN_AXIS in names,
     )
