@@ -20,6 +20,7 @@ from soccerdiffusion_tpu.evaluation.divergence import (
     self_consistency,
 )
 from soccerdiffusion_tpu.evaluation.openloop import (
+    context_sensitivity,
     eval_batches,
     held_out_indices,
     open_loop_metrics,
@@ -32,6 +33,7 @@ __all__ = [
     "closed_loop_divergence",
     "rollout_chunks",
     "self_consistency",
+    "context_sensitivity",
     "eval_batches",
     "held_out_indices",
     "open_loop_metrics",

@@ -109,6 +109,68 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
     }
 
 
+#: batch keys that carry conditioning information (everything the policy
+#: encodes except the denoised target itself)
+CONTEXT_KEYS = ("joint_command_history", "joint_state", "rotation",
+                "image_u8", "image_valid", "image_data", "game_state")
+
+
+def context_sensitivity(model, variables, normalizer,
+                        schedule: DiffusionSchedule,
+                        dataset, indices: Sequence[int],
+                        t_fracs: Sequence[float] = (0.1, 0.5, 0.9),
+                        batch_size: int = 64, seed: int = 0) -> dict:
+    """Does the model actually USE its context? eps-MSE with true vs
+    batch-shuffled context, per diffusion-timestep fraction.
+
+    A conditional denoiser must predict noise better when each sample sees
+    its OWN context than when contexts are permuted across the batch; a
+    ratio near 1.0 at every t means the model learned only unconditional
+    denoising (this exact diagnosis caught the lr-1e-4 quality-ledger
+    teacher ignoring its context, docs/ROUND3.md). Returns per-t-fraction
+    true/shuffled eps-MSE and their ratio (shuffled/true; >1 is good).
+    """
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed + 17)
+    per_t = {f: [0.0, 0.0] for f in t_fracs}  # frac -> [true_se, shuf_se]
+    count = 0
+    T = schedule.num_train_timesteps
+    for b, batch in enumerate(eval_batches(dataset, indices, batch_size)):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        bsz = jb["joint_command"].shape[0]
+        perm = rng.permutation(bsz)
+        jb_sh = dict(jb)
+        for k in CONTEXT_KEYS:
+            if k in jb_sh:
+                jb_sh[k] = jb_sh[k][perm]
+        ctx_true = model.apply(variables, jb, False, method=model.encode_context)
+        ctx_shuf = model.apply(variables, jb_sh, False, method=model.encode_context)
+        # normalized domain — matches the training objective exactly
+        x0 = normalizer.normalize(jb["joint_command"].astype(jnp.float32))
+        eps = jax.random.normal(jax.random.key(seed + b), x0.shape, jnp.float32)
+        for f in t_fracs:
+            t = jnp.full((bsz,), int(f * (T - 1)), jnp.int32)
+            from soccerdiffusion_tpu.diffusion import add_noise
+
+            xt = add_noise(schedule, x0, eps, t)
+            pt = model.apply(variables, ctx_true, xt, t, method=model.denoise)
+            ps = model.apply(variables, ctx_shuf, xt, t, method=model.denoise)
+            per_t[f][0] += float(jnp.sum((pt - eps) ** 2))
+            per_t[f][1] += float(jnp.sum((ps - eps) ** 2))
+        count += int(eps.size)
+    out = {"num_windows": int(len(indices)), "per_t": {}}
+    for f, (ts, ss) in per_t.items():
+        out["per_t"][f"{f:.2f}"] = {
+            "eps_mse_true": ts / count,
+            "eps_mse_shuffled": ss / count,
+            "ratio": (ss / ts) if ts > 0 else float("nan"),
+        }
+    ratios = [v["ratio"] for v in out["per_t"].values()]
+    out["min_ratio"] = min(ratios)
+    return out
+
+
 def sampler_agreement(model, teacher_vars, student_vars, normalizer,
                       schedule: DiffusionSchedule, dataset,
                       indices: Sequence[int], teacher_steps: int,

@@ -32,6 +32,7 @@ from soccerdiffusion_tpu.evaluation.divergence import (
     self_consistency,
 )
 from soccerdiffusion_tpu.evaluation.openloop import (
+    context_sensitivity,
     held_out_indices,
     open_loop_metrics,
     sampler_agreement,
@@ -88,6 +89,13 @@ def markdown_report(result: dict) -> str:
         lines += ["", f"Pure-noise open-loop MSE floor: **{nf:.5f}** (a "
                       f"sampler must land well below this to have learned "
                       f"anything)."]
+    cs = result.get("context_sensitivity")
+    if cs:
+        rows = ", ".join(
+            f"t={frac}: {v['ratio']:.2f}" for frac, v in cs["per_t"].items())
+        lines += ["", f"Teacher context sensitivity (shuffled/true eps-MSE "
+                      f"ratio; >1 means the context is used): {rows} — "
+                      f"min **{cs['min_ratio']:.2f}**."]
     return "\n".join(lines) + "\n"
 
 
@@ -115,6 +123,10 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
     result["noise_floor_mse"] = t_open.pop("noise_floor_mse")
     result["checkpoints"].append(
         {"name": Path(teacher).name, "open_loop": t_open})
+    logger.info("context sensitivity: teacher")
+    result["context_sensitivity"] = context_sensitivity(
+        model, t_vars, normalizer, schedule, dataset, indices,
+        batch_size=batch_size, seed=seed)
 
     for spath in students:
         s_params, s_vars, _, s_steps, s_distilled = _load(spath)

@@ -199,3 +199,31 @@ class TestReport:
         assert len(loaded["checkpoints"]) == 2
         assert loaded["checkpoints"][1]["divergence"]["num_chunks"] == 2
         assert result["teacher_self_consistency"]["mean_divergence_rad"] > 0
+
+
+class TestContextSensitivity:
+    def test_shuffled_context_ratio_shape_and_fields(self):
+        from soccerdiffusion_tpu.evaluation import context_sensitivity
+
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        idx = held_out_indices(len(ds), 32, 0)
+        out = context_sensitivity(model, variables, norm, sched, ds,
+                                  idx, t_fracs=(0.1, 0.9), batch_size=16)
+        assert set(out["per_t"]) == {"0.10", "0.90"}
+        for v in out["per_t"].values():
+            assert v["eps_mse_true"] > 0 and v["eps_mse_shuffled"] > 0
+            assert v["ratio"] == v["eps_mse_shuffled"] / v["eps_mse_true"]
+        assert out["min_ratio"] == min(v["ratio"] for v in out["per_t"].values())
+
+    def test_identity_shuffle_gives_ratio_one(self):
+        """With a single-sample batch the permutation is the identity, so
+        true and shuffled context coincide exactly."""
+        from soccerdiffusion_tpu.evaluation import context_sensitivity
+
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        idx = held_out_indices(len(ds), 4, 0)
+        out = context_sensitivity(model, variables, norm, sched, ds,
+                                  idx, t_fracs=(0.5,), batch_size=1)
+        assert abs(out["min_ratio"] - 1.0) < 1e-6
