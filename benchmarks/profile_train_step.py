@@ -50,6 +50,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRACE_STEPS = 3
 
 
+def aggregate_device_ops(trace: dict) -> tuple[dict, float]:
+    """Sum per-op device time from a Chrome-trace dict.
+
+    Device events live on pids whose process_name metadata contains
+    "/device:" under the "XLA Ops" thread. Returns ({op_name: total_us},
+    total_us). Unit-tested in tests/test_profiling.py."""
+    ev = trace["traceEvents"]
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "/device:" in str(e.get("args", {}).get("name", ""))}
+    op_tids = {(e["pid"], e["tid"]) for e in ev
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["pid"] in dev_pids
+               and e.get("args", {}).get("name") == "XLA Ops"}
+    agg = defaultdict(float)
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
+            agg[e["name"]] += e.get("dur", 0.0)
+            total += e.get("dur", 0.0)
+    return dict(agg), total
+
+
 def main():
     variant = os.environ.get("PROF_VARIANT", "depth0")
     overrides = {
@@ -86,21 +109,7 @@ def main():
     path = glob.glob(os.path.join(runs[-1], "*.trace.json.gz"))[0]
     with gzip.open(path) as f:
         data = json.load(f)
-    ev = data["traceEvents"]
-    # device pid: the process named /device:TPU:*
-    dev_pids = {e["pid"] for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "/device:" in str(e.get("args", {}).get("name", ""))}
-    op_tids = {(e["pid"], e["tid"]) for e in ev
-               if e.get("ph") == "M" and e.get("name") == "thread_name"
-               and e["pid"] in dev_pids
-               and e.get("args", {}).get("name") == "XLA Ops"}
-    agg = defaultdict(float)
-    total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
-            agg[e["name"]] += e.get("dur", 0.0)
-            total += e.get("dur", 0.0)
+    agg, total = aggregate_device_ops(data)
     per_step = {k: v / TRACE_STEPS for k, v in agg.items()}
     print(json.dumps({"variant": variant, "steps": TRACE_STEPS,
                       "total_device_us_per_step": round(total / TRACE_STEPS, 1)}))

@@ -212,3 +212,25 @@ class TestPrepatchified:
         shape = packed.images.shape
         packed.prepatchify_images(IMG_CFG.vit_patch_size)  # no-op
         assert packed.images.shape == shape
+
+
+class TestPatchifyFrames:
+    def test_matches_manual_loop(self):
+        from soccerdiffusion_tpu.data.pipeline import patchify_frames
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 255, (2, 3, 8, 8, 3), dtype=np.uint8)
+        got = patchify_frames(x, 4)
+        assert got.shape == (2, 3, 4, 4 * 4 * 3)
+        # manual patch extraction for one (frame, patch) pair
+        b, t, pi = 1, 2, 3  # patch index 3 = (row 1, col 1)
+        want = x[b, t, 4:8, 4:8, :].reshape(-1)
+        np.testing.assert_array_equal(got[b, t, pi], want)
+
+    def test_single_image_rank3(self):
+        from soccerdiffusion_tpu.data.pipeline import patchify_frames
+
+        x = np.arange(2 * 2 * 3, dtype=np.float32).reshape(2, 2, 3)
+        got = patchify_frames(x, 2)
+        assert got.shape == (1, 12)
+        np.testing.assert_array_equal(got[0], x.reshape(-1))
