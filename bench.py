@@ -196,10 +196,11 @@ def main():
     parser.add_argument("--inline", action="store_true",
                         help="measure in-process (no fallback orchestration)")
     parser.add_argument("--sidecars", type=str,
-                        default="distilled1,ddim4,patch5,int8kv",
+                        default="distilled1,ddim4,ddim2,patch5,int8kv",
                         help="comma list of extra recorded points: distilled1 "
-                             "(1-step student path), ddim4 (few-step-student "
-                             "operating point through the chunk kernel), "
+                             "(1-step student path), ddim4/ddim2 (few-step-"
+                             "student operating points through the chunk "
+                             "kernel; quality ledger backs both), "
                              "patch5 (encoder_patch_size=5, S=61), int8kv "
                              "(int8 context K/V in-kernel); '' = headline only")
     parser.add_argument("--no-distilled-sidecar", action="store_true",
@@ -246,14 +247,16 @@ def main():
     # Sidecars: additional recorded operating points in the same JSON line.
     #   distilled1 — 1-step student (BASELINE.md north star "30 Hz closed
     #                loop with distilled sampler")
-    #   ddim4      — the few-step-distilled student's serving point (same
-    #                kernel, T=4; quality ledger: docs/quality_ledger_r3.md)
+    #   ddim4/ddim2 — few-step-distilled student serving points (same
+    #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3.md)
     #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
     #   int8kv     — int8 context K/V inside the chunk kernel
     sidecar_flags = {
         "distilled1": ["--steps", "1", "--distilled", "--sampler", "chunk",
                        "--fused-block", str(args.fused_block_distilled)],
         "ddim4": ["--steps", "4", "--sampler", "chunk",
+                  "--fused-block", str(args.fused_block)],
+        "ddim2": ["--steps", "2", "--sampler", "chunk",
                   "--fused-block", str(args.fused_block)],
         "patch5": ["--steps", str(args.steps), "--sampler", "chunk",
                    "--patch", "5",

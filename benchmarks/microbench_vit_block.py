@@ -72,8 +72,10 @@ def make_weights(rng):
             s(FF, W), jnp.zeros((W,), jnp.float32))
 
 
-def bench_variant(name: str, ablate: tuple, weights, rng, gelu="exact"):
-    block = make_vit_block_fn(HEADS, FRAMES, ablate=ablate, gelu=gelu)
+def bench_variant(name: str, ablate: tuple, weights, rng, gelu="exact",
+                  layout="stacked"):
+    block = make_vit_block_fn(HEADS, FRAMES, ablate=ablate, gelu=gelu,
+                              layout=layout)
 
     def stack(x, w):
         # fp32 master weights cast to the bf16 compute dtype INSIDE the
@@ -134,20 +136,25 @@ def main():
     weights = make_weights(rng)
     only = [v for v in os.environ.get("MB_VARIANTS", "").split(",") if v]
     variants = [
-        ("full", (), "exact"),
-        ("poly_gelu", (), "poly"),
-        ("relu_gelu", ("relu_gelu",), "exact"),
-        ("no_softmax", ("no_softmax",), "exact"),
-        ("no_attn", ("no_attn",), "exact"),
-        ("no_mlp", ("no_mlp",), "exact"),
+        ("full", (), "exact", "stacked"),
+        # rank-3 per-head-loop attention layout: no stack/merge copies, no
+        # misaligned (FT, W) reshapes (ops/fused_vit_block._headloop_core)
+        ("headloop", (), "exact", "headloop"),
+        ("headloop_no_attn", ("no_attn",), "exact", "headloop"),
+        ("headloop_no_mlp", ("no_mlp",), "exact", "headloop"),
+        ("poly_gelu", (), "poly", "stacked"),
+        ("relu_gelu", ("relu_gelu",), "exact", "stacked"),
+        ("no_softmax", ("no_softmax",), "exact", "stacked"),
+        ("no_attn", ("no_attn",), "exact", "stacked"),
+        ("no_mlp", ("no_mlp",), "exact", "stacked"),
         # both sublayers ablated: LN x2 + residual + x/y streaming + grid
         # skeleton — the non-additive "base" the deltas above sit on
-        ("ln_only", ("no_attn", "no_mlp"), "exact"),
+        ("ln_only", ("no_attn", "no_mlp"), "exact", "stacked"),
     ]
-    for name, ablate, gelu in variants:
+    for name, ablate, gelu, layout in variants:
         if only and name not in only:
             continue
-        bench_variant(name, ablate, weights, rng, gelu)
+        bench_variant(name, ablate, weights, rng, gelu, layout)
     emit(bench="done")
 
 

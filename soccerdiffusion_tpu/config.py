@@ -119,6 +119,10 @@ class ModelConfig:
     # minimax, |err| <= 3.4e-4 fwd / 1.8e-3 grad; measured perf-NEUTRAL
     # on v5e — docs/perf_notes.md round 3)
     vit_fused_gelu: str = "exact"
+    # fused-kernel attention formulation: "stacked" ((F, HT, T) head-
+    # stacked scores) or "headloop" (rank-3 per-head dots, no stack/merge
+    # copies or misaligned (FT, W) reshapes) — numerically identical
+    vit_fused_layout: str = "stacked"
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:
@@ -135,6 +139,8 @@ class ModelConfig:
                 f"patch embed has no VALID-conv cropping)")
         if self.vit_fused_gelu not in ("exact", "poly"):
             raise ValueError(f"unknown vit_fused_gelu: {self.vit_fused_gelu}")
+        if self.vit_fused_layout not in ("stacked", "headloop"):
+            raise ValueError(f"unknown vit_fused_layout: {self.vit_fused_layout}")
 
     @property
     def imu_input_dim(self) -> int:

@@ -80,6 +80,7 @@ class DiffusionPolicy(nn.Module):
                 vit_fused_block=cfg.vit_fused_block,
                 vit_fused_block_frames=cfg.vit_fused_block_frames,
                 vit_fused_gelu=cfg.vit_fused_gelu,
+                vit_fused_layout=cfg.vit_fused_layout,
                 **common,
             )
         if cfg.use_gamestate:

@@ -162,6 +162,9 @@ class FusedTransformerEncoderLayer(nn.Module):
     # |err| <= 3.4e-4 fwd / 1.8e-3 grad — ~12 ms cheaper per flagship
     # fwd+bwd stack, ops/fused_vit_block.py)
     gelu: str = "exact"
+    # attention formulation inside the kernel: "stacked" or "headloop"
+    # (numerically identical; see ops/fused_vit_block.make_vit_block_fn)
+    layout: str = "stacked"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,7 +180,8 @@ class FusedTransformerEncoderLayer(nn.Module):
         bqkv = jnp.concatenate([sa["q_proj"][1], sa["k_proj"][1],
                                 sa["v_proj"][1]])
         fn = make_vit_block_fn(self.num_heads, self.block_frames,
-                               self.interpret, gelu=self.gelu)
+                               self.interpret, gelu=self.gelu,
+                               layout=self.layout)
         c = lambda t: t.astype(self.dtype)
         return fn(x.astype(self.dtype), c(g1), c(be1), c(wqkv), c(bqkv),
                   c(sa["out_proj"][0]), c(sa["out_proj"][1]), c(g2), c(be2),
@@ -205,6 +209,7 @@ class TransformerEncoder(nn.Module):
     fused_block_frames: int = 8
     fused_interpret: bool | None = None
     fused_gelu: str = "exact"
+    fused_layout: str = "stacked"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -214,6 +219,7 @@ class TransformerEncoder(nn.Module):
                     self.hidden_dim, self.num_heads, self.ff_dim,
                     dtype=self.dtype, block_frames=self.fused_block_frames,
                     interpret=self.fused_interpret, gelu=self.fused_gelu,
+                    layout=self.fused_layout,
                     name=f"layer_{i}",
                 )(x)
             return x

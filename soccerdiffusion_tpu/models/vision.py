@@ -148,6 +148,7 @@ class ViTImageEncoder(nn.Module):
     fused_block: bool = False
     fused_block_frames: int = 8
     fused_gelu: str = "exact"
+    fused_layout: str = "stacked"
 
     def _patchify(self, x: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, C) -> (N, patches, P*P*C) via reshape/transpose — the
@@ -225,6 +226,7 @@ class ViTImageEncoder(nn.Module):
                                fused_block=self.fused_block,
                                fused_block_frames=self.fused_block_frames,
                                fused_gelu=self.fused_gelu,
+                               fused_layout=self.fused_layout,
                                name="blocks")(x)
         x = jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -242,6 +244,7 @@ def make_image_encoder(
     vit_fused_block: bool = False,
     vit_fused_block_frames: int = 8,
     vit_fused_gelu: str = "exact",
+    vit_fused_layout: str = "stacked",
 ) -> nn.Module:
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
     # ViT remats its own transformer blocks; the conv/swin encoders remat
@@ -264,6 +267,7 @@ def make_image_encoder(
                                remat=remat, fused_block=vit_fused_block,
                                fused_block_frames=vit_fused_block_frames,
                                fused_gelu=vit_fused_gelu,
+                               fused_layout=vit_fused_layout,
                                name="image_encoder")
     if encoder_type in ("swin_transformer_tiny", "swin_transformer_small"):
         from soccerdiffusion_tpu.models.swin import SwinImageEncoder
@@ -300,6 +304,7 @@ class ImageSequenceEncoder(nn.Module):
     vit_fused_block: bool = False
     vit_fused_block_frames: int = 8
     vit_fused_gelu: str = "exact"
+    vit_fused_layout: str = "stacked"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -319,7 +324,8 @@ class ImageSequenceEncoder(nn.Module):
                                      vit_geometry=self.vit_geometry,
                                      vit_fused_block=self.vit_fused_block,
                                      vit_fused_block_frames=self.vit_fused_block_frames,
-                                     vit_fused_gelu=self.vit_fused_gelu)
+                                     vit_fused_gelu=self.vit_fused_gelu,
+                                     vit_fused_layout=self.vit_fused_layout)
         if valid is not None and self.encoder_type != "vit":
             from soccerdiffusion_tpu.data.pipeline import device_normalize_images
 

@@ -107,8 +107,8 @@ def _ln_bwd(dn, xhat, rstd, g):
 
 
 def _block_core(num_heads, ablate=frozenset(), gelu="exact"):
-    """Shared forward recomputation used by both kernels. Returns a
-    function computing every intermediate from (x2d, weights...).
+    """Shared forward recomputation used by both kernels (stacked layout).
+    Returns a function computing every intermediate from (x2d, weights...).
 
     ``ablate`` is a microbench-only knob (benchmarks/microbench_vit_block.py)
     that disables pieces of the block to attribute kernel time; production
@@ -207,6 +207,224 @@ def _block_core(num_heads, ablate=frozenset(), gelu="exact"):
                     z=z, cdf=cdf, hg=hg, y32=y32)
 
     return core
+
+
+def _headloop_core(num_heads, ablate=frozenset(), gelu="exact"):
+    """Rank-3 per-head-loop forward recomputation (``layout="headloop"``).
+
+    Numerically identical to the stacked layout, but never materializes the
+    (F, HT, W) head-stacked tensors: q/k/v stay (F, T, W); per head h the
+    score dot contracts q against a lane-masked k copy (the mask zeroes the
+    other heads' lanes, so the full-W contraction IS that head's score) and
+    the per-head value outputs are lane-masked back and summed. This removes
+    the stack/merge concat+slice copies AND every (FT, W) <-> (F, T, W)
+    reshape — T=49 rows are sublane-misaligned, so those reshapes are
+    relayout copies in Mosaic. Same FLOPs as the stacked layout (H smaller
+    dots instead of one H-times-taller dot)."""
+
+    def core(x3, F, T, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
+             head_masks, dtype):
+        W = x3.shape[-1]
+        H = num_heads
+        scale = 1.0 / np.sqrt(W // H)
+
+        def dot3(a, b):
+            """(F, T, K) @ (K, M) -> (F, T, M), fp32 accumulation."""
+            return jax.lax.dot_general(a, b, (((2,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def bdot(a, b, ca, cb):
+            return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32)
+
+        def cdot(a, b):
+            """Full (F, T) contraction: (F, T, A) x (F, T, B) -> (A, B)."""
+            return jax.lax.dot_general(a, b, (((0, 1), (0, 1)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        x32 = x3.astype(jnp.float32)
+        n1_32, xh1, r1 = _ln_fwd(x32, g1, be1)
+        n1 = n1_32.astype(dtype)
+        if "no_attn" in ablate:
+            qkv = q3 = v3 = None
+            khs = ps = None
+            om32 = None
+            x2_32 = x32
+        else:
+            qkv = (dot3(n1, wqkv) + bqkv).astype(dtype)  # (F, T, 3W)
+            q3 = jax.lax.slice_in_dim(qkv, 0, W, axis=2)
+            k3 = jax.lax.slice_in_dim(qkv, W, 2 * W, axis=2)
+            v3 = jax.lax.slice_in_dim(qkv, 2 * W, 3 * W, axis=2)
+            khs = [k3 * m.astype(dtype) for m in head_masks]
+            ps = []
+            om32 = None
+            for h in range(H):
+                s = bdot(q3, khs[h], 2, 2) * scale  # (F, T, T) fp32
+                if "no_softmax" in ablate:
+                    p = s * np.float32(1e-2)
+                else:
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s - m)
+                    p = e / jnp.sum(e, axis=-1, keepdims=True)
+                ps.append(p)
+                o = bdot(p.astype(dtype), v3, 2, 1)  # (F, T, W) fp32
+                o = o * head_masks[h].astype(jnp.float32)
+                om32 = o if om32 is None else om32 + o
+            a = dot3(om32.astype(dtype), wo) + bo  # fp32
+            x2_32 = x32 + a
+        n2_32, xh2, r2 = _ln_fwd(x2_32, g2, be2)
+        n2 = n2_32.astype(dtype)
+        if "no_mlp" in ablate:
+            z = cdf = hg = None
+            y32 = x2_32
+        else:
+            z = dot3(n2, w1) + b1  # (F, T, FF) fp32
+            cdf = None
+            if "relu_gelu" in ablate:
+                hg = jnp.maximum(z, 0.0).astype(dtype)
+            elif gelu == "poly":
+                hg = _gelu_poly(z).astype(dtype)
+            else:
+                cdf = _gelu_cdf(z)
+                hg = (z * cdf).astype(dtype)
+            y32 = x2_32 + dot3(hg, w2) + b2
+        return dict(dot3=dot3, bdot=bdot, cdot=cdot, scale=scale,
+                    x32=x32, xh1=xh1, r1=r1, n1=n1, qkv=qkv,
+                    q3=q3, v3=v3, khs=khs, ps=ps, om32=om32,
+                    x2_32=x2_32, xh2=xh2, r2=r2, n2=n2,
+                    z=z, cdf=cdf, hg=hg, y32=y32)
+
+    return core
+
+
+def _make_headloop_fwd_kernel(num_heads, F, T, ablate=frozenset(),
+                              gelu="exact"):
+    core = _headloop_core(num_heads, ablate, gelu)
+
+    def kernel(x_ref, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2,
+               y_ref):
+        dtype = x_ref.dtype
+        W = x_ref.shape[-1]
+        head_masks = _masks(num_heads, T, W, jnp.float32)
+        c = core(x_ref[...], F, T, g1[...], be1[...], wqkv[...], bqkv[...],
+                 wo[...], bo[...], g2[...], be2[...], w1[...], b1[...],
+                 w2[...], b2[...], head_masks, dtype)
+        y_ref[...] = c["y32"].astype(dtype)
+
+    return kernel
+
+
+def _make_headloop_bwd_kernel(num_heads, F, T, ablate=frozenset(),
+                              gelu="exact"):
+    core = _headloop_core(num_heads, ablate, gelu)
+
+    def kernel(x_ref, dy_ref, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1,
+               w2, b2, dx_ref, dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref,
+               dwo_ref, dbo_ref, dg2_ref, dbe2_ref, dw1_ref, db1_ref,
+               dw2_ref, db2_ref):
+        dtype = x_ref.dtype
+        W = x_ref.shape[-1]
+        H = num_heads
+        head_masks = _masks(num_heads, T, W, jnp.float32)
+        c = core(x_ref[...], F, T, g1[...], be1[...], wqkv[...], bqkv[...],
+                 wo[...], bo[...], g2[...], be2[...], w1[...], b1[...],
+                 w2[...], b2[...], head_masks, dtype)
+        dot3, bdot, cdot = c["dot3"], c["bdot"], c["cdot"]
+
+        def rsum(t32):
+            """(F, T, M) fp32 -> (1, M) row-sum."""
+            return jnp.sum(t32, axis=(0, 1)).reshape(1, -1)
+
+        g = dy_ref[...].astype(jnp.float32)  # (F, T, W)
+        zeros = lambda a, b: jnp.zeros((a, b), jnp.float32)
+        FF = w1.shape[-1]
+
+        if "no_mlp" in ablate:
+            dw1, db1g = zeros(W, FF), zeros(1, FF)
+            dw2, db2g = zeros(FF, W), zeros(1, W)
+            dg2, dbe2 = zeros(1, W), zeros(1, W)
+            dx2 = g
+        else:
+            dhg = dot3(g.astype(dtype), jnp.transpose(w2[...]))  # (F,T,FF) fp32
+            dw2 = cdot(c["hg"], g.astype(dtype))
+            db2g = rsum(g)
+            if "relu_gelu" in ablate:
+                dz = dhg * (c["z"] > 0.0).astype(jnp.float32)
+            elif gelu == "poly":
+                dz = dhg * _gelu_poly_grad(c["z"])
+            else:
+                dz = dhg * _gelu_grad(c["z"], c["cdf"])
+            dzc = dz.astype(dtype)
+            dw1 = cdot(c["n2"], dzc)
+            db1g = rsum(dz)
+            dn2 = dot3(dzc, jnp.transpose(w1[...]))  # (F,T,W) fp32
+            dg2 = rsum(dn2 * c["xh2"])
+            dbe2 = rsum(dn2)
+            dx2 = g + _ln_bwd(dn2, c["xh2"], c["r2"], g2[...])
+
+        if "no_attn" in ablate:
+            dwqkv, dbqkv = zeros(W, 3 * W), zeros(1, 3 * W)
+            dwo, dbo = zeros(W, W), zeros(1, W)
+            dg1, dbe1 = zeros(1, W), zeros(1, W)
+            dx = dx2
+        else:
+            da = dx2.astype(dtype)
+            dwo = cdot(c["om32"].astype(dtype), da)
+            dbo = rsum(dx2)
+            dom = dot3(da, jnp.transpose(wo[...])).astype(dtype)  # (F,T,W)
+            dq3 = dk3 = dv3 = None
+            for h in range(H):
+                p = c["ps"][h]
+                doh = dom * head_masks[h].astype(dtype)  # (F,T,W)
+                dp = bdot(doh, c["v3"], 2, 2)  # (F,T,T) fp32
+                # doh is lane-masked, so dv's per-head terms land in their
+                # own lanes; sum over heads accumulates the full dv
+                dvh = bdot(p.astype(dtype), doh, 1, 1)  # (F,T,W) fp32
+                if "no_softmax" in ablate:
+                    ds = dp * np.float32(1e-2)
+                else:
+                    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                ds = (ds * c["scale"]).astype(dtype)
+                # k was the masked operand -> dq lands in h's lanes directly
+                dqh = bdot(ds, c["khs"][h], 2, 1)  # (F,T,W) fp32
+                # q was unmasked -> mask dk back to h's lanes
+                dkh = bdot(ds, c["q3"], 1, 1) * head_masks[h].astype(jnp.float32)
+                dq3 = dqh if dq3 is None else dq3 + dqh
+                dk3 = dkh if dk3 is None else dk3 + dkh
+                dv3 = dvh if dv3 is None else dv3 + dvh
+            dqkv = jnp.concatenate(
+                [dq3.astype(dtype), dk3.astype(dtype), dv3.astype(dtype)],
+                axis=2)  # (F, T, 3W)
+            dwqkv = cdot(c["n1"], dqkv)
+            dbqkv = rsum(dqkv.astype(jnp.float32))
+            dn1 = dot3(dqkv, jnp.transpose(wqkv[...]))  # fp32
+            dg1 = rsum(dn1 * c["xh1"])
+            dbe1 = rsum(dn1)
+            dx = dx2 + _ln_bwd(dn1, c["xh1"], c["r1"], g1[...])
+
+        dx_ref[...] = dx.astype(dtype)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for ref in (dg1_ref, dbe1_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                        dbo_ref, dg2_ref, dbe2_ref, dw1_ref, db1_ref,
+                        dw2_ref, db2_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        dg1_ref[...] += dg1
+        dbe1_ref[...] += dbe1
+        dwqkv_ref[...] += dwqkv
+        dbqkv_ref[...] += dbqkv
+        dwo_ref[...] += dwo
+        dbo_ref[...] += dbo
+        dg2_ref[...] += dg2
+        dbe2_ref[...] += dbe2
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1g
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2g
+
+    return kernel
 
 
 def _masks(num_heads, T, W, dtype):
@@ -360,7 +578,8 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset(), gelu="exact"):
 @lru_cache(maxsize=None)
 def make_vit_block_fn(num_heads: int, block_frames: int = 8,
                       interpret: bool | None = None,
-                      ablate: tuple = (), gelu: str = "exact"):
+                      ablate: tuple = (), gelu: str = "exact",
+                      layout: str = "stacked"):
     """Build the custom-VJP fused block fn for a head count / frame block.
 
     Returned fn: ``(x, g1, be1, wqkv, bqkv, wo, bo, g2, be2, w1, b1, w2, b2)
@@ -368,9 +587,18 @@ def make_vit_block_fn(num_heads: int, block_frames: int = 8,
     block. All weight args differentiable. ``interpret=None`` resolves per
     call: Mosaic on TPU, interpret mode on CPU (tests / dryrun).
     ``ablate`` is the microbench-only attribution knob (see _block_core);
-    production callers leave it empty.
+    production callers leave it empty. ``layout`` selects the attention
+    formulation — "stacked" ((F, HT, T) head-stacked scores) or
+    "headloop" (rank-3 per-head dots, no stack/merge copies or (FT, W)
+    reshapes); both are numerically identical.
     """
     ablate = frozenset(ablate)
+    if layout not in ("stacked", "headloop"):
+        raise ValueError(f"unknown fused-block layout {layout!r}")
+    fwd_factory = (_make_headloop_fwd_kernel if layout == "headloop"
+                   else _make_fwd_kernel)
+    bwd_factory = (_make_headloop_bwd_kernel if layout == "headloop"
+                   else _make_bwd_kernel)
 
     def _interp() -> bool:
         return (jax.default_backend() == "cpu") if interpret is None else interpret
@@ -385,7 +613,7 @@ def make_vit_block_fn(num_heads: int, block_frames: int = 8,
         n, T, W = x.shape
         F, nb = _grid(n)
         return pl.pallas_call(
-            _make_fwd_kernel(num_heads, F, T, ablate, gelu),
+            fwd_factory(num_heads, F, T, ablate, gelu),
             grid=(nb,),
             in_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)]
@@ -404,7 +632,7 @@ def make_vit_block_fn(num_heads: int, block_frames: int = 8,
         F, nb = _grid(n)
         acc = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
         grads = pl.pallas_call(
-            _make_bwd_kernel(num_heads, F, T, ablate, gelu),
+            bwd_factory(num_heads, F, T, ablate, gelu),
             grid=(nb,),
             in_specs=[pl.BlockSpec((F, T, W), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 2

@@ -4,9 +4,12 @@ gradient parity vs autodiff — the custom-VJP backward recomputes in-kernel."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from soccerdiffusion_tpu.models.transformer import TransformerEncoderLayer
 from soccerdiffusion_tpu.ops.fused_vit_block import make_vit_block_fn
+
+LAYOUTS = ("stacked", "headloop")
 
 W, T, H, FF = 64, 13, 4, 256
 
@@ -33,13 +36,24 @@ def flat_weights(params):
 
 
 class TestForward:
-    def test_matches_flax_layer(self):
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_matches_flax_layer(self, layout):
         layer, params, x = setup()
         want = layer.apply({"params": params}, x)
-        fn = make_vit_block_fn(H, block_frames=3, interpret=True)
+        fn = make_vit_block_fn(H, block_frames=3, interpret=True,
+                               layout=layout)
         got = fn(x, *flat_weights(params))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_layouts_agree(self):
+        """stacked and headloop are the same math in a different layout —
+        outputs agree to fp32 roundoff."""
+        _, params, x = setup(n=8, seed=7)
+        w = flat_weights(params)
+        ys = [np.asarray(make_vit_block_fn(H, block_frames=4, interpret=True,
+                                           layout=l)(x, *w)) for l in LAYOUTS]
+        np.testing.assert_allclose(ys[0], ys[1], rtol=1e-5, atol=1e-5)
 
     def test_block_sizes_agree(self):
         _, params, x = setup(n=8)
@@ -56,7 +70,8 @@ class TestForward:
 
 
 class TestGradients:
-    def test_grads_match_autodiff(self):
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_grads_match_autodiff(self, layout):
         """d(loss)/d(x, every weight) vs jax.grad through the flax layer."""
         layer, params, x = setup(n=4, seed=3)
         cot = jnp.asarray(
@@ -67,7 +82,8 @@ class TestGradients:
 
         want_dp, want_dx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
 
-        fn = make_vit_block_fn(H, block_frames=2, interpret=True)
+        fn = make_vit_block_fn(H, block_frames=2, interpret=True,
+                               layout=layout)
 
         def loss_fused(weights, x):
             return jnp.sum(fn(x, *weights) * cot)
