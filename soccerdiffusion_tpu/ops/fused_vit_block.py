@@ -238,9 +238,18 @@ def _headloop_core(num_heads, ablate=frozenset(), gelu="exact"):
                                        preferred_element_type=jnp.float32)
 
         def cdot(a, b):
-            """Full (F, T) contraction: (F, T, A) x (F, T, B) -> (A, B)."""
-            return jax.lax.dot_general(a, b, (((0, 1), (0, 1)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+            """Full (F, T) contraction: (F, T, A) x (F, T, B) -> (A, B).
+
+            Mosaic's tpu.matmul cannot lower a two-dim contraction (lhs
+            contracting dims must be size 1), so unroll the F axis into
+            accumulated per-frame (T, A)^T @ (T, B) dots — this also
+            avoids the misaligned (F*T, A) reshape a 2D tdot would need."""
+            acc = None
+            for f in range(a.shape[0]):
+                d = jax.lax.dot_general(a[f], b[f], (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            return acc
 
         x32 = x3.astype(jnp.float32)
         n1_32, xh1, r1 = _ln_fwd(x32, g1, be1)
@@ -332,8 +341,9 @@ def _make_headloop_bwd_kernel(num_heads, F, T, ablate=frozenset(),
         dot3, bdot, cdot = c["dot3"], c["bdot"], c["cdot"]
 
         def rsum(t32):
-            """(F, T, M) fp32 -> (1, M) row-sum."""
-            return jnp.sum(t32, axis=(0, 1)).reshape(1, -1)
+            """(F, T, M) fp32 -> (1, M) row-sum (sequential single-axis
+            reductions — multi-axis reduce is safer split for Mosaic)."""
+            return jnp.sum(jnp.sum(t32, axis=0), axis=0).reshape(1, -1)
 
         g = dy_ref[...].astype(jnp.float32)  # (F, T, W)
         zeros = lambda a, b: jnp.zeros((a, b), jnp.float32)
