@@ -93,6 +93,11 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
         params = yaml.safe_load(f)
     if overrides:
         params.update(overrides)
+    # ad-hoc sweep hook: MFU_OVERRIDES='{"vit_patch_size": 28}' applies on
+    # top of every lane (geometry/knob experiments without editing lanes)
+    extra = os.environ.get("MFU_OVERRIDES")
+    if extra:
+        params.update(json.loads(extra))
     config = Config.from_dict(params)
     cfg = config.model
     model = DiffusionPolicy(cfg)
@@ -109,14 +114,16 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
             )
             train_step = make_train_step(model, schedule, optimizer,
                                          Normalizer.identity(cfg.num_joints))
-            if getattr(cfg, "vit_fused_block", False):
+            if getattr(cfg, "vit_fused_block", False) or getattr(
+                    cfg, "encoder_fused_block", False):
                 # XLA cost analysis cannot see FLOPs inside Pallas custom
                 # calls; estimate from the mathematically identical
                 # unfused model instead (same params/shapes).
                 import dataclasses as _dc
 
                 plain_model = DiffusionPolicy(
-                    _dc.replace(cfg, vit_fused_block=False))
+                    _dc.replace(cfg, vit_fused_block=False,
+                                encoder_fused_block=False))
                 plain_step = make_train_step(
                     plain_model, schedule, optimizer,
                     Normalizer.identity(cfg.num_joints), donate=False)

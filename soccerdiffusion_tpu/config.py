@@ -123,6 +123,19 @@ class ModelConfig:
     # stacked scores) or "headloop" (rank-3 per-head dots, no stack/merge
     # copies or misaligned (FT, W) reshapes) — numerically identical
     vit_fused_layout: str = "stacked"
+    # Run the proprioceptive context encoders' transformer blocks (action
+    # history / IMU / joint states) through the same fused Pallas fwd+bwd
+    # program (ops/fused_vit_block.py). Their per-layer tensors are small,
+    # so this mainly collapses the many small HBM-bound XLA fusions in the
+    # non-ViT step remainder (docs/perf_notes.md round 3: the flat ~25 ms
+    # depth-0 profile). Ignores attention_impl inside the fused blocks.
+    encoder_fused_block: bool = False
+    # batch rows per fused-encoder Pallas program
+    encoder_fused_block_rows: int = 16
+    # rematerialize denoising-decoder layers in backward (drops the stored
+    # per-layer cross K/V over the (B, S, hidden) context from the HBM
+    # activation stream; training-path knob)
+    remat_decoder: bool = False
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:
@@ -141,6 +154,10 @@ class ModelConfig:
             raise ValueError(f"unknown vit_fused_gelu: {self.vit_fused_gelu}")
         if self.vit_fused_layout not in ("stacked", "headloop"):
             raise ValueError(f"unknown vit_fused_layout: {self.vit_fused_layout}")
+        if self.encoder_fused_block and self.attention_impl == "ring":
+            raise ValueError(
+                "encoder_fused_block runs attention inside the Pallas "
+                "program and cannot be combined with attention_impl='ring'")
 
     @property
     def imu_input_dim(self) -> int:

@@ -26,6 +26,7 @@ class DiffusionActionGenerator(nn.Module):
     num_heads: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    remat: bool = False
 
     def setup(self) -> None:
         self.embedding = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding")
@@ -33,7 +34,8 @@ class DiffusionActionGenerator(nn.Module):
                                       dtype=self.dtype, name="pos")
         self.decoder = TransformerDecoder(
             self.hidden_dim, self.num_heads, self.num_layers, dtype=self.dtype,
-            attention_impl=self.attention_impl, name="decoder",
+            attention_impl=self.attention_impl, remat=self.remat,
+            name="decoder",
         )
         self.fc_out = nn.Dense(self.num_joints, dtype=self.dtype, name="fc_out")
 

@@ -34,6 +34,10 @@ class SequenceEncoder(nn.Module):
     max_seq_len: int
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    # run blocks as ONE fused Pallas fwd+bwd program each
+    # (ops/fused_vit_block.py); ignores attention_impl
+    fused_block: bool = False
+    fused_block_rows: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -41,7 +45,9 @@ class SequenceEncoder(nn.Module):
         x = PositionalEncoding(self.hidden_dim, self.max_seq_len, dtype=self.dtype, name="pos")(x)
         return TransformerEncoder(
             self.hidden_dim, self.num_heads, self.num_layers, dtype=self.dtype,
-            attention_impl=self.attention_impl, name="encoder",
+            attention_impl=self.attention_impl,
+            fused_block=self.fused_block,
+            fused_block_frames=self.fused_block_rows, name="encoder",
         )(x)
 
 
@@ -56,6 +62,8 @@ class JointEncoder(nn.Module):
     num_heads: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    fused_block: bool = False
+    fused_block_rows: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +72,7 @@ class JointEncoder(nn.Module):
         return SequenceEncoder(
             self.hidden_dim, self.patch_size, self.num_layers, self.num_heads,
             self.max_seq_len, dtype=self.dtype, attention_impl=self.attention_impl,
+            fused_block=self.fused_block, fused_block_rows=self.fused_block_rows,
             name="seq",
         )(x)
 
@@ -80,6 +89,8 @@ class IMUEncoder(nn.Module):
     num_heads: int = 4
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    fused_block: bool = False
+    fused_block_rows: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,6 +99,7 @@ class IMUEncoder(nn.Module):
         return SequenceEncoder(
             self.hidden_dim, self.patch_size, self.num_layers, self.num_heads,
             self.max_seq_len, dtype=self.dtype, attention_impl=self.attention_impl,
+            fused_block=self.fused_block, fused_block_rows=self.fused_block_rows,
             name="seq",
         )(x)
 

@@ -46,27 +46,31 @@ class DiffusionPolicy(nn.Module):
     def setup(self) -> None:
         cfg = self.config
         common = dict(dtype=self.dtype, attention_impl=cfg.attention_impl)
+        # fused Pallas blocks for the proprioceptive encoder stacks
+        # (ops/fused_vit_block.py; encoder_fused_block config)
+        prop = dict(fused_block=cfg.encoder_fused_block,
+                    fused_block_rows=cfg.encoder_fused_block_rows)
         self.step_encoding = StepToken(cfg.hidden_dim, dtype=self.dtype)
         if cfg.use_action_history:
             self.action_history_encoder = JointEncoder(
                 num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
                 patch_size=cfg.encoder_patch_size,
                 num_layers=cfg.num_action_history_encoder_layers,
-                max_seq_len=cfg.action_context_length, **common,
+                max_seq_len=cfg.action_context_length, **common, **prop,
             )
         if cfg.use_imu:
             self.imu_encoder = IMUEncoder(
                 input_dim=cfg.imu_input_dim, hidden_dim=cfg.hidden_dim,
                 patch_size=cfg.encoder_patch_size,
                 num_layers=cfg.num_imu_encoder_layers,
-                max_seq_len=cfg.imu_context_length, **common,
+                max_seq_len=cfg.imu_context_length, **common, **prop,
             )
         if cfg.use_joint_states:
             self.joint_states_encoder = JointEncoder(
                 num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
                 patch_size=cfg.encoder_patch_size,
                 num_layers=cfg.joint_state_encoder_layers,
-                max_seq_len=cfg.joint_state_context_length, **common,
+                max_seq_len=cfg.joint_state_context_length, **common, **prop,
             )
         if cfg.use_images:
             self.image_sequence_encoder = ImageSequenceEncoder(
@@ -89,7 +93,8 @@ class DiffusionPolicy(nn.Module):
             num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_decoder_layers,
             num_heads=cfg.num_decoder_heads,
-            max_seq_len=cfg.trajectory_prediction_length, **common,
+            max_seq_len=cfg.trajectory_prediction_length,
+            remat=cfg.remat_decoder, **common,
         )
 
     def encode_context(self, batch: dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:

@@ -240,10 +240,17 @@ class TransformerDecoder(nn.Module):
     ff_dim: int | None = None
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    # rematerialize each decoder layer in backward: the stored cross-
+    # attention K/V over the (B, S, hidden) context are the layer's
+    # biggest intermediates; recompute them instead of streaming them
+    # through HBM (training-path knob; serving never differentiates)
+    remat: bool = False
 
     def setup(self) -> None:
+        layer_cls = (nn.remat(TransformerDecoderLayer, methods=("__call__",))
+                     if self.remat else TransformerDecoderLayer)
         self.layers = [
-            TransformerDecoderLayer(
+            layer_cls(
                 self.hidden_dim, self.num_heads, self.ff_dim, dtype=self.dtype,
                 attention_impl=self.attention_impl, name=f"layer_{i}",
             )

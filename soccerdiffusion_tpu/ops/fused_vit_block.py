@@ -132,16 +132,30 @@ def _block_core(num_heads, ablate=frozenset(), gelu="exact"):
             return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
                                        preferred_element_type=jnp.float32)
 
+        # T a sublane-tile multiple -> the (F, HT, W) <-> (F, H, T, W)
+        # reshapes are free tile remaps, so the stack/merge run as ONE
+        # rank-4 broadcast-multiply (and a reduce) instead of H masked
+        # copies + concat/slice relayouts. T=49 (patch-32 flagship) takes
+        # the concat path; T=64 (patch-28) takes the rank-4 path.
+        aligned = T % 8 == 0
+        mask4 = _mask4(num_heads, W, jnp.float32) if aligned else None
+
         def head_stack(t2d):
             """(FT, W) -> (F, HT, W): H stacked copies, each lane-masked to
             its head (the mask makes a full-W contraction against a single
             unmasked operand read only this head's lanes)."""
             t3 = t2d.reshape(F, T, W)
+            if aligned:
+                t4 = t3.reshape(F, 1, T, W) * mask4.astype(t3.dtype)
+                return t4.reshape(F, H * T, W)
             return jnp.concatenate([t3 * m for m in head_masks], axis=1)
 
         def merge_heads(o3):
             """(F, HT, W) -> (FT, W): re-mask each head's row block to its
             own lanes and sum the blocks."""
+            if aligned:
+                o4 = o3.reshape(F, num_heads, T, W) * mask4.astype(o3.dtype)
+                return jnp.sum(o4, axis=1).reshape(F * T, W)
             total = None
             for hh in range(num_heads):
                 part = jax.lax.slice_in_dim(o3, hh * T, (hh + 1) * T, axis=1)
@@ -444,6 +458,16 @@ def _masks(num_heads, T, W, dtype):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // D
     return [(lane == h).astype(dtype).reshape(1, 1, W)
             for h in range(num_heads)]
+
+
+def _mask4(num_heads, W, dtype):
+    """All heads' lane masks as ONE (1, H, 1, W) tensor, for the aligned-T
+    rank-4 stack/merge paths (used when T is a sublane-tile multiple, so
+    the (F, HT, W) <-> (F, H, T, W) reshapes are free tile remaps)."""
+    D = W // num_heads
+    lane = jax.lax.broadcasted_iota(jnp.int32, (num_heads, W), 1) // D
+    head = jax.lax.broadcasted_iota(jnp.int32, (num_heads, W), 0)
+    return (lane == head).astype(dtype).reshape(1, num_heads, 1, W)
 
 
 def _make_fwd_kernel(num_heads, F, T, ablate=frozenset(), gelu="exact"):

@@ -16,7 +16,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The ring/mesh tests run 8-device collectives on however few host cores
+# this box has; under load the cross-device rendezvous can exceed XLA:CPU's
+# default collective timeout and hard-abort the process ("Fatal Python
+# error: Aborted" materializing the result). Raise it — slow is fine,
+# aborting the suite is not.
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    _flags += " --xla_cpu_collective_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

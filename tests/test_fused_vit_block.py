@@ -216,3 +216,95 @@ class TestPolyGelu:
             ref = float(jnp.max(jnp.abs(a))) + 1e-6
             err = float(jnp.max(jnp.abs(a - b)))
             assert err / ref < 2e-2, f"weight {i}: rel {err / ref}"
+
+
+class TestAlignedT:
+    """T % 8 == 0 routes head_stack/merge through the rank-4 broadcast
+    paths (free (F, HT, W) <-> (F, H, T, W) tile remaps when T is a
+    sublane-tile multiple); parity must hold against the flax layer."""
+
+    T_ALIGNED = 16
+
+    def _setup(self, n=4, seed=11):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((n, self.T_ALIGNED, W)),
+                        jnp.float32)
+        layer = TransformerEncoderLayer(W, H, ff_dim=FF, dtype=jnp.float32)
+        params = layer.init(jax.random.key(0), x)["params"]
+        return layer, params, x
+
+    def test_forward_matches_flax(self):
+        layer, params, x = self._setup()
+        want = layer.apply({"params": params}, x)
+        got = make_vit_block_fn(H, block_frames=2, interpret=True)(
+            x, *flat_weights(params))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_grads_match_autodiff(self):
+        layer, params, x = self._setup(n=2, seed=13)
+        cot = jnp.asarray(np.random.default_rng(4).standard_normal(
+            (2, self.T_ALIGNED, W)).astype(np.float32))
+        want_dp, want_dx = jax.grad(
+            lambda p, xx: jnp.sum(layer.apply({"params": p}, xx) * cot),
+            argnums=(0, 1))(params, x)
+        fn = make_vit_block_fn(H, block_frames=2, interpret=True)
+        got_dw, got_dx = jax.grad(
+            lambda w, xx: jnp.sum(fn(xx, *w) * cot), argnums=(0, 1))(
+            flat_weights(params), x)
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=2e-3, atol=2e-3, err_msg="dx")
+        for got, want in zip(got_dw, flat_weights(want_dp)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-3)
+
+
+class TestEncoderFusedBlock:
+    def test_proprio_encoder_wiring_parity(self):
+        """encoder_fused_block=True keeps the param tree and forward of the
+        plain proprioceptive policy (fused blocks are a pure execution
+        strategy), and its grads match autodiff end to end."""
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        kw = dict(num_joints=6, hidden_dim=64, trajectory_prediction_length=4,
+                  action_context_length=16, joint_state_context_length=16,
+                  imu_context_length=16, use_images=False, use_gamestate=True,
+                  num_action_history_encoder_layers=1, num_imu_encoder_layers=1,
+                  joint_state_encoder_layers=1, num_decoder_layers=1,
+                  encoder_patch_size=1)
+        plain = DiffusionPolicy(ModelConfig(**kw))
+        fused = DiffusionPolicy(ModelConfig(
+            **kw, encoder_fused_block=True, encoder_fused_block_rows=2))
+        rng = np.random.default_rng(0)
+        b = 4
+        batch = {
+            "joint_command_history": jnp.asarray(rng.random((b, 16, 6), np.float32)),
+            "rotation": jnp.asarray(rng.random((b, 16, 4), np.float32)),
+            "joint_state": jnp.asarray(rng.random((b, 16, 6), np.float32)),
+            "game_state": jnp.zeros((b,), jnp.int32),
+        }
+        noisy = jnp.asarray(rng.random((b, 4, 6), np.float32))
+        t = jnp.full((b,), 2, jnp.int32)
+        vp = plain.init(jax.random.key(0), batch, noisy, t)
+        vf = fused.init(jax.random.key(0), batch, noisy, t)
+        assert (jax.tree_util.tree_structure(vp)
+                == jax.tree_util.tree_structure(vf))
+        out_p = plain.apply(vp, batch, noisy, t)
+        out_f = fused.apply(vp, batch, noisy, t)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                                   rtol=2e-4, atol=2e-4)
+        gp = jax.grad(lambda p: jnp.mean(jnp.square(
+            plain.apply({"params": p}, batch, noisy, t))))(vp["params"])
+        gf = jax.grad(lambda p: jnp.mean(jnp.square(
+            fused.apply({"params": p}, batch, noisy, t))))(vp["params"])
+        for a, b_ in zip(jax.tree_util.tree_leaves(gp),
+                         jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_ring_attention_conflict_rejected(self):
+        from soccerdiffusion_tpu.config import ModelConfig
+
+        with pytest.raises(ValueError, match="ring"):
+            ModelConfig(encoder_fused_block=True, attention_impl="ring")
