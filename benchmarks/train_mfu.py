@@ -166,7 +166,9 @@ def main():
     lanes = ("vit_flagship_fused", "vit_flagship", "default_resnet18",
              "larger_model")
     only = os.environ.get("MFU_ONLY", "")
-    if only and only not in lanes:
+    # MFU_ONLY=none runs no standard lane (useful with MFU_ABLATE, which
+    # fires regardless of lane selection)
+    if only and only != "none" and only not in lanes:
         raise SystemExit(f"MFU_ONLY={only!r} is not one of {lanes}")
 
     def want(name):
@@ -177,10 +179,14 @@ def main():
         # HBM-traffic cut measured against the plain baseline below
         frames = [int(f) for f in
                   os.environ.get("MFU_FUSED_FRAMES", "16").split(",")]
+        # MFU_BATCH=512 pins the batch ladder (descending-until-fit stays
+        # the default)
+        fused_batches = tuple(
+            int(b) for b in os.environ.get("MFU_BATCH", "256,128,64").split(","))
         for f in frames:
             bench_config(f"vit_flagship_fused_f{f}",
                          os.path.join(cfgdir, "vit_flagship.yaml"),
-                         batch_sizes=(256, 128, 64),
+                         batch_sizes=fused_batches,
                          overrides={"vit_fused_block": True,
                                     "vit_fused_block_frames": f})
     if os.environ.get("MFU_ABLATE") == "depth0":
