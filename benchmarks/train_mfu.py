@@ -128,6 +128,15 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
                     plain_model, schedule, optimizer,
                     Normalizer.identity(cfg.num_joints), donate=False)
                 flops = estimate_flops(plain_step, state, batch, 0)
+                if not flops:
+                    # the plain model needs more HBM than the fused one
+                    # (stored fp32 relayouts), so its cost-analysis compile
+                    # can OOM at batches the fused step itself handles
+                    # (observed at B=512). FLOPs are linear in batch:
+                    # analyze a small batch and scale.
+                    small = device_batch(cfg, 64, rng)
+                    flops = estimate_flops(plain_step, state, small, 0) * (b / 64)
+                    del small
             else:
                 flops = estimate_flops(train_step, state, batch, 0)
             t0 = time.perf_counter()

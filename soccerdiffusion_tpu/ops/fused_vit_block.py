@@ -70,7 +70,7 @@ _GELU_H = (7.9546119838e-01, -2.5856087522e-01, 5.3150608964e-02,
 def _horner(coeffs, u):
     acc = jnp.full_like(u, coeffs[-1])
     for c in coeffs[-2::-1]:
-        acc = acc * u + np.float32(c)
+        acc = acc * u + jnp.asarray(c, u.dtype)
     return acc
 
 
@@ -86,6 +86,27 @@ def _gelu_poly_grad(z):
     zc = jnp.clip(z, -_GELU_R, _GELU_R)
     core = 0.5 + zc * _horner(_GELU_H, zc * zc)
     return jnp.where(z > _GELU_R, 1.0, jnp.where(z < -_GELU_R, 0.0, core))
+
+
+# "bf16" GELU variant: the SAME minimax polynomials evaluated in the
+# tensor's own storage dtype (bf16 in production). Rationale: the GELU
+# chain was measured VPU-PASS-bound over the (FT, FF) tensor, not
+# transcendental-bound (poly == erf == ~12 ms; relu -12 ms — see
+# docs/perf_notes.md), and each materialized bf16 pass moves half the
+# VMEM bytes of an fp32 one. Poly error (3.4e-4) is below bf16 rounding,
+# so total activation error is bf16 rounding itself (~4e-3 relative).
+def _gelu_poly_b(z):
+    zc = jnp.clip(z, -_GELU_R, _GELU_R)
+    core = 0.5 * zc + _horner(_GELU_G, zc * zc)
+    return jnp.where(z > _GELU_R, z,
+                     jnp.where(z < -_GELU_R, jnp.zeros_like(z), core))
+
+
+def _gelu_poly_grad_b(z):
+    zc = jnp.clip(z, -_GELU_R, _GELU_R)
+    core = 0.5 + zc * _horner(_GELU_H, zc * zc)
+    return jnp.where(z > _GELU_R, jnp.ones_like(z),
+                     jnp.where(z < -_GELU_R, jnp.zeros_like(z), core))
 
 
 def _ln_fwd(x32, g, b):
@@ -209,6 +230,9 @@ def _block_core(num_heads, ablate=frozenset(), gelu="exact"):
                 hg = jnp.maximum(z, 0.0).astype(dtype)
             elif gelu == "poly":
                 hg = _gelu_poly(z).astype(dtype)
+            elif gelu == "bf16":
+                z = z.astype(dtype)  # chain rides storage-dtype arrays
+                hg = _gelu_poly_b(z)
             else:
                 cdf = _gelu_cdf(z)  # fp32, shared with the bwd GELU grad
                 hg = (z * cdf).astype(dtype)
@@ -307,6 +331,9 @@ def _headloop_core(num_heads, ablate=frozenset(), gelu="exact"):
                 hg = jnp.maximum(z, 0.0).astype(dtype)
             elif gelu == "poly":
                 hg = _gelu_poly(z).astype(dtype)
+            elif gelu == "bf16":
+                z = z.astype(dtype)
+                hg = _gelu_poly_b(z)
             else:
                 cdf = _gelu_cdf(z)
                 hg = (z * cdf).astype(dtype)
@@ -376,11 +403,15 @@ def _make_headloop_bwd_kernel(num_heads, F, T, ablate=frozenset(),
                 dz = dhg * (c["z"] > 0.0).astype(jnp.float32)
             elif gelu == "poly":
                 dz = dhg * _gelu_poly_grad(c["z"])
+            elif gelu == "bf16":
+                # storage-dtype passes (c["z"] is bf16 here); the row-sum
+                # still accumulates in fp32
+                dz = dhg.astype(dtype) * _gelu_poly_grad_b(c["z"])
             else:
                 dz = dhg * _gelu_grad(c["z"], c["cdf"])
             dzc = dz.astype(dtype)
             dw1 = cdot(c["n2"], dzc)
-            db1g = rsum(dz)
+            db1g = rsum(dz.astype(jnp.float32))
             dn2 = dot3(dzc, jnp.transpose(w1[...]))  # (F,T,W) fp32
             dg2 = rsum(dn2 * c["xh2"])
             dbe2 = rsum(dn2)
@@ -527,11 +558,19 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset(), gelu="exact"):
                 dz = dhg * (c["z"] > 0.0).astype(jnp.float32)
             elif gelu == "poly":
                 dz = dhg * _gelu_poly_grad(c["z"])  # fp32
+            elif gelu == "bf16":
+                # storage-dtype passes (c["z"] is bf16 here)
+                dz = dhg.astype(dtype) * _gelu_poly_grad_b(c["z"])
             else:
                 dz = dhg * _gelu_grad(c["z"], c["cdf"])  # fp32
             dzc = dz.astype(dtype)
             dw1 = tdot(c["n2"], dzc)
-            db1 = jnp.sum(dz, axis=0, keepdims=True)  # (1, FF)
+            if gelu == "bf16":
+                # bf16 row-accumulation over FT rows is lossy; a ones-row
+                # MXU dot accumulates in fp32 without an fp32 VPU pass
+                db1 = dot(jnp.ones((1, dzc.shape[0]), dtype), dzc)
+            else:
+                db1 = jnp.sum(dz, axis=0, keepdims=True)  # (1, FF)
             dn2 = dot(dzc, jnp.transpose(w1[...]))  # (FT, W) fp32
 
             # ---- LN2 backward (input x2) ----

@@ -218,6 +218,58 @@ class TestPolyGelu:
             assert err / ref < 2e-2, f"weight {i}: rel {err / ref}"
 
 
+class TestBf16Gelu:
+    """The "bf16" GELU option: the minimax poly evaluated in the storage
+    dtype — in bf16 runs every VPU pass over the (FT, FF) tensor moves
+    half the VMEM bytes. Error budget = bf16 rounding on top of the poly's
+    3.4e-4 (fwd) / 1.8e-3 (grad) bounds."""
+
+    def test_matches_exact_in_fp32(self):
+        """With fp32 storage the variant IS the poly path (same arrays,
+        same polynomials) — agreement to poly-vs-exact tolerance."""
+        _, params, x = setup()
+        w = flat_weights(params)
+        y_exact = make_vit_block_fn(H, block_frames=3, interpret=True)(x, *w)
+        y_b = make_vit_block_fn(H, block_frames=3, interpret=True,
+                                gelu="bf16")(x, *w)
+        np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_exact),
+                                   atol=2e-3)
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_bf16_outputs_close_to_exact(self, layout):
+        _, params, x = setup(n=4, dtype=jnp.bfloat16)
+        w = flat_weights(params)
+        xb = x.astype(jnp.bfloat16)
+        y_exact = make_vit_block_fn(H, block_frames=2, interpret=True,
+                                    layout=layout)(xb, *w)
+        y_b = make_vit_block_fn(H, block_frames=2, interpret=True,
+                                gelu="bf16", layout=layout)(xb, *w)
+        np.testing.assert_allclose(np.asarray(y_b, np.float32),
+                                   np.asarray(y_exact, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_bf16_grads_close_to_exact(self, layout):
+        _, params, x = setup(n=4, dtype=jnp.bfloat16)
+        w = flat_weights(params)
+        xb = x.astype(jnp.bfloat16)
+
+        def loss(fn, weights):
+            return jnp.sum(fn(xb, *weights).astype(jnp.float32) ** 2)
+
+        f_exact = make_vit_block_fn(H, block_frames=2, interpret=True,
+                                    layout=layout)
+        f_b = make_vit_block_fn(H, block_frames=2, interpret=True,
+                                gelu="bf16", layout=layout)
+        ge = jax.grad(lambda ws: loss(f_exact, ws))(w)
+        gb = jax.grad(lambda ws: loss(f_b, ws))(w)
+        for i, (a, b) in enumerate(zip(ge, gb)):
+            ref = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-6
+            err = float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32))))
+            assert err / ref < 6e-2, f"weight {i}: rel {err / ref}"
+
+
 class TestAlignedT:
     """T % 8 == 0 routes head_stack/merge through the rank-4 broadcast
     paths (free (F, HT, W) <-> (F, H, T, W) tile remaps when T is a
