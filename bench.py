@@ -248,7 +248,7 @@ def main():
     #   distilled1 — 1-step student (BASELINE.md north star "30 Hz closed
     #                loop with distilled sampler")
     #   ddim4/ddim2 — few-step-distilled student serving points (same
-    #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3.md)
+    #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3c.md)
     #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
     #   int8kv     — int8 context K/V inside the chunk kernel
     sidecar_flags = {
