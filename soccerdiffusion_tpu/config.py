@@ -117,9 +117,12 @@ class ModelConfig:
     vit_fused_block_frames: int = 8
     # fused-kernel GELU numerics: "exact" (erf), "poly" (FMA-only
     # minimax, |err| <= 3.4e-4 fwd / 1.8e-3 grad; measured perf-NEUTRAL
-    # on v5e — docs/perf_notes.md round 3), or "bf16" (the poly evaluated
-    # in bf16 arrays — halves VMEM bytes per VPU pass over the (FT, FF)
-    # tensor; activation error = bf16 rounding, ~4e-3 relative)
+    # on v5e — docs/perf_notes.md round 3), "quick" (quick-GELU
+    # z*sigmoid(1.702z), the CLIP activation — ~6 elementwise passes vs
+    # ~12+, differs from exact GELU by <=2.1e-2; an activation
+    # SUBSTITUTION, train/serve with the same setting), or "bf16"
+    # (quick-GELU evaluated in bf16 arrays — additionally halves VMEM
+    # bytes per VPU pass over the (FT, FF) tensor)
     vit_fused_gelu: str = "exact"
     # fused-kernel attention formulation: "stacked" ((F, HT, T) head-
     # stacked scores) or "headloop" (rank-3 per-head dots, no stack/merge
@@ -152,7 +155,7 @@ class ModelConfig:
                 f"image_resolution {self.image_resolution} not divisible by "
                 f"vit_patch_size {self.vit_patch_size} (the reshape-based "
                 f"patch embed has no VALID-conv cropping)")
-        if self.vit_fused_gelu not in ("exact", "poly", "bf16"):
+        if self.vit_fused_gelu not in ("exact", "poly", "quick", "bf16"):
             raise ValueError(f"unknown vit_fused_gelu: {self.vit_fused_gelu}")
         if self.vit_fused_layout not in ("stacked", "headloop"):
             raise ValueError(f"unknown vit_fused_layout: {self.vit_fused_layout}")

@@ -88,25 +88,29 @@ def _gelu_poly_grad(z):
     return jnp.where(z > _GELU_R, 1.0, jnp.where(z < -_GELU_R, 0.0, core))
 
 
-# "bf16" GELU variant: the SAME minimax polynomials evaluated in the
-# tensor's own storage dtype (bf16 in production). Rationale: the GELU
-# chain was measured VPU-PASS-bound over the (FT, FF) tensor, not
-# transcendental-bound (poly == erf == ~12 ms; relu -12 ms — see
-# docs/perf_notes.md), and each materialized bf16 pass moves half the
-# VMEM bytes of an fp32 one. Poly error (3.4e-4) is below bf16 rounding,
-# so total activation error is bf16 rounding itself (~4e-3 relative).
-def _gelu_poly_b(z):
-    zc = jnp.clip(z, -_GELU_R, _GELU_R)
-    core = 0.5 * zc + _horner(_GELU_G, zc * zc)
-    return jnp.where(z > _GELU_R, z,
-                     jnp.where(z < -_GELU_R, jnp.zeros_like(z), core))
+# "quick"/"bf16" GELU variants: quick-GELU, z * sigmoid(1.702 z) — the
+# activation CLIP trains with. Motivation: the exact/poly GELU chain was
+# measured VPU-PASS-bound over the (FT, FF) tensor, not transcendental-
+# bound (poly == erf == ~12 ms; relu -12 ms — docs/perf_notes.md), so
+# the lever is FEWER materialized passes (quick-GELU is ~6 ops vs ~12+)
+# and, for "bf16", HALF the bytes per pass (evaluated on storage-dtype
+# arrays). Constraints that shaped this choice (benchmarks/
+# probe_bf16_prims.py): v5e Mosaic has no bf16 comparisons, so
+# clip/where-tail polynomial forms are out in bf16, and high-degree
+# power-basis Horner is ill-conditioned in bf16 anyway (measured 0.88
+# abs err near |z|=3.6). quick-GELU is compare-free, saturates
+# gracefully at bf16 extremes, and differs from exact GELU by <= 2.1e-2
+# (fwd) / 3.0e-2 (grad) in fp32 — an activation-function substitution
+# (documented at the config), not a numerics bug. All scalar constants
+# ride weak-typed so the chain stays in z's own dtype.
+def _gelu_quick(z):
+    """sigmoid(1.702 z); the forward is z * this, shared with the grad."""
+    return 1.0 / (1.0 + jnp.exp(-1.702 * z))
 
 
-def _gelu_poly_grad_b(z):
-    zc = jnp.clip(z, -_GELU_R, _GELU_R)
-    core = 0.5 + zc * _horner(_GELU_H, zc * zc)
-    return jnp.where(z > _GELU_R, jnp.ones_like(z),
-                     jnp.where(z < -_GELU_R, jnp.zeros_like(z), core))
+def _gelu_quick_grad(z, s):
+    """d/dz of z*sigmoid(1.702 z) given s = sigmoid(1.702 z)."""
+    return s * (1.0 + 1.702 * z * (1.0 - s))
 
 
 def _ln_fwd(x32, g, b):
@@ -230,9 +234,11 @@ def _block_core(num_heads, ablate=frozenset(), gelu="exact"):
                 hg = jnp.maximum(z, 0.0).astype(dtype)
             elif gelu == "poly":
                 hg = _gelu_poly(z).astype(dtype)
-            elif gelu == "bf16":
-                z = z.astype(dtype)  # chain rides storage-dtype arrays
-                hg = _gelu_poly_b(z)
+            elif gelu in ("quick", "bf16"):
+                if gelu == "bf16":
+                    z = z.astype(dtype)  # chain rides storage-dtype arrays
+                cdf = _gelu_quick(z)  # sigmoid, shared with the bwd grad
+                hg = (z * cdf).astype(dtype)
             else:
                 cdf = _gelu_cdf(z)  # fp32, shared with the bwd GELU grad
                 hg = (z * cdf).astype(dtype)
@@ -331,9 +337,11 @@ def _headloop_core(num_heads, ablate=frozenset(), gelu="exact"):
                 hg = jnp.maximum(z, 0.0).astype(dtype)
             elif gelu == "poly":
                 hg = _gelu_poly(z).astype(dtype)
-            elif gelu == "bf16":
-                z = z.astype(dtype)
-                hg = _gelu_poly_b(z)
+            elif gelu in ("quick", "bf16"):
+                if gelu == "bf16":
+                    z = z.astype(dtype)
+                cdf = _gelu_quick(z)
+                hg = (z * cdf).astype(dtype)
             else:
                 cdf = _gelu_cdf(z)
                 hg = (z * cdf).astype(dtype)
@@ -404,9 +412,11 @@ def _make_headloop_bwd_kernel(num_heads, F, T, ablate=frozenset(),
             elif gelu == "poly":
                 dz = dhg * _gelu_poly_grad(c["z"])
             elif gelu == "bf16":
-                # storage-dtype passes (c["z"] is bf16 here); the row-sum
-                # still accumulates in fp32
-                dz = dhg.astype(dtype) * _gelu_poly_grad_b(c["z"])
+                # storage-dtype passes (c["z"]/c["cdf"] are bf16 here);
+                # the row-sum still accumulates in fp32
+                dz = dhg.astype(dtype) * _gelu_quick_grad(c["z"], c["cdf"])
+            elif gelu == "quick":
+                dz = dhg * _gelu_quick_grad(c["z"], c["cdf"])
             else:
                 dz = dhg * _gelu_grad(c["z"], c["cdf"])
             dzc = dz.astype(dtype)
@@ -559,8 +569,10 @@ def _make_bwd_kernel(num_heads, F, T, ablate=frozenset(), gelu="exact"):
             elif gelu == "poly":
                 dz = dhg * _gelu_poly_grad(c["z"])  # fp32
             elif gelu == "bf16":
-                # storage-dtype passes (c["z"] is bf16 here)
-                dz = dhg.astype(dtype) * _gelu_poly_grad_b(c["z"])
+                # storage-dtype passes (c["z"]/c["cdf"] are bf16 here)
+                dz = dhg.astype(dtype) * _gelu_quick_grad(c["z"], c["cdf"])
+            elif gelu == "quick":
+                dz = dhg * _gelu_quick_grad(c["z"], c["cdf"])
             else:
                 dz = dhg * _gelu_grad(c["z"], c["cdf"])  # fp32
             dzc = dz.astype(dtype)
