@@ -24,16 +24,26 @@ from soccerdiffusion_tpu.models.attention import MultiHeadAttention
 
 
 class Mlp(nn.Module):
-    """linear -> exact GELU -> linear (dim_feedforward defaults to hidden)."""
+    """linear -> GELU -> linear (dim_feedforward defaults to hidden).
+
+    ``activation``: "gelu" (exact, the reference torch semantics) or
+    "quick_gelu" (z*sigmoid(1.702z), CLIP's activation — what the fused
+    ViT block computes under ``vit_fused_gelu: quick/bf16``; exposed here
+    so a quick-trained checkpoint serves identically with the fused
+    kernel off)."""
 
     hidden_dim: int
     ff_dim: int
     dtype: Any = jnp.float32
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.ff_dim, dtype=self.dtype, name="linear1")(x)
-        x = nn.gelu(x, approximate=False)
+        if self.activation == "quick_gelu":
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear2")(x)
 
 
@@ -43,6 +53,7 @@ class TransformerEncoderLayer(nn.Module):
     ff_dim: int | None = None
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +62,8 @@ class TransformerEncoderLayer(nn.Module):
             self.hidden_dim, self.num_heads, dtype=self.dtype,
             attention_impl=self.attention_impl, name="self_attn",
         )
-        mlp = Mlp(self.hidden_dim, self.ff_dim or self.hidden_dim, dtype=self.dtype, name="mlp")
+        mlp = Mlp(self.hidden_dim, self.ff_dim or self.hidden_dim,
+                  dtype=self.dtype, activation=self.activation, name="mlp")
         x = x + attn(ln("norm1")(x))
         x = x + mlp(ln("norm2")(x))
         return x
@@ -158,9 +170,12 @@ class FusedTransformerEncoderLayer(nn.Module):
     block_frames: int = 8
     # None: Mosaic on TPU, interpret on CPU (tests / multichip dryrun)
     interpret: bool | None = None
-    # "exact" (erf-based) or "poly" (piecewise-minimax FMA-only GELU,
-    # |err| <= 3.4e-4 fwd / 1.8e-3 grad — ~12 ms cheaper per flagship
-    # fwd+bwd stack, ops/fused_vit_block.py)
+    # "exact" (erf-based), "poly" (piecewise-minimax FMA-only GELU,
+    # |err| <= 3.4e-4 fwd / 1.8e-3 grad), "quick" (quick-GELU
+    # z*sigmoid(1.702z) — measured -11 ms per flagship step: the GELU
+    # chain is VPU-pass-count-bound), or "bf16" (quick evaluated on
+    # storage-dtype arrays; measured perf-identical to "quick").
+    # See ops/fused_vit_block.py and docs/perf_notes.md.
     gelu: str = "exact"
     # attention formulation inside the kernel: "stacked" or "headloop"
     # (numerically identical; see ops/fused_vit_block.make_vit_block_fn)
@@ -225,10 +240,16 @@ class TransformerEncoder(nn.Module):
             return x
         layer_cls = nn.remat(TransformerEncoderLayer) if self.remat \
             else TransformerEncoderLayer
+        # honor the gelu knob in the UNFUSED path too, so a checkpoint
+        # trained with the fused quick-GELU block serves identically with
+        # fused_block off ("poly" approximates exact — stays "gelu" here)
+        activation = ("quick_gelu" if self.fused_gelu in ("quick", "bf16")
+                      else "gelu")
         for i in range(self.num_layers):
             x = layer_cls(
                 self.hidden_dim, self.num_heads, self.ff_dim, dtype=self.dtype,
-                attention_impl=self.attention_impl, name=f"layer_{i}",
+                attention_impl=self.attention_impl, activation=activation,
+                name=f"layer_{i}",
             )(x)
         return x
 

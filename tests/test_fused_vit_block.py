@@ -250,6 +250,28 @@ class TestQuickGelu:
         assert bool(jnp.all(jnp.isfinite(
             _gelu_quick_grad(zz, ss).astype(jnp.float32))))
 
+    def test_unfused_path_honors_quick(self):
+        """TransformerEncoder with fused_block=False and fused_gelu=quick
+        must compute the SAME function as the fused quick kernel — a
+        quick-trained checkpoint serves identically with the kernel off."""
+        from soccerdiffusion_tpu.models.transformer import TransformerEncoder
+
+        _, params, x = setup(n=4, seed=13)
+        w = flat_weights(params)
+        fused = make_vit_block_fn(H, block_frames=2, interpret=True,
+                                  gelu="quick")(x, *w)
+        enc = TransformerEncoder(W, H, num_layers=1, ff_dim=FF,
+                                 fused_gelu="quick", fused_block=False)
+        want = enc.apply({"params": {"layer_0": params}}, x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4)
+        # and with exact gelu the two functions measurably DIFFER (guards
+        # against the knob silently not reaching the Mlp)
+        enc_exact = TransformerEncoder(W, H, num_layers=1, ff_dim=FF,
+                                       fused_gelu="exact", fused_block=False)
+        want_exact = enc_exact.apply({"params": {"layer_0": params}}, x)
+        assert float(jnp.max(jnp.abs(want - want_exact))) > 1e-3
+
     def test_quick_kernel_close_to_exact(self):
         """fp32 storage: the only difference vs the exact path is the
         activation substitution itself (<=2.1e-2 on hg, diluted through

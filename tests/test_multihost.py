@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(720)
 def test_two_process_train_step():
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
@@ -38,7 +38,9 @@ def test_two_process_train_step():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=240)
+        # generous: observed flaking at 240 s when the suite shares the
+        # host with a training process (2026-08-18)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
         outs.append(out)
     losses = []
