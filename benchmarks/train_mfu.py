@@ -137,6 +137,12 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
                     small = device_batch(cfg, 64, rng)
                     flops = estimate_flops(plain_step, state, small, 0) * (b / 64)
                     del small
+                    if not flops:
+                        # don't record mfu=0.0 as if it were a measurement
+                        emit(config=name, batch=b,
+                             error="FLOPs estimation failed at full AND "
+                                   "small batch; timing not recorded")
+                        return
             else:
                 flops = estimate_flops(train_step, state, batch, 0)
             t0 = time.perf_counter()

@@ -100,11 +100,14 @@ class ModelConfig:
     # ViT patch-embed params (patch_embed conv -> patch_kernel/patch_bias
     # matmul, models/vision.py), a deliberate pre-release break — round-1
     # ViT checkpoints do NOT load without a manual rename/reshape. The
-    # flagship yaml overrides to patch 32 / width 256 / depth 8 — at
+    # flagship yaml overrides to patch 28 / width 256 / depth 8 — at
     # patch 16 a 224px frame is 196 tokens whose f32 attention scores cost
     # ~50 GB/step of HBM traffic in training (docs/perf_notes.md), while
-    # patch 32 (49 tokens) makes them negligible and width 256 fills the
-    # 128-lane MXU tile. image_resolution must be divisible by the patch.
+    # patch 28 (64 tokens, a sublane-tile multiple — the fused block's
+    # head stack/merge become free tile remaps) keeps them negligible and
+    # width 256 fills the 128-lane MXU tile (round-3 ladder: 43.9% vs
+    # 34.7% MFU over patch 32). image_resolution must be divisible by
+    # the patch.
     vit_patch_size: int = 16
     vit_width: int = 192
     vit_depth: int = 6
@@ -121,8 +124,10 @@ class ModelConfig:
     # z*sigmoid(1.702z), the CLIP activation — ~6 elementwise passes vs
     # ~12+, differs from exact GELU by <=2.1e-2; an activation
     # SUBSTITUTION, train/serve with the same setting), or "bf16"
-    # (quick-GELU evaluated in bf16 arrays — additionally halves VMEM
-    # bytes per VPU pass over the (FT, FF) tensor)
+    # (quick-GELU evaluated on compute_dtype STORAGE arrays — i.e. bf16
+    # under the standard compute_dtype: bfloat16; with float32 compute it
+    # degenerates to "quick". Measured perf-identical to "quick" on
+    # v5e — the chain is pass-count-bound, not byte-bound)
     vit_fused_gelu: str = "exact"
     # fused-kernel attention formulation: "stacked" ((F, HT, T) head-
     # stacked scores) or "headloop" (rank-3 per-head dots, no stack/merge

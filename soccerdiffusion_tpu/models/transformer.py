@@ -9,8 +9,12 @@ and ``dim_feedforward == hidden_dim`` as used throughout the reference
   decoder layer: x += self_attn(LN1(x));
                  x += cross_attn(LN2(x), memory); x += mlp(LN3(x))
 
-GELU is the exact (erf) variant — torch's default. No final LayerNorm after
-the stack (torch's ``nn.TransformerEncoder(..., norm=None)``).
+GELU defaults to the exact (erf) variant — torch's default — everywhere;
+the TPU-native ViT stack can opt into quick-GELU (z*sigmoid(1.702z), the
+CLIP activation) via ``vit_fused_gelu: quick/bf16``, honored consistently
+by both the fused Pallas blocks and this module's unfused path (the
+flagship config does — docs/perf_notes.md). No final LayerNorm after the
+stack (torch's ``nn.TransformerEncoder(..., norm=None)``).
 """
 
 from __future__ import annotations
@@ -42,8 +46,10 @@ class Mlp(nn.Module):
         x = nn.Dense(self.ff_dim, dtype=self.dtype, name="linear1")(x)
         if self.activation == "quick_gelu":
             x = x * nn.sigmoid(1.702 * x)
-        else:
+        elif self.activation == "gelu":
             x = nn.gelu(x, approximate=False)
+        else:  # a silent fallthrough would serve the wrong activation
+            raise ValueError(f"unknown Mlp activation: {self.activation!r}")
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear2")(x)
 
 

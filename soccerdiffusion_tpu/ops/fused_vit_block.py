@@ -413,7 +413,10 @@ def _make_headloop_bwd_kernel(num_heads, F, T, ablate=frozenset(),
                 dz = dhg * _gelu_poly_grad(c["z"])
             elif gelu == "bf16":
                 # storage-dtype passes (c["z"]/c["cdf"] are bf16 here);
-                # the row-sum still accumulates in fp32
+                # the row-sum below still accumulates in fp32 via an
+                # astype pass — unlike the stacked path's ones-row MXU
+                # dot. Acceptable: headloop is a measured-refutation
+                # layout kept for the record, not a perf path.
                 dz = dhg.astype(dtype) * _gelu_quick_grad(c["z"], c["cdf"])
             elif gelu == "quick":
                 dz = dhg * _gelu_quick_grad(c["z"], c["cdf"])

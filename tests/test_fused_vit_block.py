@@ -299,13 +299,46 @@ class TestQuickGelu:
                                    np.asarray(y_q, np.float32),
                                    rtol=2.5e-2, atol=2.5e-2)
 
-    @pytest.mark.parametrize("gelu", ("quick", "bf16"))
     @pytest.mark.parametrize("layout", LAYOUTS)
-    def test_grads_close_to_quick_autodiff(self, gelu, layout):
-        """Per-weight gradient parity of the custom-VJP backward against
-        autodiff through a quick-GELU flax-equivalent forward (built from
-        the kernel's own fp32 quick path, whose fwd parity is asserted
-        above)."""
+    def test_quick_grads_match_real_autodiff(self, layout):
+        """Per-parameter gradient parity of the hand-derived quick-GELU
+        backward against TRUE autodiff through the flax layer with
+        activation="quick_gelu" (custom_vjp overrides autodiff, so
+        comparing two kernel invocations would be vacuous — the reference
+        here is a separate flax forward)."""
+        layer = TransformerEncoderLayer(W, H, ff_dim=FF,
+                                        activation="quick_gelu")
+        _, params, x = setup(n=4, seed=3)
+        cot = jnp.asarray(np.random.default_rng(9).standard_normal(
+            (4, T, W)).astype(np.float32))
+
+        def loss_ref(params, x):
+            return jnp.sum(layer.apply({"params": params}, x) * cot)
+
+        want_dp, want_dx = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+        fn = make_vit_block_fn(H, block_frames=2, interpret=True,
+                               gelu="quick", layout=layout)
+
+        def loss_fused(weights, x):
+            return jnp.sum(fn(x, *weights) * cot)
+
+        got_dw, got_dx = jax.grad(loss_fused, argnums=(0, 1))(
+            flat_weights(params), x)
+        rtol = atol = 2e-3
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=rtol, atol=atol, err_msg="dx")
+        for name, got, want in zip(
+                ("g1", "be1", "wqkv", "bqkv", "wo", "bo", "g2", "be2",
+                 "w1", "b1", "w2", "b2"),
+                got_dw, flat_weights(want_dp)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=rtol, atol=atol, err_msg=name)
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_bf16_grads_close_to_quick(self, layout):
+        """bf16-evaluated variant vs the fp32 quick kernel: same
+        activation, differences bounded by bf16 rounding. (The quick
+        kernel itself is autodiff-verified above.)"""
         _, params, x = setup(n=4, dtype=jnp.bfloat16)
         w = flat_weights(params)
         xb = x.astype(jnp.bfloat16)
@@ -316,15 +349,14 @@ class TestQuickGelu:
         f_ref = make_vit_block_fn(H, block_frames=2, interpret=True,
                                   gelu="quick", layout=layout)
         f_t = make_vit_block_fn(H, block_frames=2, interpret=True,
-                                gelu=gelu, layout=layout)
+                                gelu="bf16", layout=layout)
         gr = jax.grad(lambda ws: loss(f_ref, ws))(w)
         gt = jax.grad(lambda ws: loss(f_t, ws))(w)
         for i, (a, b) in enumerate(zip(gr, gt)):
             ref = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-6
             err = float(jnp.max(jnp.abs(
                 a.astype(jnp.float32) - b.astype(jnp.float32))))
-            bound = 1e-6 if gelu == "quick" else 6e-2
-            assert err / ref <= bound, f"weight {i}: rel {err / ref}"
+            assert err / ref <= 6e-2, f"weight {i}: rel {err / ref}"
 
 
 class TestAlignedT:

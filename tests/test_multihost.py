@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(720)
+@pytest.mark.timeout(1300)
 def test_two_process_train_step():
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
