@@ -150,17 +150,28 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
             jax.block_until_ready(metrics["loss"])
             compile_s = time.perf_counter() - t0
 
+            # MFU_STEPS extends the timed window (e.g. 300 for a
+            # training-stability record); losses are sampled sparsely so
+            # the fetches don't serialize the loop
+            steps = int(os.environ.get("MFU_STEPS", steps))
+            sampled = {}
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for i in range(steps):
                 state, metrics = train_step(state, batch, 0)
+                if steps > 50 and (i % 50 == 0 or i == steps - 1):
+                    sampled[i] = metrics["loss"]
             jax.block_until_ready(metrics["loss"])
             dt = (time.perf_counter() - t0) / steps
             peak = device_peak_flops()
+            extra_kw = {}
+            if sampled:
+                extra_kw["loss_curve"] = {
+                    str(i): round(float(v), 4) for i, v in sampled.items()}
             emit(config=name, batch=b, steps_per_sec=round(1 / dt, 2),
                  samples_per_sec=round(b / dt, 1), step_ms=round(dt * 1e3, 1),
                  flops_per_step=flops, mfu=round(flops / dt / peak, 4),
                  compile_s=round(compile_s, 1),
-                 loss=float(metrics["loss"]))
+                 loss=float(metrics["loss"]), **extra_kw)
             return  # largest fitting batch measured; done
         except Exception as exc:  # OOM etc. -> try smaller
             emit(config=name, batch=b, error=str(exc)[:200])
