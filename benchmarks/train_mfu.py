@@ -107,7 +107,8 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
     for b in batch_sizes:
         try:
             batch = device_batch(cfg, b, rng)
-            optimizer = make_optimizer(config.train.lr, 1000)
+            optimizer = make_optimizer(config.train.lr, 1000,
+                                       flat=config.train.flat_optimizer)
             state = create_train_state(
                 model, prepare_batch(batch), optimizer, jax.random.key(0),
                 cfg.trajectory_prediction_length, cfg.num_joints,

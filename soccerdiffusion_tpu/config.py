@@ -146,6 +146,16 @@ class ModelConfig:
     # per-layer cross K/V over the (B, S, hidden) context from the HBM
     # activation stream; training-path knob)
     remat_decoder: bool = False
+    # Run each denoising-decoder layer as ONE fused Pallas fwd+bwd program
+    # with a custom-VJP backward that recomputes in VMEM
+    # (ops/fused_decoder_layer.py): no decoder intermediate — the per-layer
+    # cross K/V over the (B, S, hidden) context included — ever exists in
+    # HBM. Training-path knob (takes precedence over remat_decoder);
+    # serving with cached context K/V keeps the plain math on the same
+    # params.
+    decoder_fused_block: bool = False
+    # batch rows per fused-decoder-layer Pallas program
+    decoder_fused_block_rows: int = 32
 
     def __post_init__(self) -> None:
         if self.imu_orientation_embedding_method not in VALID_IMU_METHODS:
@@ -167,6 +177,10 @@ class ModelConfig:
         if self.encoder_fused_block and self.attention_impl == "ring":
             raise ValueError(
                 "encoder_fused_block runs attention inside the Pallas "
+                "program and cannot be combined with attention_impl='ring'")
+        if self.decoder_fused_block and self.attention_impl == "ring":
+            raise ValueError(
+                "decoder_fused_block runs attention inside the Pallas "
                 "program and cannot be combined with attention_impl='ring'")
 
     @property
@@ -198,6 +212,11 @@ class TrainConfig:
     weight_decay: float = 1e-2  # torch AdamW default (reference train.py:162)
     log_every: int = 20  # reference train.py:231
     mesh_shape: dict[str, int] = field(default_factory=dict)  # {} = all devices on "data"
+    # run the (elementwise) AdamW update on the raveled parameter vector:
+    # identical numerics, ~8 large fusions instead of ~8 per param tensor
+    # (training/flat_optim.py). Optimizer state becomes one flat mu/nu
+    # pair — checkpoints do not interchange with flat_optimizer: false.
+    flat_optimizer: bool = False
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,9 @@ class DiffusionActionGenerator(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
     remat: bool = False
+    # fused Pallas fwd+bwd decoder layers (ops/fused_decoder_layer.py)
+    fused_block: bool = False
+    fused_block_rows: int = 32
 
     def setup(self) -> None:
         self.embedding = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding")
@@ -35,6 +38,8 @@ class DiffusionActionGenerator(nn.Module):
         self.decoder = TransformerDecoder(
             self.hidden_dim, self.num_heads, self.num_layers, dtype=self.dtype,
             attention_impl=self.attention_impl, remat=self.remat,
+            fused_block=self.fused_block,
+            fused_block_rows=self.fused_block_rows,
             name="decoder",
         )
         self.fc_out = nn.Dense(self.num_joints, dtype=self.dtype, name="fc_out")

@@ -94,7 +94,9 @@ class DiffusionPolicy(nn.Module):
             num_layers=cfg.num_decoder_layers,
             num_heads=cfg.num_decoder_heads,
             max_seq_len=cfg.trajectory_prediction_length,
-            remat=cfg.remat_decoder, **common,
+            remat=cfg.remat_decoder,
+            fused_block=cfg.decoder_fused_block,
+            fused_block_rows=cfg.decoder_fused_block_rows, **common,
         )
 
     def encode_context(self, batch: dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:

@@ -19,8 +19,10 @@ stack (torch's ``nn.TransformerEncoder(..., norm=None)``).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -260,6 +262,135 @@ class TransformerEncoder(nn.Module):
         return x
 
 
+class FusedTransformerDecoderLayer(nn.Module):
+    """Drop-in TransformerDecoderLayer executed by the fused Pallas fwd+bwd
+    decoder-layer program (ops/fused_decoder_layer.py). The param tree is
+    IDENTICAL to the plain layer (declared through param-only stand-in
+    modules), so checkpoints trained either way interchange; the custom-VJP
+    backward recomputes the layer in VMEM — per layer only x/memory/dy/
+    dx/dmemory and the weights/grads touch HBM (the flat step-remainder
+    fix, docs/perf_notes.md round 3).
+
+    The serving path (``memory_kv`` precomputed across denoising steps)
+    falls back to the plain math on the same params: the fused kernel
+    projects memory K/V in-kernel by design (that is what it saves in
+    training), so a cached-K/V call has nothing to gain from it."""
+
+    hidden_dim: int
+    num_heads: int
+    ff_dim: int | None = None
+    dtype: Any = jnp.float32
+    block_rows: int = 32
+    # None: Mosaic on TPU, interpret on CPU (tests / multichip dryrun)
+    interpret: bool | None = None
+
+    def setup(self) -> None:
+        dim, ff = self.hidden_dim, self.ff_dim or self.hidden_dim
+        self._norm1 = _LayerNormParams(dim, name="norm1")
+        self._norm2 = _LayerNormParams(dim, name="norm2")
+        self._norm3 = _LayerNormParams(dim, name="norm3")
+        self._self_attn = _MhaParams(dim, name="self_attn")
+        self._cross_attn = _MhaParams(dim, name="cross_attn")
+        self._mlp = _MlpParams(dim, ff, name="mlp")
+
+    def _params(self):
+        return dict(
+            norm1=self._norm1(), norm2=self._norm2(), norm3=self._norm3(),
+            self_attn=self._self_attn(), cross_attn=self._cross_attn(),
+            mlp=self._mlp(),
+        )
+
+    def compute_memory_kv(self, memory: jnp.ndarray):
+        """Cacheable cross-attention K/V (serving path), identical to the
+        plain layer's."""
+        p = self._params()["cross_attn"]
+        b, s, _ = memory.shape
+        split = lambda t: t.reshape(b, s, self.num_heads, -1)
+        mem = memory.astype(self.dtype)
+        k = jnp.dot(mem, p["k_proj"][0].astype(self.dtype)) + p["k_proj"][1]
+        v = jnp.dot(mem, p["v_proj"][0].astype(self.dtype)) + p["v_proj"][1]
+        return split(k.astype(self.dtype)), split(v.astype(self.dtype))
+
+    def _plain(self, p, x, memory, memory_kv):
+        """Plain-math fallback on the SAME params (serving with cached
+        K/V, or shapes the kernel does not serve)."""
+        from soccerdiffusion_tpu.models.attention import xla_attention
+
+        dim = self.hidden_dim
+        c = lambda t: t.astype(self.dtype)
+        dense = lambda t, wb: jnp.dot(t, c(wb[0])) + c(wb[1])
+        ln = lambda t, wb: _ln(t, wb[0], wb[1]).astype(self.dtype)
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], self.num_heads, -1)
+
+        def mha(pp, xq, k, v):
+            q = split(c(dense(xq, pp["q_proj"])))
+            o = xla_attention(q, k, v).reshape(xq.shape[0], xq.shape[1], dim)
+            return dense(o, pp["out_proj"])
+
+        n1 = ln(x, p["norm1"])
+        sa = p["self_attn"]
+        k1 = split(c(dense(n1, sa["k_proj"])))
+        v1 = split(c(dense(n1, sa["v_proj"])))
+        x = x + mha(sa, n1, k1, v1)
+        n2 = ln(x, p["norm2"])
+        if memory_kv is not None:
+            k2, v2 = memory_kv
+        else:
+            ca = p["cross_attn"]
+            # memory=None degenerates to self-attention over n2, matching
+            # MultiHeadAttention's x_kv=None semantics
+            mem = n2 if memory is None else memory.astype(self.dtype)
+            k2 = split(c(dense(mem, ca["k_proj"])))
+            v2 = split(c(dense(mem, ca["v_proj"])))
+        x = x + mha(p["cross_attn"], n2, c(k2), c(v2))
+        n3 = ln(x, p["norm3"])
+        m = p["mlp"]
+        h = nn.gelu(dense(n3, m["linear1"]).astype(jnp.float32),
+                    approximate=False)
+        return x + dense(h.astype(self.dtype), m["linear2"])
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        memory: jnp.ndarray | None = None,
+        memory_kv=None,
+    ) -> jnp.ndarray:
+        from soccerdiffusion_tpu.ops.fused_decoder_layer import make_decoder_layer_fn
+
+        p = self._params()
+        if memory_kv is not None or memory is None:
+            return self._plain(p, x, memory, memory_kv)
+        sa, ca, m = p["self_attn"], p["cross_attn"], p["mlp"]
+        wqkv = jnp.concatenate([sa["q_proj"][0], sa["k_proj"][0],
+                                sa["v_proj"][0]], axis=1)
+        bqkv = jnp.concatenate([sa["q_proj"][1], sa["k_proj"][1],
+                                sa["v_proj"][1]])
+        fn = make_decoder_layer_fn(self.num_heads, self.block_rows,
+                                   self.interpret)
+        c = lambda t: t.astype(self.dtype)
+        return fn(x.astype(self.dtype), memory.astype(self.dtype),
+                  c(p["norm1"][0]), c(p["norm1"][1]), c(wqkv), c(bqkv),
+                  c(sa["out_proj"][0]), c(sa["out_proj"][1]),
+                  c(p["norm2"][0]), c(p["norm2"][1]),
+                  c(ca["q_proj"][0]), c(ca["q_proj"][1]),
+                  c(ca["k_proj"][0]), c(ca["k_proj"][1]),
+                  c(ca["v_proj"][0]), c(ca["v_proj"][1]),
+                  c(ca["out_proj"][0]), c(ca["out_proj"][1]),
+                  c(p["norm3"][0]), c(p["norm3"][1]),
+                  c(m["linear1"][0]), c(m["linear1"][1]),
+                  c(m["linear2"][0]), c(m["linear2"][1]))
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    """fp32 LayerNorm on raw params (flax nn.LayerNorm semantics)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return (xc * jax.lax.rsqrt(var + eps)) * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+
+
 class TransformerDecoder(nn.Module):
     hidden_dim: int
     num_heads: int
@@ -272,14 +403,28 @@ class TransformerDecoder(nn.Module):
     # biggest intermediates; recompute them instead of streaming them
     # through HBM (training-path knob; serving never differentiates)
     remat: bool = False
+    # run each layer as the fused Pallas fwd+bwd decoder program instead
+    # (ops/fused_decoder_layer.py) — intermediates (memory K/V included)
+    # never exist in HBM at all
+    fused_block: bool = False
+    fused_block_rows: int = 32
+    fused_interpret: bool | None = None
 
     def setup(self) -> None:
-        layer_cls = (nn.remat(TransformerDecoderLayer, methods=("__call__",))
-                     if self.remat else TransformerDecoderLayer)
+        if self.fused_block:
+            layer_cls = partial(FusedTransformerDecoderLayer,
+                                block_rows=self.fused_block_rows,
+                                interpret=self.fused_interpret)
+        elif self.remat:
+            layer_cls = nn.remat(TransformerDecoderLayer, methods=("__call__",))
+        else:
+            layer_cls = TransformerDecoderLayer
+        extra = {} if self.fused_block else dict(
+            attention_impl=self.attention_impl)
         self.layers = [
             layer_cls(
                 self.hidden_dim, self.num_heads, self.ff_dim, dtype=self.dtype,
-                attention_impl=self.attention_impl, name=f"layer_{i}",
+                name=f"layer_{i}", **extra,
             )
             for i in range(self.num_layers)
         ]

@@ -153,7 +153,8 @@ def main(argv=None):
 
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)
-    optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay)
+    optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay,
+                               flat=config.train.flat_optimizer)
 
     from soccerdiffusion_tpu.data.pipeline import prepare_batch
 

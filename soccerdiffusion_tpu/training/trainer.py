@@ -39,7 +39,16 @@ def make_optimizer(
     total_steps: int,
     weight_decay: float = 1e-2,
     use_onecycle: bool = True,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
+    """AdamW + OneCycle (torch defaults; reference train.py:162-174).
+
+    ``flat=True`` runs the (purely elementwise) update on the raveled
+    parameter vector — identical numerics in ~8 large fusions instead of
+    ~8 per param tensor (training/flat_optim.py). Note the optimizer
+    state becomes one flat mu/nu pair, so checkpoints do not interchange
+    with ``flat=False`` ones.
+    """
     if use_onecycle:
         schedule = optax.cosine_onecycle_schedule(
             transition_steps=total_steps, peak_value=lr,
@@ -47,7 +56,12 @@ def make_optimizer(
         )
     else:
         schedule = lr
-    return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    opt = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    if flat:
+        from soccerdiffusion_tpu.training.flat_optim import flat_wrap
+
+        opt = flat_wrap(opt)
+    return opt
 
 
 def lr_at_step(lr: float, total_steps: int, step) -> jnp.ndarray:
