@@ -142,6 +142,13 @@ class ModelConfig:
     encoder_fused_block: bool = False
     # batch rows per fused-encoder Pallas program
     encoder_fused_block_rows: int = 16
+    # Run each proprioceptive encoder's WHOLE stack as one fused Pallas
+    # fwd+bwd program with per-layer weights stacked on a leading axis
+    # (ops/fused_encoder_stack.py) — 3 fwd + 3 bwd programs replace the
+    # remainder's largest flat slice (benchmarks/mfu_remainder_ablate.sh),
+    # where per-LAYER fused programs (encoder_fused_block) were a
+    # measured refutation. Uses encoder_fused_block_rows as the block.
+    encoder_fused_stack: bool = False
     # rematerialize denoising-decoder layers in backward (drops the stored
     # per-layer cross K/V over the (B, S, hidden) context from the HBM
     # activation stream; training-path knob)
@@ -177,6 +184,10 @@ class ModelConfig:
         if self.encoder_fused_block and self.attention_impl == "ring":
             raise ValueError(
                 "encoder_fused_block runs attention inside the Pallas "
+                "program and cannot be combined with attention_impl='ring'")
+        if self.encoder_fused_stack and self.attention_impl == "ring":
+            raise ValueError(
+                "encoder_fused_stack runs attention inside the Pallas "
                 "program and cannot be combined with attention_impl='ring'")
         if self.decoder_fused_block and self.attention_impl == "ring":
             raise ValueError(

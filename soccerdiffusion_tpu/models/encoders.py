@@ -38,6 +38,8 @@ class SequenceEncoder(nn.Module):
     # (ops/fused_vit_block.py); ignores attention_impl
     fused_block: bool = False
     fused_block_rows: int = 16
+    # whole-stack fused Pallas program (ops/fused_encoder_stack.py)
+    fused_stack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -47,7 +49,8 @@ class SequenceEncoder(nn.Module):
             self.hidden_dim, self.num_heads, self.num_layers, dtype=self.dtype,
             attention_impl=self.attention_impl,
             fused_block=self.fused_block,
-            fused_block_frames=self.fused_block_rows, name="encoder",
+            fused_block_frames=self.fused_block_rows,
+            fused_stack=self.fused_stack, name="encoder",
         )(x)
 
 
@@ -64,6 +67,8 @@ class JointEncoder(nn.Module):
     attention_impl: str = "xla"
     fused_block: bool = False
     fused_block_rows: int = 16
+    # whole-stack fused Pallas program (ops/fused_encoder_stack.py)
+    fused_stack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +78,7 @@ class JointEncoder(nn.Module):
             self.hidden_dim, self.patch_size, self.num_layers, self.num_heads,
             self.max_seq_len, dtype=self.dtype, attention_impl=self.attention_impl,
             fused_block=self.fused_block, fused_block_rows=self.fused_block_rows,
-            name="seq",
+            fused_stack=self.fused_stack, name="seq",
         )(x)
 
 
@@ -91,6 +96,8 @@ class IMUEncoder(nn.Module):
     attention_impl: str = "xla"
     fused_block: bool = False
     fused_block_rows: int = 16
+    # whole-stack fused Pallas program (ops/fused_encoder_stack.py)
+    fused_stack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +107,7 @@ class IMUEncoder(nn.Module):
             self.hidden_dim, self.patch_size, self.num_layers, self.num_heads,
             self.max_seq_len, dtype=self.dtype, attention_impl=self.attention_impl,
             fused_block=self.fused_block, fused_block_rows=self.fused_block_rows,
-            name="seq",
+            fused_stack=self.fused_stack, name="seq",
         )(x)
 
 

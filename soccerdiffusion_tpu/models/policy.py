@@ -49,7 +49,8 @@ class DiffusionPolicy(nn.Module):
         # fused Pallas blocks for the proprioceptive encoder stacks
         # (ops/fused_vit_block.py; encoder_fused_block config)
         prop = dict(fused_block=cfg.encoder_fused_block,
-                    fused_block_rows=cfg.encoder_fused_block_rows)
+                    fused_block_rows=cfg.encoder_fused_block_rows,
+                    fused_stack=cfg.encoder_fused_stack)
         self.step_encoding = StepToken(cfg.hidden_dim, dtype=self.dtype)
         if cfg.use_action_history:
             self.action_history_encoder = JointEncoder(

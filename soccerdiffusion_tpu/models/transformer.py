@@ -163,6 +163,23 @@ class _MlpParams(nn.Module):
                 "linear2": _DenseParams(self.ff, self.dim, name="linear2")()}
 
 
+class _EncoderLayerParams(nn.Module):
+    """Param-only stand-in for a whole TransformerEncoderLayer (identical
+    tree: norm1/2, self_attn, mlp)."""
+
+    dim: int
+    ff: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "norm1": _LayerNormParams(self.dim, name="norm1")(),
+            "norm2": _LayerNormParams(self.dim, name="norm2")(),
+            "self_attn": _MhaParams(self.dim, name="self_attn")(),
+            "mlp": _MlpParams(self.dim, self.ff, name="mlp")(),
+        }
+
+
 class FusedTransformerEncoderLayer(nn.Module):
     """Drop-in TransformerEncoderLayer executed by the fused Pallas
     fwd+bwd block (ops/fused_vit_block.py). The param tree is IDENTICAL to
@@ -233,9 +250,50 @@ class TransformerEncoder(nn.Module):
     fused_interpret: bool | None = None
     fused_gelu: str = "exact"
     fused_layout: str = "stacked"
+    # Run the WHOLE stack as one fused Pallas fwd+bwd program with
+    # per-layer weights stacked on a leading axis
+    # (ops/fused_encoder_stack.py) — built for the small proprioceptive
+    # encoder stacks where per-layer programs lose to program count
+    # (the round-3 encoder_fused_block refutation). Uses
+    # fused_block_frames as the batch-rows block. Exact GELU only.
+    fused_stack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_stack:
+            from soccerdiffusion_tpu.ops.fused_encoder_stack import (
+                make_encoder_stack_fn,
+            )
+
+            if self.fused_gelu != "exact":
+                raise ValueError(
+                    "fused_stack computes exact GELU; fused_gelu="
+                    f"{self.fused_gelu!r} is not supported there")
+            dim, ff = self.hidden_dim, self.ff_dim or self.hidden_dim
+            layers = [_EncoderLayerParams(dim, ff, name=f"layer_{i}")()
+                      for i in range(self.num_layers)]
+            c = lambda t: t.astype(self.dtype)
+            stk = lambda f: c(jnp.stack([f(p) for p in layers]))
+            sa = lambda p: p["self_attn"]
+            wqkv = stk(lambda p: jnp.concatenate(
+                [sa(p)["q_proj"][0], sa(p)["k_proj"][0], sa(p)["v_proj"][0]],
+                axis=1))
+            bqkv = stk(lambda p: jnp.concatenate(
+                [sa(p)["q_proj"][1], sa(p)["k_proj"][1], sa(p)["v_proj"][1]]))
+            fn = make_encoder_stack_fn(self.num_heads, self.num_layers,
+                                       self.fused_block_frames,
+                                       self.fused_interpret)
+            return fn(
+                x.astype(self.dtype),
+                stk(lambda p: p["norm1"][0]), stk(lambda p: p["norm1"][1]),
+                wqkv, bqkv,
+                stk(lambda p: sa(p)["out_proj"][0]),
+                stk(lambda p: sa(p)["out_proj"][1]),
+                stk(lambda p: p["norm2"][0]), stk(lambda p: p["norm2"][1]),
+                stk(lambda p: p["mlp"]["linear1"][0]),
+                stk(lambda p: p["mlp"]["linear1"][1]),
+                stk(lambda p: p["mlp"]["linear2"][0]),
+                stk(lambda p: p["mlp"]["linear2"][1]))
         if self.fused_block:
             for i in range(self.num_layers):
                 x = FusedTransformerEncoderLayer(
