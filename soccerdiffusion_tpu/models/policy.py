@@ -86,6 +86,8 @@ class DiffusionPolicy(nn.Module):
                 vit_fused_block_frames=cfg.vit_fused_block_frames,
                 vit_fused_gelu=cfg.vit_fused_gelu,
                 vit_fused_layout=cfg.vit_fused_layout,
+                seq_fused_stack=cfg.encoder_fused_stack,
+                seq_fused_rows=cfg.encoder_fused_block_rows,
                 **common,
             )
         if cfg.use_gamestate:

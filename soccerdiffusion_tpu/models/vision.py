@@ -305,6 +305,10 @@ class ImageSequenceEncoder(nn.Module):
     vit_fused_block_frames: int = 8
     vit_fused_gelu: str = "exact"
     vit_fused_layout: str = "stacked"
+    # run the frame-token sequence encoder as ONE fused Pallas fwd+bwd
+    # stack program (ops/fused_encoder_stack.py)
+    seq_fused_stack: bool = False
+    seq_fused_rows: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -345,6 +349,8 @@ class ImageSequenceEncoder(nn.Module):
                 hidden_dim=self.hidden_dim, patch_size=1,
                 num_layers=self.num_layers, num_heads=8,
                 max_seq_len=self.max_seq_len, dtype=self.dtype,
-                attention_impl=self.attention_impl, name="seq",
+                attention_impl=self.attention_impl,
+                fused_stack=self.seq_fused_stack,
+                fused_block_rows=self.seq_fused_rows, name="seq",
             )(tokens)
         return tokens

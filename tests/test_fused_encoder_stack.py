@@ -125,6 +125,22 @@ class TestWiring:
             assert np.all(np.isfinite(np.asarray(leaf)))
         assert float(jnp.abs(g["layer_0"]["mlp"]["linear1"]["kernel"]).max()) > 0
 
+    def test_image_seq_encoder_fused_stack_matches(self):
+        """The frame-token sequence encoder honors the fused-stack knob
+        (wired from encoder_fused_stack via ImageSequenceEncoder)."""
+        from soccerdiffusion_tpu.models.encoders import SequenceEncoder
+
+        rng = np.random.default_rng(8)
+        tokens = jnp.asarray(rng.standard_normal((4, 10, E)).astype(np.float32))
+        plain = SequenceEncoder(E, 1, 1, 8, 10)
+        params = plain.init(jax.random.key(0), tokens)["params"]
+        fused = SequenceEncoder(E, 1, 1, 8, 10, fused_stack=True,
+                                fused_block_rows=2)
+        want = plain.apply({"params": params}, tokens)
+        got = fused.apply({"params": params}, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_policy_encoder_fused_stack_matches(self):
         import dataclasses
 
