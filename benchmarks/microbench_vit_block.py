@@ -50,6 +50,11 @@ N, T, W, FF, HEADS, DEPTH, FRAMES = 2560, 49, 256, 1024, 4, 8, 16
 # CLAUDE.md); measure at MB_DEPTH=16 too and difference against 8 to get
 # the RTT-free marginal cost of an 8-block stack
 DEPTH = int(os.environ.get("MB_DEPTH", DEPTH))
+# MB_T=64 measures the current tile-aligned patch-28 geometry; MB_GELU
+# overrides the default activation for the non-GELU-specific variants
+# (e.g. "quick", the flagship default).
+T = int(os.environ.get("MB_T", T))
+GELU = os.environ.get("MB_GELU", "exact")
 ITERS = 3
 
 
@@ -136,20 +141,20 @@ def main():
     weights = make_weights(rng)
     only = [v for v in os.environ.get("MB_VARIANTS", "").split(",") if v]
     variants = [
-        ("full", (), "exact", "stacked"),
+        ("full", (), GELU, "stacked"),
         # rank-3 per-head-loop attention layout: no stack/merge copies, no
         # misaligned (FT, W) reshapes (ops/fused_vit_block._headloop_core)
-        ("headloop", (), "exact", "headloop"),
-        ("headloop_no_attn", ("no_attn",), "exact", "headloop"),
-        ("headloop_no_mlp", ("no_mlp",), "exact", "headloop"),
+        ("headloop", (), GELU, "headloop"),
+        ("headloop_no_attn", ("no_attn",), GELU, "headloop"),
+        ("headloop_no_mlp", ("no_mlp",), GELU, "headloop"),
         ("poly_gelu", (), "poly", "stacked"),
-        ("relu_gelu", ("relu_gelu",), "exact", "stacked"),
-        ("no_softmax", ("no_softmax",), "exact", "stacked"),
-        ("no_attn", ("no_attn",), "exact", "stacked"),
-        ("no_mlp", ("no_mlp",), "exact", "stacked"),
+        ("relu_gelu", ("relu_gelu",), GELU, "stacked"),
+        ("no_softmax", ("no_softmax",), GELU, "stacked"),
+        ("no_attn", ("no_attn",), GELU, "stacked"),
+        ("no_mlp", ("no_mlp",), GELU, "stacked"),
         # both sublayers ablated: LN x2 + residual + x/y streaming + grid
         # skeleton — the non-additive "base" the deltas above sit on
-        ("ln_only", ("no_attn", "no_mlp"), "exact", "stacked"),
+        ("ln_only", ("no_attn", "no_mlp"), GELU, "stacked"),
     ]
     for name, ablate, gelu, layout in variants:
         if only and name not in only:
