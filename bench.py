@@ -97,38 +97,53 @@ def measure(args) -> dict:
         jnp.zeros((args.batch, 10, 20)), jnp.zeros((args.batch,), jnp.int32),
     )
 
-    rollout = engine.make_rollout_fn(num_chunks=args.chunks, jit=True)
-
-    t0 = time.perf_counter()
-    _, chunks = rollout(variables, carry)
-    jax.block_until_ready(chunks)
-    log(f"compile+first run ({args.sampler}): {time.perf_counter() - t0:.2f}s")
-
-    # MEASUREMENT VALIDITY (CLAUDE.md): the tunnel runtime result-caches
-    # repeated calls whose input buffers are identical (donated carries can
-    # alias!), so every timed call gets its own freshly materialized carry
-    # (distinct rng -> distinct buffers), one call per measurement with all
-    # chunks_per_call work inside, per-call sync, and a per-iteration
-    # checksum printed as a did-it-really-run cross-check.
-    carries = [engine.init(args.batch, jax.random.key(100 + i))
-               for i in range(args.iters)]
-    jax.block_until_ready(carries)
-    times = []
-    for i in range(args.iters):
+    # MEASUREMENT VALIDITY (CLAUDE.md): (a) the tunnel runtime
+    # result-caches repeated calls whose input buffers are identical
+    # (donated carries can alias!), so every timed call gets its own
+    # freshly materialized carry (distinct rng -> distinct buffers), one
+    # call per measurement with all chained work inside, per-call sync,
+    # and a per-iteration checksum printed as a did-it-really-run
+    # cross-check; (b) EVERY call carries a ~15-35 ms tunnel round trip,
+    # which at a handful of periods per call inflates the per-period
+    # number by several ms (the round-2/3 B=1024 headline chained only 5
+    # periods and was ~12% RTT-inflated; see perf_notes "Deployment-batch
+    # latency ladder"). The RTT is removed by differencing two chain
+    # lengths: time K_hi and K_lo periods inside one jitted scan each,
+    # per-period = (t_hi - t_lo) / (K_hi - K_lo).
+    k_hi, k_lo = args.chunks, max(1, args.chunks // 4)
+    medians = {}
+    for k in (k_hi, k_lo):
+        rollout = engine.make_rollout_fn(num_chunks=k, jit=True)
         t0 = time.perf_counter()
-        _, chunks = rollout(variables, carries[i])
+        _, chunks = rollout(variables,
+                            engine.init(args.batch, jax.random.key(7 + k)))
         jax.block_until_ready(chunks)
-        times.append(time.perf_counter() - t0)
-        log(f"iter {i}: {times[-1] * 1e3:.1f} ms for {args.chunks} chunks x "
-            f"{args.batch} robots (checksum {float(jnp.sum(chunks)):.6e})")
-    floor_ms = 0.2 * args.chunks  # no real chunk completes in <0.2 ms
-    if min(times) * 1e3 < floor_ms:
-        log("SUSPECT TIMINGS: sub-floor measurement, treating as invalid")
-        raise SystemExit(3)
+        log(f"compile+first run ({args.sampler}, K={k}): "
+            f"{time.perf_counter() - t0:.2f}s")
+        carries = [engine.init(args.batch, jax.random.key(100 + 17 * k + i))
+                   for i in range(args.iters)]
+        jax.block_until_ready(carries)
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            _, chunks = rollout(variables, carries[i])
+            jax.block_until_ready(chunks)
+            times.append(time.perf_counter() - t0)
+            log(f"iter {i}: {times[-1] * 1e3:.1f} ms for {k} chunks x "
+                f"{args.batch} robots (checksum {float(jnp.sum(chunks)):.6e})")
+        floor_ms = 0.05 * k  # no real replan period completes in <50 us
+        if min(times) * 1e3 < floor_ms:
+            log("SUSPECT TIMINGS: sub-floor measurement, treating as invalid")
+            raise SystemExit(3)
+        medians[k] = statistics.median(times)
 
-    per_period_ms = [t / args.chunks * 1e3 for t in times]
-    p50_period_ms = statistics.median(per_period_ms)
-    chunks_per_sec = args.batch * args.chunks / statistics.median(times)
+    p50_period_ms = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo) * 1e3
+    raw_period_ms = medians[k_hi] / k_hi * 1e3
+    if p50_period_ms <= 0 or p50_period_ms > raw_period_ms * 1.05:
+        log(f"differencing unstable (diff {p50_period_ms:.3f} vs raw "
+            f"{raw_period_ms:.3f}); falling back to the raw number")
+        p50_period_ms = raw_period_ms
+    chunks_per_sec = args.batch / (p50_period_ms / 1e3)
 
     north_star = 4096 / 8 * (1000.0 / 10.0)  # 51200 chunks/s/chip
     sampler_name = "distilled1" if args.distilled else "ddim%d" % args.steps
@@ -138,6 +153,8 @@ def measure(args) -> dict:
         "unit": "chunks/s/chip",
         "vs_baseline": round(chunks_per_sec / north_star, 3),
         "p50_replan_period_ms": round(p50_period_ms, 3),
+        "p50_raw_rtt_inclusive_ms": round(raw_period_ms, 3),
+        "timing_protocol": "chain-differenced(K=%d,%d)" % (k_hi, k_lo),
         "batch_robots": args.batch,
         "ddim_steps": 1 if args.distilled else args.steps,
         "hidden_dim": args.hidden,
@@ -168,7 +185,9 @@ def run_child(extra: list[str], timeout: int) -> dict | None:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024, help="robots per chip")
-    parser.add_argument("--chunks", type=int, default=5, help="replan periods per timed iteration")
+    parser.add_argument("--chunks", type=int, default=20,
+                        help="replan periods per timed iteration (K_hi of "
+                             "the chain-differenced protocol; K_lo = K/4)")
     parser.add_argument("--iters", type=int, default=3, help="timed iterations")
     parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
     parser.add_argument("--distilled", action="store_true")
@@ -196,7 +215,7 @@ def main():
     parser.add_argument("--inline", action="store_true",
                         help="measure in-process (no fallback orchestration)")
     parser.add_argument("--sidecars", type=str,
-                        default="distilled1,ddim4,ddim2,patch5,int8kv",
+                        default="distilled1,ddim4,ddim2,lat64,patch5,int8kv",
                         help="comma list of extra recorded points: distilled1 "
                              "(1-step student path), ddim4/ddim2 (few-step-"
                              "student operating points through the chunk "
@@ -251,12 +270,18 @@ def main():
     #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3c.md)
     #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
     #   int8kv     — int8 context K/V inside the chunk kernel
+    #   lat64      — deployment-batch latency point (64 robots; the
+    #                north-star "<10 ms p50 30-step chunk" contract;
+    #                perf_notes "Deployment-batch latency ladder")
     sidecar_flags = {
         "distilled1": ["--steps", "1", "--distilled", "--sampler", "chunk",
+                       "--chunks", str(4 * args.chunks),
                        "--fused-block", str(args.fused_block_distilled)],
         "ddim4": ["--steps", "4", "--sampler", "chunk",
+                  "--chunks", str(2 * args.chunks),
                   "--fused-block", str(args.fused_block)],
         "ddim2": ["--steps", "2", "--sampler", "chunk",
+                  "--chunks", str(3 * args.chunks),
                   "--fused-block", str(args.fused_block)],
         "patch5": ["--steps", str(args.steps), "--sampler", "chunk",
                    "--patch", "5",
@@ -264,6 +289,9 @@ def main():
         "int8kv": ["--steps", str(args.steps), "--sampler", "chunk",
                    "--kv-quant", "int8",
                    "--fused-block", str(args.fused_block)],
+        "lat64": ["--steps", str(args.steps), "--sampler", "chunk",
+                  "--batch", "64", "--chunks", "68",
+                  "--fused-block", str(args.fused_block)],
     }
     wanted = [] if args.no_distilled_sidecar else [
         s for s in args.sidecars.split(",") if s]
@@ -282,6 +310,8 @@ def main():
         result[f"{name}_chunks_per_sec_per_chip"] = side["value"]
         result[f"{name}_p50_replan_period_ms"] = side["p50_replan_period_ms"]
         result[f"{name}_sampler_path"] = side["sampler_path"]
+        if side.get("batch_robots") != args.batch:
+            result[f"{name}_batch_robots"] = side["batch_robots"]
 
     print(json.dumps(result), flush=True)
 
