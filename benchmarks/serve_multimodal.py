@@ -42,22 +42,44 @@ def emit(**kw):
 
 
 def measure(name, engine, variables, batch_robots, chunks, iters=3):
-    carry = engine.init(batch_robots, jax.random.key(0))
-    rollout = engine.make_rollout_fn(num_chunks=chunks, jit=True)
-    t0 = time.perf_counter()
-    carry, out = rollout(variables, carry)
-    jax.block_until_ready(out)
-    emit(bench=name, compile_s=round(time.perf_counter() - t0, 1))
-    times = []
-    for _ in range(iters):
+    # Chain-differenced protocol (CLAUDE.md; same as bench.py): time K_hi
+    # and K_lo replan periods inside one jitted scan each, with a fresh
+    # distinct carry and a checksum per timed call; per-period =
+    # (t_hi - t_lo) / (K_hi - K_lo) cancels the ~15-35 ms tunnel RTT
+    # (the pre-2026-08-18 numbers here chained only 3 periods per call
+    # and were RTT-inflated by up to ~12 ms/period).
+    k_hi, k_lo = chunks, max(1, chunks // 4)
+    medians = {}
+    for k in (k_hi, k_lo):
+        rollout = engine.make_rollout_fn(num_chunks=k, jit=True)
         t0 = time.perf_counter()
-        carry, out = rollout(variables, carry)  # carry-fed
+        _, out = rollout(variables, engine.init(batch_robots,
+                                                jax.random.key(7 + k)))
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    med = sorted(times)[len(times) // 2]
+        emit(bench=name, k=k, compile_s=round(time.perf_counter() - t0, 1))
+        carries = [engine.init(batch_robots, jax.random.key(100 + 17 * k + i))
+                   for i in range(iters)]
+        jax.block_until_ready(carries)
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            _, out = rollout(variables, carries[i])
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+            emit(bench=name, k=k, iter=i, ms=round(times[-1] * 1e3, 1),
+                 checksum=float(jnp.sum(out)))
+        if min(times) * 1e3 < 0.05 * k:
+            emit(bench=name, error="sub-floor timing, invalid")
+            raise SystemExit(3)
+        medians[k] = sorted(times)[len(times) // 2]
+    period_ms = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo) * 1e3
+    raw_ms = medians[k_hi] / k_hi * 1e3
+    if period_ms <= 0 or period_ms > raw_ms * 1.05:
+        period_ms = raw_ms
     emit(bench=name, batch_robots=batch_robots,
-         p50_replan_period_ms=round(med / chunks * 1e3, 2),
-         chunks_per_sec_per_chip=round(batch_robots * chunks / med, 1))
+         p50_replan_period_ms=round(period_ms, 2),
+         p50_raw_rtt_inclusive_ms=round(raw_ms, 2),
+         chunks_per_sec_per_chip=round(batch_robots / (period_ms / 1e3), 1))
 
 
 def main():
@@ -80,11 +102,13 @@ def main():
                            jnp.zeros((B, cfg.trajectory_prediction_length,
                                       cfg.num_joints)),
                            jnp.zeros((B,), jnp.int32))
-    measure("mm_ddim30_fused_chunk", eng30, variables, B, chunks=3)
+    measure("mm_ddim30_fused_chunk", eng30, variables, B,
+            chunks=int(os.environ.get("MM_CHUNKS", "12")))
 
     eng1 = RolloutEngine(model, schedule, normalizer, num_inference_steps=1,
                          distilled=True, fused="chunk", fused_block_robots=32)
-    measure("mm_distilled1", eng1, variables, B, chunks=3)
+    measure("mm_distilled1", eng1, variables, B,
+            chunks=int(os.environ.get("MM_CHUNKS_D1", "32")))
     emit(bench="done")
 
 
