@@ -87,7 +87,10 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
 
     # Chain length scaled so the K_hi call carries >=~250 ms of device work
     # (tunnel RTT <15% raw, and eliminated entirely by the difference).
-    est_period_ms = max(1.0, args.est_b1024_ms * batch / 1024.0)
+    # The distilled student is ~5x faster per period than ddim30, so its
+    # estimate scales by steps to keep the work-per-call target.
+    est_period_ms = max(0.05, args.est_b1024_ms * batch / 1024.0
+                        * (steps if distilled else 30) / 30.0)
     k_hi = max(8, min(args.max_chain, int(round(250.0 / est_period_ms))))
     k_lo = max(2, k_hi // 4)
 
@@ -95,10 +98,13 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
     for name, k in (("hi", k_hi), ("lo", k_lo)):
         rollout = engine.make_rollout_fn(num_chunks=k, jit=True)
         t0 = time.perf_counter()
-        _, chunks = rollout(variables, engine.init(batch, jax.random.key(7)))
+        # per-K rng keys: the tunnel result-caches identical input
+        # buffers, so no timed or warmup call may share buffers with
+        # another (CLAUDE.md; same scheme as bench.py)
+        _, chunks = rollout(variables, engine.init(batch, jax.random.key(7 + k)))
         jax.block_until_ready(chunks)
         log(f"B={batch} K={k}: compile+first {time.perf_counter() - t0:.1f}s")
-        carries = [engine.init(batch, jax.random.key(100 + i))
+        carries = [engine.init(batch, jax.random.key(100 + 17 * k + i))
                    for i in range(args.iters)]
         jax.block_until_ready(carries)
         times = []
@@ -109,18 +115,25 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
             times.append(time.perf_counter() - t0)
             log(f"  B={batch} K={k} iter {i}: {times[-1] * 1e3:.1f} ms "
                 f"(checksum {float(jnp.sum(chunks)):.6e})")
-        if min(times) * 1e3 < 0.05 * k:  # no real period completes in <50 us
-            raise SystemExit(f"SUSPECT TIMINGS at B={batch} K={k}: sub-floor")
+        if min(times) * 1e3 < max(0.05, 0.002 * batch) * k:
+            log(f"SUSPECT TIMINGS at B={batch} K={k}: sub-floor, invalid")
+            raise SystemExit(3)
         results[name] = (k, statistics.median(times))
 
     (k_hi, t_hi), (k_lo, t_lo) = results["hi"], results["lo"]
-    period_ms = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
     raw_ms = t_hi / k_hi * 1e3
+    diff_ms = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+    period_ms, protocol = diff_ms, f"chain-differenced(K={k_hi},{k_lo})"
+    if diff_ms <= 0 or diff_ms > raw_ms * 1.05:
+        log(f"differencing unstable at B={batch} (diff {diff_ms:.3f} vs raw "
+            f"{raw_ms:.3f}); falling back to the raw number")
+        period_ms, protocol = raw_ms, f"raw(K={k_hi})"
     label = "distilled1" if distilled else f"ddim{steps}"
     row = {
         "sampler": label, "batch_robots": batch,
         "p50_replan_period_ms": round(period_ms, 3),
         "p50_raw_rtt_inclusive_ms": round(raw_ms, 3),
+        "timing_protocol": protocol,
         "k_hi": k_hi, "k_lo": k_lo,
         "chunks_per_sec_per_chip": round(batch / (period_ms / 1e3), 1),
     }

@@ -49,8 +49,10 @@ def measure(name, engine, variables, batch_robots, chunks, iters=3):
     # (the pre-2026-08-18 numbers here chained only 3 periods per call
     # and were RTT-inflated by up to ~12 ms/period).
     k_hi, k_lo = chunks, max(1, chunks // 4)
+    if k_lo == k_hi:  # chunks=1: differencing impossible, raw-only
+        k_lo = None
     medians = {}
-    for k in (k_hi, k_lo):
+    for k in ([k_hi] if k_lo is None else [k_hi, k_lo]):
         rollout = engine.make_rollout_fn(num_chunks=k, jit=True)
         t0 = time.perf_counter()
         _, out = rollout(variables, engine.init(batch_robots,
@@ -68,17 +70,23 @@ def measure(name, engine, variables, batch_robots, chunks, iters=3):
             times.append(time.perf_counter() - t0)
             emit(bench=name, k=k, iter=i, ms=round(times[-1] * 1e3, 1),
                  checksum=float(jnp.sum(out)))
-        if min(times) * 1e3 < 0.05 * k:
+        if min(times) * 1e3 < max(0.05, 0.002 * batch_robots) * k:
             emit(bench=name, error="sub-floor timing, invalid")
             raise SystemExit(3)
         medians[k] = sorted(times)[len(times) // 2]
-    period_ms = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo) * 1e3
     raw_ms = medians[k_hi] / k_hi * 1e3
-    if period_ms <= 0 or period_ms > raw_ms * 1.05:
-        period_ms = raw_ms
+    period_ms, protocol = raw_ms, f"raw(K={k_hi})"
+    if k_lo is not None:
+        diff_ms = (medians[k_hi] - medians[k_lo]) / (k_hi - k_lo) * 1e3
+        if diff_ms <= 0 or diff_ms > raw_ms * 1.05:
+            emit(bench=name, warning="differencing unstable, raw fallback",
+                 diff_ms=round(diff_ms, 2), raw_ms=round(raw_ms, 2))
+        else:
+            period_ms, protocol = diff_ms, f"chain-differenced(K={k_hi},{k_lo})"
     emit(bench=name, batch_robots=batch_robots,
          p50_replan_period_ms=round(period_ms, 2),
          p50_raw_rtt_inclusive_ms=round(raw_ms, 2),
+         timing_protocol=protocol,
          chunks_per_sec_per_chip=round(batch_robots / (period_ms / 1e3), 1))
 
 
