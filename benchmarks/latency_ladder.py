@@ -77,6 +77,7 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
         fused_block_robots=args.block,
         fused_encoder=not args.cpu_smoke,
         fused_encoder_block_robots=args.encoder_block,
+        replan_every=args.replan_every,
     )
     carry0 = engine.init(batch, jax.random.key(0))
     init_batch = make_controller_batch(cfg, carry0.controller)
@@ -131,6 +132,7 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
     label = "distilled1" if distilled else f"ddim{steps}"
     row = {
         "sampler": label, "batch_robots": batch,
+        "replan_every_ticks": engine.replan_every,
         "p50_replan_period_ms": round(period_ms, 3),
         "p50_raw_rtt_inclusive_ms": round(raw_ms, 3),
         "timing_protocol": protocol,
@@ -149,6 +151,10 @@ def main():
     p.add_argument("--block", type=int, default=16)
     p.add_argument("--encoder-block", type=int, default=32)
     p.add_argument("--max-chain", type=int, default=256)
+    p.add_argument("--replan-every", type=int, default=None,
+                   help="receding-horizon: replan after this many of the 10 "
+                        "predicted ticks (default: all 10, reference 5 Hz "
+                        "behavior; 1 = the full 50 Hz control rate)")
     p.add_argument("--est-b1024-ms", type=float, default=59.0,
                    help="measured B=1024 period used to pick chain lengths")
     p.add_argument("--distilled", action="store_true",

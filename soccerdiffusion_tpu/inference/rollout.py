@@ -77,6 +77,7 @@ class RolloutEngine:
         fused_encoder: bool | str = False,
         fused_encoder_block_robots: int = 16,
         fused_kv_quant: str = "none",
+        replan_every: int | None = None,
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -103,6 +104,27 @@ class RolloutEngine:
         # "int8": quantized context K/V inside the fused chunk kernel
         # (ops/fused_chunk.py context_kv_quant)
         self.fused_kv_quant = fused_kv_quant
+        # Receding-horizon control: replan after `replan_every` of the
+        # chunk's pred_len ticks instead of playing the whole chunk. The
+        # reference replans only at chunk boundaries (every pred_len/50 s =
+        # 200 ms, ros.py:156-159); with the fused samplers a replan costs
+        # ~1 ms at deployment batches (docs/perf_notes.md latency ladder),
+        # so the loop can replan at up to the full 50 Hz control rate
+        # (replan_every=1). Only the executed prefix of each chunk enters
+        # the action-history buffer and the plant. Default: pred_len
+        # (reference behavior).
+        P = self.cfg.trajectory_prediction_length
+        self.replan_every = P if replan_every is None else int(replan_every)
+        if not 1 <= self.replan_every <= P:
+            raise ValueError(
+                f"replan_every must be in [1, pred_len={P}], "
+                f"got {replan_every}")
+        if self.cfg.use_images and self.replan_every % 5 != 0:
+            raise ValueError(
+                "image configs need replan_every to be a multiple of 5 "
+                "ticks so the 10 Hz stub camera (one frame per 5 ticks at "
+                "50 Hz) stays on schedule across replan periods; got "
+                f"replan_every={replan_every}")
 
     # ------------------------------------------------------------------ init
 
@@ -238,15 +260,16 @@ class RolloutEngine:
         return PlantState(positions=positions, phase=phase), positions, imu
 
     def _plant_play_chunk(self, plant: PlantState, chunk: jnp.ndarray) -> tuple[PlantState, jnp.ndarray, jnp.ndarray]:
-        """All ``pred_len`` plant ticks in closed form.
+        """All of the chunk's plant ticks in closed form.
 
         The tracking recurrence p_{k+1} = p_k + a*(t_k - p_k) is linear, so
         every tick's position is one (P, P) matmul over the chunk dimension
         plus a decayed initial-state term — a handful of vectorized ops
-        instead of pred_len unrolled tick iterations (the serving runtime
+        instead of per-tick unrolled iterations (the serving runtime
         charges each op a fixed dispatch cost; docs/perf_notes.md). Matches
-        ``_plant_tick`` iterated, up to float reassociation."""
-        P = self.cfg.trajectory_prediction_length
+        ``_plant_tick`` iterated, up to float reassociation. ``chunk`` may
+        be any length (receding horizon plays only a prefix)."""
+        P = chunk.shape[1]
         a = self.tracking_alpha
         beta = 1.0 - a
         k = np.arange(1, P + 1)
@@ -275,21 +298,27 @@ class RolloutEngine:
         return new_plant, positions, imus
 
     def replan_period(self, variables, carry: RolloutCarry) -> tuple[RolloutCarry, jnp.ndarray]:
-        """One full 200 ms period: sample a chunk, play it for pred_len ticks
-        while feeding plant observations back into the buffers. Returns the
-        executed chunk (B, P, J).
+        """One replan period: sample a chunk, play its first
+        ``replan_every`` ticks (all pred_len by default) while feeding
+        plant observations back into the buffers. Returns the EXECUTED
+        prefix (B, replan_every, J).
 
-        The plant trajectory for the whole chunk is computed in closed form
-        (``_plant_play_chunk``) and all observation rows land in the
+        The plant trajectory for the executed ticks is computed in closed
+        form (``_plant_play_chunk``) and all observation rows land in the
         controller buffers as ONE update per modality (``observe_many``) —
-        the same semantics as pred_len tick-by-tick ``observe`` calls."""
+        the same semantics as tick-by-tick ``observe`` calls. Only the
+        executed prefix enters the action-history buffer: under receding
+        horizon the buffer records commands actually issued (the
+        reference's full-chunk append, ros.py:315-318, is the
+        replan_every == pred_len case)."""
         from soccerdiffusion_tpu.inference.controller import observe_many
 
         rng, sub = jax.random.split(carry.rng)
         chunk = self._sample_chunk(variables, carry.controller, sub)
-        controller = push_action_chunk(carry.controller, chunk)
+        executed = chunk[:, : self.replan_every]
+        controller = push_action_chunk(carry.controller, executed)
 
-        plant, js_rows, imu_rows = self._plant_play_chunk(carry.plant, chunk)
+        plant, js_rows, imu_rows = self._plant_play_chunk(carry.plant, executed)
         frames = None
         if self.cfg.use_images:
             # The stub camera delivers one frame per 5 plant ticks (10 Hz at
@@ -297,7 +326,9 @@ class RolloutEngine:
             # n lands on tick P-1-5*(n-1-i), and its phase is sampled at that
             # instant from the per-tick phase trajectory. A cheap
             # phase-dependent gradient, already ImageNet-normalized scale.
-            P = self.cfg.trajectory_prediction_length
+            # (replan_every % 5 == 0 is enforced at construction, so the
+            # camera stays exactly on its 10 Hz schedule.)
+            P = self.replan_every
             n_frames = max(1, P // 5)
             res = self.cfg.image_resolution
             ramp = jnp.linspace(-1.0, 1.0, res)
@@ -311,13 +342,15 @@ class RolloutEngine:
             frames = jnp.repeat(frames, 3, axis=-1)
         controller = observe_many(controller, joint_states=js_rows,
                                   imus=imu_rows, images=frames)
-        return RolloutCarry(controller=controller, plant=plant, rng=rng), chunk
+        return RolloutCarry(controller=controller, plant=plant, rng=rng), executed
 
     # --------------------------------------------------------------- rollout
 
     def make_rollout_fn(self, num_chunks: int, jit: bool = True):
         """Returns ``rollout(variables, carry) -> (carry, chunks)`` executing
-        ``num_chunks`` replan periods; chunks has shape (num_chunks, B, P, J)."""
+        ``num_chunks`` replan periods; chunks has shape
+        (num_chunks, B, replan_every, J) — replan_every == pred_len unless
+        receding-horizon replanning is configured."""
 
         def rollout(variables, carry):
             def body(c, _):

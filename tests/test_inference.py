@@ -160,6 +160,52 @@ class TestRolloutEngine:
         np.testing.assert_allclose(np.asarray(plant_cf.phase),
                                    np.asarray(plant_it.phase), atol=1e-5)
 
+    def test_receding_horizon_executes_chunk_prefix(self):
+        # replan_every=2: each period plays only the first 2 of the 5
+        # predicted ticks. With identical rng the sampled chunk is identical
+        # to the full-chunk engine's, so the executed prefix must equal the
+        # full chunk's first 2 rows, and the buffers must advance 2 rows.
+        model, variables = make_model()
+        full = RolloutEngine(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        rh = RolloutEngine(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2,
+            replan_every=2,
+        )
+        c_full = full.init(batch_size=3, rng=jax.random.key(5))
+        c_rh = rh.init(batch_size=3, rng=jax.random.key(5))
+        c_full2, chunk_full = full.replan_period(variables, c_full)
+        c_rh2, executed = rh.replan_period(variables, c_rh)
+        assert executed.shape == (3, 2, 8)
+        np.testing.assert_allclose(np.asarray(executed),
+                                   np.asarray(chunk_full[:, :2]), atol=1e-6)
+        # action history: last 2 rows are the executed commands (-pi shift),
+        # and the row before them is still the zero prefill
+        hist = np.asarray(c_rh2.controller.joint_command_history)
+        np.testing.assert_allclose(hist[:, -2:],
+                                   np.asarray(executed) - np.pi, atol=1e-6)
+        np.testing.assert_allclose(hist[:, -3], 0.0, atol=1e-6)
+        # plant advanced exactly 2 ticks (phase += 0.02 per tick)
+        np.testing.assert_allclose(
+            np.asarray(c_rh2.plant.phase) - np.asarray(c_rh.plant.phase),
+            0.04, atol=1e-6)
+        # scan over periods returns (num_chunks, B, replan_every, J)
+        carry, chunks = rh.make_rollout_fn(num_chunks=3, jit=False)(
+            variables, rh.init(batch_size=3, rng=jax.random.key(6)))
+        assert chunks.shape == (3, 3, 2, 8)
+        assert np.isfinite(np.asarray(chunks)).all()
+
+    def test_replan_every_validation(self):
+        import pytest
+
+        model, _ = make_model()
+        sched = make_schedule(100)
+        with pytest.raises(ValueError, match="replan_every"):
+            RolloutEngine(model, sched, Normalizer.identity(8), replan_every=0)
+        with pytest.raises(ValueError, match="replan_every"):
+            RolloutEngine(model, sched, Normalizer.identity(8), replan_every=6)
+
     def test_rollout_batch_members_differ(self):
         # different rng per robot phase => plant IMU differs across batch
         model, variables = make_model()
