@@ -76,6 +76,7 @@ class RealtimeController:
         clock: Callable[[], float] = time.monotonic,
         sleep_fn: Callable[[float], None] = time.sleep,
         plan_in_thread: bool = True,
+        replan_every_ticks: Optional[int] = None,
     ):
         self.cfg = config
         self.sample_fn = sample_fn
@@ -90,8 +91,21 @@ class RealtimeController:
         # cost of blocking one actuation tick per replan.
         self.plan_in_thread = plan_in_thread
         # Replan every pred_len control ticks = 200 ms at the default rates
-        # (reference ros.py:156-159).
-        self.replan_period = config.trajectory_prediction_length / control_rate_hz
+        # (reference ros.py:156-159). Receding horizon: replan_every_ticks
+        # < pred_len replans before the chunk is exhausted (down to every
+        # tick = the full control rate); the slot keeps the whole chunk so
+        # actuation plays on past the horizon if a plan arrives late, and
+        # only the horizon prefix enters the action-history buffer
+        # (commands expected to be issued; matches RolloutEngine
+        # replan_every semantics).
+        P = config.trajectory_prediction_length
+        self.replan_every_ticks = (
+            P if replan_every_ticks is None else int(replan_every_ticks))
+        if not 1 <= self.replan_every_ticks <= P:
+            raise ValueError(
+                f"replan_every_ticks must be in [1, pred_len={P}], "
+                f"got {replan_every_ticks}")
+        self.replan_period = self.replan_every_ticks / control_rate_hz
 
         self._state = init_controller_state(config, batch_size=1)
         self._state_lock = threading.Lock()
@@ -131,7 +145,9 @@ class RealtimeController:
             self.sample_fn(self.variables, batch, sub)
         ))[0]
         with self._state_lock:
-            self._state = push_action_chunk(self._state, jnp.asarray(chunk)[None])
+            self._state = push_action_chunk(
+                self._state,
+                jnp.asarray(chunk[: self.replan_every_ticks])[None])
         self._slot = ChunkSlot(chunk=chunk, start_time=self.clock())
         self.plan_latencies_ms.append((self.clock() - t0) * 1e3)
 

@@ -258,6 +258,36 @@ class TestRealtimeController:
         # untrained model -> arbitrary magnitudes, but the loop must stay finite
         assert np.isfinite(io.positions).all()
 
+    def test_closed_loop_receding_horizon(self):
+        """replan_every_ticks=2 doubles the replan rate (and pushes 2-row
+        prefixes into the action history) vs the default pred_len=5."""
+        from soccerdiffusion_tpu.inference.realtime import (
+            RealtimeController,
+            SimulatedRobotIO,
+        )
+
+        model, variables = make_model()
+        sampler = make_chunk_sampler(
+            model, make_schedule(100), Normalizer.identity(8), num_inference_steps=2
+        )
+        clock = VirtualClock()
+        ctrl = RealtimeController(
+            CFG, sampler, variables, SimulatedRobotIO(num_joints=8),
+            control_rate_hz=100, clock=clock, sleep_fn=clock.sleep,
+            plan_in_thread=False, replan_every_ticks=2,
+        )
+        assert ctrl.replan_period == 0.02  # 2 ticks @ 100 Hz
+        ctrl.run(duration_s=1.0)
+        # 1 s at a 20 ms replan period => ~50 replans (vs ~20 at pred_len=5)
+        assert len(ctrl.plan_latencies_ms) >= 40
+        import pytest
+
+        with pytest.raises(ValueError, match="replan_every_ticks"):
+            RealtimeController(
+                CFG, sampler, variables, SimulatedRobotIO(num_joints=8),
+                replan_every_ticks=6,
+            )
+
     def test_closed_loop_threaded_overlap(self):
         """Plan-in-flight overlap: virtual control time, real plan thread."""
         import time
