@@ -88,6 +88,7 @@ def measure(args) -> dict:
         fused_encoder=args.fused_encoder,
         fused_encoder_block_robots=args.fused_encoder_block,
         fused_kv_quant=args.kv_quant,
+        solver=args.solver,
     )
     carry = engine.init(args.batch, jax.random.key(0))
 
@@ -158,7 +159,10 @@ def measure(args) -> dict:
     chunks_per_sec = args.batch / (p50_period_ms / 1e3)
 
     north_star = 4096 / 8 * (1000.0 / 10.0)  # 51200 chunks/s/chip
-    sampler_name = "distilled1" if args.distilled else "ddim%d" % args.steps
+    from soccerdiffusion_tpu.diffusion import solver_label
+
+    sampler_name = ("distilled1" if args.distilled
+                    else solver_label(args.solver, args.steps))
     return {
         "metric": "%s_action_chunks_per_sec_per_chip" % sampler_name,
         "value": round(chunks_per_sec, 1),
@@ -202,6 +206,12 @@ def main():
                              "the chain-differenced protocol; K_lo = K/4)")
     parser.add_argument("--iters", type=int, default=3, help="timed iterations")
     parser.add_argument("--steps", type=int, default=30, help="DDIM steps")
+    parser.add_argument("--solver", default="ddim",
+                        help="reverse-process solver: 'ddim' (reference), "
+                             "'dpmpp' (DPM-Solver++(2M), training-free "
+                             "few-step), optionally with an '@lambda' "
+                             "log-SNR-uniform spacing suffix "
+                             "(diffusion/dpm_solver.py)")
     parser.add_argument("--distilled", action="store_true")
     parser.add_argument("--sampler", choices=["none", "step", "chunk"], default="chunk",
                         help="denoiser path: plain XLA, per-step fused kernel, "
@@ -227,7 +237,7 @@ def main():
     parser.add_argument("--inline", action="store_true",
                         help="measure in-process (no fallback orchestration)")
     parser.add_argument("--sidecars", type=str,
-                        default="distilled1,ddim4,ddim2,lat64,patch5,int8kv",
+                        default="distilled1,ddim4,ddim2,dpmpp10,lat64,patch5,int8kv",
                         help="comma list of extra recorded points: distilled1 "
                              "(1-step student path), ddim4/ddim2 (few-step-"
                              "student operating points through the chunk "
@@ -280,6 +290,9 @@ def main():
     #                loop with distilled sampler")
     #   ddim4/ddim2 — few-step-distilled student serving points (same
     #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3c.md)
+    #   dpmpp10    — TRAINING-FREE few-step: DPM-Solver++(2M) at 10 steps
+    #                through the same chunk kernel (host-side coefficient
+    #                table swap; diffusion/dpm_solver.py)
     #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
     #   int8kv     — int8 context K/V inside the chunk kernel
     #   lat64      — deployment-batch latency point (64 robots; the
@@ -295,6 +308,10 @@ def main():
         "ddim2": ["--steps", "2", "--sampler", "chunk",
                   "--chunks", str(3 * args.chunks),
                   "--fused-block", str(args.fused_block)],
+        "dpmpp10": ["--steps", "10", "--solver", "dpmpp@lambda",
+                    "--sampler", "chunk",
+                    "--chunks", str(2 * args.chunks),
+                    "--fused-block", str(args.fused_block)],
         "patch5": ["--steps", str(args.steps), "--sampler", "chunk",
                    "--patch", "5",
                    "--fused-block", str(args.fused_block)],

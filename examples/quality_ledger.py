@@ -76,6 +76,12 @@ def main(argv=None):
     parser.add_argument("--train-steps", type=int, default=2000)
     parser.add_argument("--distill-steps", type=int, default=400)
     parser.add_argument("--student-steps", type=int, nargs="*", default=[4, 1])
+    parser.add_argument("--solver-rows", type=str, nargs="*",
+                        default=["dpmpp10@lambda", "ddim10"],
+                        help="training-free sampler rows on the teacher "
+                             "(diffusion/dpm_solver.py), e.g. "
+                             "dpmpp10@lambda (log-SNR-uniform steps) or "
+                             "ddim10 (the same budget first-order baseline)")
     parser.add_argument("--windows", type=int, default=256)
     parser.add_argument("--chunks", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
@@ -147,6 +153,8 @@ def main(argv=None):
                    "--out", args.out]
     for s in students:
         report_argv += ["--student", str(s)]
+    for row in args.solver_rows:
+        report_argv += ["--solver-row", row]
     result = report_mod.main(report_argv)
 
     # fold the teacher's learning curve tail into the ledger

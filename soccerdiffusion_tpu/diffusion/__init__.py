@@ -18,6 +18,14 @@ from soccerdiffusion_tpu.diffusion.ddim import (
     ddpm_sample,
     ddpm_step,
 )
+from soccerdiffusion_tpu.diffusion.dpm_solver import (
+    dpmpp_sample,
+    parse_solver,
+    solver_coef_table,
+    solver_label,
+    solver_sample,
+    solver_timesteps,
+)
 
 __all__ = [
     "DiffusionSchedule",
@@ -29,4 +37,10 @@ __all__ = [
     "ddim_sample",
     "ddpm_step",
     "ddpm_sample",
+    "dpmpp_sample",
+    "parse_solver",
+    "solver_coef_table",
+    "solver_label",
+    "solver_sample",
+    "solver_timesteps",
 ]

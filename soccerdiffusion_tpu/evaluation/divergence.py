@@ -20,17 +20,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soccerdiffusion_tpu.diffusion import DiffusionSchedule
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, solver_label
 from soccerdiffusion_tpu.inference.rollout import RolloutEngine
 
 
 def rollout_chunks(model, variables, schedule: DiffusionSchedule, normalizer,
                    num_steps: int, distilled: bool, batch_size: int,
-                   num_chunks: int, seed: int = 0) -> np.ndarray:
+                   num_chunks: int, seed: int = 0,
+                   solver: str = "ddim") -> np.ndarray:
     """Executed chunks (num_chunks, B, P, J) for one sampler configuration."""
     engine = RolloutEngine(
         model, schedule, normalizer,
-        num_inference_steps=num_steps, distilled=distilled,
+        num_inference_steps=num_steps, distilled=distilled, solver=solver,
     )
     carry = engine.init(batch_size, jax.random.key(seed))
     rollout = engine.make_rollout_fn(num_chunks, jit=True)
@@ -42,7 +43,8 @@ def closed_loop_divergence(model, teacher_vars, student_vars,
                            schedule: DiffusionSchedule, normalizer,
                            teacher_steps: int, student_steps: int,
                            student_distilled: bool, batch_size: int = 64,
-                           num_chunks: int = 10, seed: int = 0) -> dict:
+                           num_chunks: int = 10, seed: int = 0,
+                           student_solver: str = "ddim") -> dict:
     """Per-period mean |joint delta| between teacher and student rollouts.
 
     Returns the divergence curve (one value per replan period, radians),
@@ -52,7 +54,7 @@ def closed_loop_divergence(model, teacher_vars, student_vars,
                               teacher_steps, False, batch_size, num_chunks, seed)
     s_chunks = rollout_chunks(model, student_vars, schedule, normalizer,
                               student_steps, student_distilled, batch_size,
-                              num_chunks, seed)
+                              num_chunks, seed, solver=student_solver)
     # mean absolute joint-command difference per period (radians)
     curve = np.mean(np.abs(t_chunks - s_chunks), axis=(1, 2, 3))
     action_scale = float(np.mean(np.abs(np.diff(t_chunks, axis=2))))
@@ -61,7 +63,7 @@ def closed_loop_divergence(model, teacher_vars, student_vars,
         "batch_size": int(batch_size),
         "teacher": f"ddim{teacher_steps}",
         "student": ("distilled1" if student_distilled
-                    else f"ddim{student_steps}"),
+                    else solver_label(student_solver, student_steps)),
         "divergence_curve_rad": [float(v) for v in curve],
         "final_divergence_rad": float(curve[-1]),
         "mean_divergence_rad": float(curve.mean()),

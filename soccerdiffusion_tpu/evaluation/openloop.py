@@ -24,15 +24,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, solver_label, solver_sample
 
 
 def sample_trajectories(model, variables, schedule: DiffusionSchedule, context,
-                        noise, num_steps: int, distilled: bool) -> jnp.ndarray:
+                        noise, num_steps: int, distilled: bool,
+                        solver: str = "ddim") -> jnp.ndarray:
     """Run the checkpoint's sampler on encoded context; normalized domain.
 
     ``distilled`` selects the single forward at t=0 (reference
-    ros.py:293-298); otherwise ``num_steps`` DDIM steps (ros.py:301-310).
+    ros.py:293-298); otherwise ``num_steps`` steps of ``solver`` — "ddim"
+    (ros.py:301-310) or "dpmpp" (DPM-Solver++(2M),
+    diffusion/dpm_solver.py, training-free few-step).
     """
     bsz = noise.shape[0]
     if distilled:
@@ -43,7 +46,7 @@ def sample_trajectories(model, variables, schedule: DiffusionSchedule, context,
         return model.apply(variables, context, x,
                            jnp.full((bsz,), t, jnp.int32), method=model.denoise)
 
-    return ddim_sample(schedule, denoise_fn, noise, num_steps)
+    return solver_sample(schedule, denoise_fn, noise, num_steps, solver=solver)
 
 
 def eval_batches(dataset, indices: Sequence[int], batch_size: int):
@@ -64,7 +67,7 @@ def held_out_indices(dataset_len: int, num_windows: int, seed: int = 0) -> np.nd
 def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
                       dataset, indices: Sequence[int], num_steps: int,
                       distilled: bool, batch_size: int = 64,
-                      seed: int = 0) -> dict:
+                      seed: int = 0, solver: str = "ddim") -> dict:
     """Denoised trajectory vs ground-truth future commands over ``indices``.
 
     Returns overall + per-joint MSE/MAE in the denormalized joint domain
@@ -81,7 +84,7 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
         noise = jax.random.normal(jax.random.key(seed + b), shape, jnp.float32)
         context = model.apply(variables, jb, False, method=model.encode_context)
         traj = sample_trajectories(model, variables, schedule, context, noise,
-                                   num_steps, distilled)
+                                   num_steps, distilled, solver=solver)
         traj = normalizer.denormalize(traj)
         target = jb["joint_command"].astype(jnp.float32)
         err = np.asarray(traj.astype(jnp.float32) - target)  # (B, P, J)
@@ -98,7 +101,7 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
     per_joint_mae = ae_sum / count
     return {
         "num_windows": int(len(indices)),
-        "sampler": "distilled1" if distilled else f"ddim{num_steps}",
+        "sampler": "distilled1" if distilled else solver_label(solver, num_steps),
         "mse": float(per_joint_mse.mean()),
         "mae": float(per_joint_mae.mean()),
         "noise_floor_mse": float((noise_se_sum / count).mean()),
@@ -175,7 +178,8 @@ def sampler_agreement(model, teacher_vars, student_vars, normalizer,
                       schedule: DiffusionSchedule, dataset,
                       indices: Sequence[int], teacher_steps: int,
                       student_steps: int, student_distilled: bool,
-                      batch_size: int = 64, seed: int = 0) -> dict:
+                      batch_size: int = 64, seed: int = 0,
+                      student_solver: str = "ddim") -> dict:
     """Student-vs-teacher trajectory error on identical noise.
 
     Each checkpoint encodes the context with its OWN params — this measures
@@ -200,7 +204,8 @@ def sampler_agreement(model, teacher_vars, student_vars, normalizer,
         t_traj = sample_trajectories(model, teacher_vars, schedule, t_ctx,
                                      noise, teacher_steps, False)
         s_traj = sample_trajectories(model, student_vars, schedule, s_ctx,
-                                     noise, student_steps, student_distilled)
+                                     noise, student_steps, student_distilled,
+                                     solver=student_solver)
         diff = np.asarray(
             normalizer.denormalize(s_traj).astype(jnp.float32)
             - normalizer.denormalize(t_traj).astype(jnp.float32))
@@ -210,7 +215,8 @@ def sampler_agreement(model, teacher_vars, student_vars, normalizer,
     return {
         "num_windows": int(len(indices)),
         "teacher": f"ddim{teacher_steps}",
-        "student": "distilled1" if student_distilled else f"ddim{student_steps}",
+        "student": ("distilled1" if student_distilled
+                    else solver_label(student_solver, student_steps)),
         "mse_vs_teacher": se_sum / count,
         "mae_vs_teacher": ae_sum / count,
     }

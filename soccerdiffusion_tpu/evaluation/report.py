@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from soccerdiffusion_tpu import logger
 from soccerdiffusion_tpu.config import Config
-from soccerdiffusion_tpu.diffusion import make_schedule
+from soccerdiffusion_tpu.diffusion import make_schedule, solver_label
 from soccerdiffusion_tpu.evaluation.divergence import (
     closed_loop_divergence,
     self_consistency,
@@ -101,7 +101,12 @@ def markdown_report(result: dict) -> str:
 
 def run_report(teacher: str, students: list[str], dataset, windows: int,
                chunks: int, batch_size: int, seed: int = 0,
-               teacher_loaded: tuple | None = None) -> dict:
+               teacher_loaded: tuple | None = None,
+               solver_rows: list[tuple[str, int]] = ()) -> dict:
+    """``solver_rows``: extra (solver, steps) rows evaluated on the TEACHER
+    checkpoint — training-free few-step samplers (e.g. ("dpmpp", 10),
+    diffusion/dpm_solver.py), ranked with the same open-loop/agreement/
+    closed-loop metrics as the distilled students."""
     t_params, t_vars, normalizer, t_steps, t_distilled = (
         teacher_loaded if teacher_loaded is not None else _load(teacher))
     config = Config.from_dict(t_params)
@@ -151,7 +156,29 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
             "divergence": divergence,
         })
 
-    if students:
+    for solver, steps in solver_rows:
+        name = f"teacher+{solver_label(solver, steps)}"
+        logger.info(f"open-loop eval: {name} (training-free)")
+        s_open = open_loop_metrics(model, t_vars, normalizer, schedule,
+                                   dataset, indices, steps, False,
+                                   batch_size=batch_size, seed=seed,
+                                   solver=solver)
+        s_open.pop("noise_floor_mse")
+        agreement = sampler_agreement(model, t_vars, t_vars, normalizer,
+                                      schedule, dataset, indices, t_steps,
+                                      steps, False, batch_size=batch_size,
+                                      seed=seed, student_solver=solver)
+        logger.info(f"closed-loop divergence: {name} vs teacher")
+        divergence = closed_loop_divergence(
+            model, t_vars, t_vars, schedule, normalizer, t_steps, steps,
+            False, batch_size=min(batch_size, 64), num_chunks=chunks,
+            seed=seed, student_solver=solver)
+        result["checkpoints"].append({
+            "name": name, "open_loop": s_open, "agreement": agreement,
+            "divergence": divergence,
+        })
+
+    if students or solver_rows:
         logger.info("teacher noise-resampling self-consistency")
         result["teacher_self_consistency"] = self_consistency(
             model, t_vars, schedule, normalizer, t_steps,
@@ -171,7 +198,28 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="quality_report")
+    parser.add_argument("--solver-row", action="append", default=[],
+                        help="training-free sampler row on the teacher "
+                             "params, e.g. 'dpmpp10' or 'dpmpp10@lambda' "
+                             "(repeatable; diffusion/dpm_solver.py)")
     args = parser.parse_args(argv)
+
+    import re
+
+    solver_rows = []
+    for row in args.solver_row:
+        m = re.fullmatch(r"([a-z]+)(\d+)(@[a-z]+)?", row)
+        if not m:
+            parser.error(f"bad --solver-row {row!r}; expected e.g. dpmpp10 "
+                         f"or dpmpp10@lambda")
+        solver = m.group(1) + (m.group(3) or "")
+        from soccerdiffusion_tpu.diffusion import parse_solver
+
+        try:
+            parse_solver(solver)
+        except ValueError as e:
+            parser.error(str(e))
+        solver_rows.append((solver, int(m.group(2))))
 
     teacher_loaded = _load(args.teacher)
     config = Config.from_dict(teacher_loaded[0])
@@ -181,7 +229,8 @@ def main(argv=None):
 
     result = run_report(args.teacher, args.student, dataset, args.windows,
                         args.chunks, args.batch_size, args.seed,
-                        teacher_loaded=teacher_loaded)
+                        teacher_loaded=teacher_loaded,
+                        solver_rows=solver_rows)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.with_suffix(".json").write_text(json.dumps(result, indent=2))

@@ -26,7 +26,7 @@ from flax import struct
 
 from soccerdiffusion_tpu.config import ModelConfig
 from soccerdiffusion_tpu.data.normalizer import Normalizer
-from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, solver_sample
 from soccerdiffusion_tpu.inference.controller import (
     ControllerState,
     init_controller_state,
@@ -78,6 +78,7 @@ class RolloutEngine:
         fused_encoder_block_robots: int = 16,
         fused_kv_quant: str = "none",
         replan_every: int | None = None,
+        solver: str = "ddim",
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -104,6 +105,23 @@ class RolloutEngine:
         # "int8": quantized context K/V inside the fused chunk kernel
         # (ops/fused_chunk.py context_kv_quant)
         self.fused_kv_quant = fused_kv_quant
+        # "ddim" (reference sampler) or "dpmpp" (DPM-Solver++(2M),
+        # diffusion/dpm_solver.py): a training-free second-order solver that
+        # matches ~30-step DDIM quality at ~10 steps. Either may carry an
+        # "@lambda" spacing suffix (log-SNR-uniform timesteps — the spacing
+        # dpmpp integrates well under; diffusion/dpm_solver.py:parse_solver).
+        # Supported on the XLA sampler and the fused chunk kernel (same
+        # in-kernel linear update, different host-side coefficient table).
+        # The distilled and fused="step" paths are DDIM-trained / DDIM-only.
+        from soccerdiffusion_tpu.diffusion import parse_solver
+
+        parse_solver(solver)  # validates name and spacing
+        if solver != "ddim" and (distilled or fused is True or fused == "step"):
+            raise ValueError(
+                "solver='dpmpp' is supported on the XLA sampler and the "
+                "fused 'chunk' kernel; distilled students and the per-step "
+                "fused denoiser are DDIM-trained/DDIM-only")
+        self.solver = solver
         # Receding-horizon control: replan after `replan_every` of the
         # chunk's pred_len ticks instead of playing the whole chunk. The
         # reference replans only at chunk boundaries (every pred_len/50 s =
@@ -187,7 +205,7 @@ class RolloutEngine:
                 method=self.model.denoise,
             )
         elif self.fused == "chunk":
-            from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
+            from soccerdiffusion_tpu.diffusion import parse_solver, solver_timesteps
             from soccerdiffusion_tpu.ops.fused_chunk import FusedChunkSampler
 
             block = largest_dividing_block(self.fused_block_robots, bsz)
@@ -197,14 +215,17 @@ class RolloutEngine:
             fused = FusedChunkSampler(self.model, variables["params"],
                                       block_robots=block, group_robots=group,
                                       context_kv_quant=self.fused_kv_quant)
-            # raw context goes straight in — K/V projection happens in-kernel
-            ts = jnp.asarray(ddim_timesteps(
-                self.schedule.num_train_timesteps, self.num_inference_steps))
+            # raw context goes straight in — K/V projection happens in-kernel;
+            # the step-token table rides the SAME timestep sequence the
+            # solver coefficient table is built on
+            ts = jnp.asarray(solver_timesteps(
+                self.schedule, self.num_inference_steps,
+                parse_solver(self.solver)[1]))
             st_table = self.model.apply(
                 variables, ts, method=lambda m, tt: m.step_encoding(tt)
             )[:, 0]  # (T, E)
             traj = fused.sample(context, noise, st_table, self.schedule,
-                                self.num_inference_steps)
+                                self.num_inference_steps, solver=self.solver)
         elif self.fused:
             from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
             from soccerdiffusion_tpu.ops.fused_denoise import FusedDenoiser
@@ -234,7 +255,8 @@ class RolloutEngine:
                     method=self.model.denoise_with_kv,
                 )
 
-            traj = ddim_sample(self.schedule, denoise_fn, noise, self.num_inference_steps)
+            traj = solver_sample(self.schedule, denoise_fn, noise,
+                                 self.num_inference_steps, solver=self.solver)
         return self.normalizer.denormalize(traj)  # [0, 2*pi) domain
 
     def _plant_tick(self, plant: PlantState, command: jnp.ndarray) -> tuple[PlantState, jnp.ndarray, jnp.ndarray]:

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from soccerdiffusion_tpu.data.normalizer import Normalizer
-from soccerdiffusion_tpu.diffusion import DiffusionSchedule, ddim_sample
+from soccerdiffusion_tpu.diffusion import DiffusionSchedule, solver_sample
 
 
 def make_chunk_sampler(
@@ -26,9 +26,13 @@ def make_chunk_sampler(
     num_inference_steps: int = 30,
     distilled: bool = False,
     jit: bool = True,
+    solver: str = "ddim",
 ) -> Callable:
     """Returns ``sample_fn(variables, batch, rng) -> (B, pred_len, J)`` action
-    chunks in the [0, 2*pi) joint domain (denormalized)."""
+    chunks in the [0, 2*pi) joint domain (denormalized).
+
+    ``solver``: "ddim" (the reference sampler) or "dpmpp"
+    (DPM-Solver++(2M), diffusion/dpm_solver.py — training-free few-step)."""
 
     def sample_fn(variables, batch, rng):
         context = model.apply(variables, batch, False, method=model.encode_context)
@@ -59,7 +63,8 @@ def make_chunk_sampler(
                     method=model.denoise_with_kv,
                 )
 
-            traj = ddim_sample(schedule, denoise_fn, noise, num_inference_steps)
+            traj = solver_sample(schedule, denoise_fn, noise,
+                                 num_inference_steps, solver=solver)
         return normalizer.denormalize(traj)
 
     return jax.jit(sample_fn) if jit else sample_fn

@@ -75,7 +75,7 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
         ctx_ref,       # (R, S, E) this block's context tokens
         stk_ref,       # (T, L, E) per-step step-token cross K rows
         stv_ref,       # (T, L, E) per-step step-token cross V rows
-        coef_ref,      # (T, 4) SMEM fp32 DDIM coefficients
+        coef_ref,      # (T, 5) SMEM fp32 solver coefficients [A,B,C,P,Q]
         pe_ref,        # (P, E)
         emb_w_ref, emb_b_ref,          # (J, E), (1, E)
         qkv_w_ref, qkv_b_ref,          # (L, E, 3E), (L, 3E)
@@ -339,8 +339,11 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
                 outs.append(o.reshape(G, HP, E))
             return jnp.concatenate(outs, axis=0)
 
-        def step_body(t, x):
-            # x: (R*P, J) float32 current noisy chunk rows
+        def step_body(t, carry):
+            # carry: (x, x0cache), both (R*P, J) float32 — x is the current
+            # noisy chunk; x0cache is the previous step's x0_hat (used only
+            # by the second-order dpmpp coefficients, C != 0)
+            x, x0cache = carry
             if QSTAT:
                 stk_t = stv_t = None
                 # select context rows + this step's token row (S + t)
@@ -407,17 +410,17 @@ def _make_chunk_kernel(num_layers: int, num_heads: int, head_dim: int,
 
             eps = dot(h, fc_w) + fc_b  # (RP, J) fp32
 
-            # DDIM eta=0 update (diffusion/ddim.py semantics)
-            inv_sq_abar = coef_ref[t, 0]
-            sq_1m_abar = coef_ref[t, 1]
-            sq_abar_prev = coef_ref[t, 2]
-            sq_1m_abar_prev = coef_ref[t, 3]
-            x0_hat = (x - sq_1m_abar * eps) * inv_sq_abar
-            return sq_abar_prev * x0_hat + sq_1m_abar_prev * eps
+            # Linear solver update (diffusion/dpm_solver.py semantics):
+            # DDIM (C=0) and DPM-Solver++(2M) share the same 5-coefficient
+            # form, so the solver choice is purely a host-side table swap.
+            A, B, C = coef_ref[t, 0], coef_ref[t, 1], coef_ref[t, 2]
+            Pc, Qc = coef_ref[t, 3], coef_ref[t, 4]
+            x_next = A * x + B * eps + C * x0cache
+            return (x_next, Pc * x + Qc * eps)
 
-        x0 = jax.lax.fori_loop(
-            0, T, step_body,
-            noise_ref[...].astype(jnp.float32).reshape(R * P, num_joints),
+        noise0 = noise_ref[...].astype(jnp.float32).reshape(R * P, num_joints)
+        x0, _ = jax.lax.fori_loop(
+            0, T, step_body, (noise0, jnp.zeros_like(noise0)),
         )
         out_ref[...] = x0.reshape(R, P, num_joints).astype(out_ref.dtype)
 
@@ -468,28 +471,17 @@ class FusedChunkSampler(FusedDenoiser):
                             preferred_element_type=jnp.float32) + self.cv_b[None])
         return k_tab.astype(self.dtype), v_tab.astype(self.dtype)
 
-    def ddim_coef_table(self, schedule, num_inference_steps: int) -> jnp.ndarray:
-        """(T, 4) fp32: [1/sqrt(abar_t), sqrt(1-abar_t), sqrt(abar_prev),
-        sqrt(1-abar_prev)] per leading-spaced timestep."""
-        from soccerdiffusion_tpu.diffusion.ddim import ddim_timesteps
-
-        ts = np.asarray(ddim_timesteps(schedule.num_train_timesteps, num_inference_steps))
-        acp = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
-        prev = ts - schedule.num_train_timesteps // num_inference_steps
-        abar_t = acp[ts]
-        abar_prev = np.where(prev >= 0, acp[np.maximum(prev, 0)],
-                             schedule.final_alpha_cumprod)
-        return jnp.asarray(np.stack([
-            1.0 / np.sqrt(abar_t), np.sqrt(1.0 - abar_t),
-            np.sqrt(abar_prev), np.sqrt(1.0 - abar_prev),
-        ], axis=1), dtype=jnp.float32)
-
     def sample(self, context: jnp.ndarray, noise: jnp.ndarray,
                step_token_table: jnp.ndarray, schedule,
-               num_inference_steps: int) -> jnp.ndarray:
-        """Full DDIM rollout as ONE kernel op for the whole chunk.
+               num_inference_steps: int, solver: str = "ddim") -> jnp.ndarray:
+        """Full multi-step rollout as ONE kernel op for the whole chunk.
 
+        ``solver``: "ddim" (first-order, the reference sampler) or "dpmpp"
+        (DPM-Solver++(2M), diffusion/dpm_solver.py) — both are the same
+        in-kernel linear update with different host-side (T, 5) tables.
         ``context``: (B, S, E) encoded context tokens (raw, pre-K/V)."""
+        from soccerdiffusion_tpu.diffusion.dpm_solver import solver_coef_table
+
         cfg = self.cfg
         b, S, E_ = context.shape
         R = min(self.block_robots, b)
@@ -500,7 +492,7 @@ class FusedChunkSampler(FusedDenoiser):
         T = num_inference_steps
 
         stk_tab, stv_tab = self.step_tables(step_token_table)
-        coefs = self.ddim_coef_table(schedule, T)
+        coefs = jnp.asarray(solver_coef_table(schedule, T, solver))
 
         G = self.group_robots if R % self.group_robots == 0 else 1
         kernel = _make_chunk_kernel(self.num_layers, self.num_heads, self.head_dim,
@@ -515,7 +507,7 @@ class FusedChunkSampler(FusedDenoiser):
             pl.BlockSpec((R, S, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, L, E), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, L, E), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 23
 
         return pl.pallas_call(

@@ -227,3 +227,53 @@ class TestContextSensitivity:
         out = context_sensitivity(model, variables, norm, sched, ds,
                                   idx, t_fracs=(0.5,), batch_size=1)
         assert abs(out["min_ratio"] - 1.0) < 1e-6
+
+
+class TestSolverRows:
+    def test_dpmpp_open_loop_and_agreement(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        idx = held_out_indices(len(ds), 16, seed=3)
+        m = open_loop_metrics(model, variables, norm, sched, ds, idx,
+                              num_steps=5, distilled=False, batch_size=8,
+                              solver="dpmpp")
+        assert m["sampler"] == "dpmpp5"
+        assert np.isfinite(m["mse"])
+        # dpmpp-at-many-steps must closely agree with the ddim teacher on
+        # identical noise (both integrate the same ODE)
+        a_hi = sampler_agreement(model, variables, variables, norm, sched,
+                                 ds, idx, teacher_steps=25, student_steps=25,
+                                 student_distilled=False, batch_size=8,
+                                 student_solver="dpmpp")
+        a_lo = sampler_agreement(model, variables, variables, norm, sched,
+                                 ds, idx, teacher_steps=25, student_steps=3,
+                                 student_distilled=False, batch_size=8,
+                                 student_solver="dpmpp")
+        assert a_hi["student"] == "dpmpp25"
+        assert a_hi["mse_vs_teacher"] < a_lo["mse_vs_teacher"]
+
+    def test_report_solver_rows(self, tmp_path):
+        from soccerdiffusion_tpu.evaluation.report import run_report
+        from soccerdiffusion_tpu.training.checkpoint import save_checkpoint
+
+        ds, model, sched, _, state, norm = setup()
+        params = {
+            "num_joints": 6, "hidden_dim": 32,
+            "trajectory_prediction_length": 5,
+            "action_context_length": 20, "joint_state_context_length": 20,
+            "imu_context_length": 20, "use_images": False, "use_imu": False,
+            "use_joint_states": False, "use_gamestate": False,
+            "num_action_history_encoder_layers": 1, "num_decoder_layers": 1,
+            "train_denoising_timesteps": 50,
+        }
+        ckpt = tmp_path / "teacher.ckpt"
+        save_checkpoint(str(ckpt), state, norm, params, 0)
+        result = run_report(str(ckpt), [], ds, windows=8, chunks=2,
+                            batch_size=8, solver_rows=[("dpmpp", 4)])
+        names = [c["name"] for c in result["checkpoints"]]
+        assert "teacher+dpmpp4" in names
+        row = result["checkpoints"][names.index("teacher+dpmpp4")]
+        assert row["open_loop"]["sampler"] == "dpmpp4"
+        assert np.isfinite(row["agreement"]["mse_vs_teacher"])
+        assert np.isfinite(row["divergence"]["mean_divergence_rad"])
+        assert "teacher_self_consistency" in result

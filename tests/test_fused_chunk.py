@@ -227,3 +227,40 @@ class TestInt8ContextKV:
         with np.testing.assert_raises(ValueError):
             FusedChunkSampler(model, variables["params"], interpret=True,
                               block_robots=4, context_kv_quant="fp8")
+
+
+class TestDpmppSolverInKernel:
+    def test_dpmpp_chunk_matches_xla_solver(self):
+        from soccerdiffusion_tpu.diffusion import solver_sample
+
+        model, variables, ctx, kv, noisy = full_setup(b=4)
+        schedule = make_schedule(100)
+        steps = 5
+        b = noisy.shape[0]
+
+        def denoise_fn(x, t):
+            return model.apply(variables, kv, x, jnp.full((b,), t, jnp.int32),
+                               method=model.denoise_with_kv)
+
+        expected = solver_sample(schedule, denoise_fn, noisy, steps,
+                                 solver="dpmpp")
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=2)
+        got = fused.sample(ctx, noisy,
+                           step_table(model, variables, schedule, steps),
+                           schedule, steps, solver="dpmpp")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=8e-3, atol=8e-3)
+
+    def test_dpmpp_differs_from_ddim(self):
+        # guard against the solver arg being silently ignored
+        model, variables, ctx, kv, noisy = full_setup(b=2)
+        schedule = make_schedule(100)
+        steps = 4
+        st = step_table(model, variables, schedule, steps)
+        fused = FusedChunkSampler(model, variables["params"], interpret=True,
+                                  block_robots=2)
+        a = np.asarray(fused.sample(ctx, noisy, st, schedule, steps))
+        b = np.asarray(fused.sample(ctx, noisy, st, schedule, steps,
+                                    solver="dpmpp"))
+        assert np.abs(a - b).max() > 1e-4
