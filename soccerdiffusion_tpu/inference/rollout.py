@@ -79,6 +79,7 @@ class RolloutEngine:
         fused_kv_quant: str = "none",
         replan_every: int | None = None,
         solver: str = "ddim",
+        fused_interpret: bool = False,
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -105,6 +106,9 @@ class RolloutEngine:
         # "int8": quantized context K/V inside the fused chunk kernel
         # (ops/fused_chunk.py context_kv_quant)
         self.fused_kv_quant = fused_kv_quant
+        # run the fused Pallas samplers in interpret mode (CPU tests /
+        # dryruns; production leaves this False)
+        self.fused_interpret = fused_interpret
         # "ddim" (reference sampler) or "dpmpp" (DPM-Solver++(2M),
         # diffusion/dpm_solver.py): a training-free second-order solver that
         # matches ~30-step DDIM quality at ~10 steps. Either may carry an
@@ -190,6 +194,7 @@ class RolloutEngine:
 
             fused = FusedDenoiser(
                 self.model, variables["params"],
+                interpret=self.fused_interpret,
                 block_robots=largest_dividing_block(self.fused_block_robots, bsz))
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)
@@ -213,6 +218,7 @@ class RolloutEngine:
             # batch-shrunk) block
             group = largest_dividing_block(self.fused_group_robots, block)
             fused = FusedChunkSampler(self.model, variables["params"],
+                                      interpret=self.fused_interpret,
                                       block_robots=block, group_robots=group,
                                       context_kv_quant=self.fused_kv_quant)
             # raw context goes straight in — K/V projection happens in-kernel;
@@ -232,6 +238,7 @@ class RolloutEngine:
 
             fused = FusedDenoiser(
                 self.model, variables["params"],
+                interpret=self.fused_interpret,
                 block_robots=largest_dividing_block(self.fused_block_robots, bsz))
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)
@@ -382,3 +389,52 @@ class RolloutEngine:
             return jax.lax.scan(body, carry, None, length=num_chunks)
 
         return jax.jit(rollout, donate_argnums=(1,)) if jit else rollout
+
+    def make_sharded_rollout_fn(self, num_chunks: int, mesh, axis: str = "data"):
+        """Fleet scale-out: the whole rollout runs per-device via shard_map
+        with robots sharded over ``axis``.
+
+        The XLA sampler path partitions under plain jit (GSPMD), but a
+        Pallas program is a single-device primitive — multi-chip serving of
+        the fused chunk/denoise kernels needs the per-device SPMD form.
+        Robots are independent, so there are no collectives at all: each
+        device runs its own fused sampler on its robot shard over ICI-free
+        local work. Each shard folds its ``axis`` index into the carry RNG
+        (shards draw independent chunk noise); per-shard computation is
+        bit-identical to an unsharded rollout over that shard's robots with
+        the folded key (tests/test_inference.py::TestShardedFusedServing).
+        The returned carry's RNG is re-derived from the incoming replicated
+        key, so repeated calls chain fresh noise and the carry stays
+        identically replicated.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        base = self.make_rollout_fn(num_chunks, jit=False)
+
+        def body(variables, carry):
+            idx = jax.lax.axis_index(axis)
+            local = carry.replace(rng=jax.random.fold_in(carry.rng, idx))
+            out, chunks = base(variables, local)
+            # advance the REPLICATED key for the next call
+            out = out.replace(rng=jax.random.split(carry.rng)[0])
+            return out, chunks
+
+        def sharded(variables, carry):
+            carry_specs = RolloutCarry(
+                controller=jax.tree.map(lambda _: P(axis), carry.controller),
+                plant=jax.tree.map(lambda _: P(axis), carry.plant),
+                rng=P(),
+            )
+            # check_vma off: pallas_call does not carry the
+            # varying-mesh-axes annotation the replication checker needs
+            fn = shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), variables), carry_specs),
+                out_specs=(carry_specs, P(None, axis)),
+                check_vma=False,
+            )
+            return fn(variables, carry)
+
+        return jax.jit(sharded, donate_argnums=(1,))

@@ -21,3 +21,6 @@ class TestGraftEntry:
 
     def test_dryrun_dcn_8(self):
         graft.dryrun_dcn(8)
+
+    def test_dryrun_serving_8(self):
+        graft.dryrun_serving(8)

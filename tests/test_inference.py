@@ -526,3 +526,63 @@ class TestMultimodalRollout:
         carry = engine.init(2, jax.random.key(0))
         with pytest.raises(ValueError, match="proprioceptive"):
             engine.make_rollout_fn(1, jit=False)(None, carry)
+
+
+class TestShardedFusedServing:
+    def test_fused_chunk_rollout_under_shard_map(self):
+        """Multi-chip serving of the fused chunk sampler: shard_map over the
+        8-device data axis, per-shard output bit-matches an unsharded
+        rollout over that shard's robots with the shard's folded key."""
+        from soccerdiffusion_tpu.inference.rollout import RolloutCarry
+        from soccerdiffusion_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": 8})
+        model, variables = make_model()
+        engine = RolloutEngine(
+            model, make_schedule(60), Normalizer.identity(8),
+            num_inference_steps=2, fused="chunk", fused_interpret=True,
+            fused_block_robots=2,
+        )
+        B, n_dev = 16, 8
+        key = jax.random.key(11)
+        carry = engine.init(batch_size=B, rng=key)
+        rollout = engine.make_sharded_rollout_fn(num_chunks=2, mesh=mesh)
+        out_carry, chunks = rollout(variables, carry)
+        chunks = np.asarray(chunks)
+        assert chunks.shape == (2, B, 5, 8)
+        assert np.isfinite(chunks).all()
+
+        # per-shard reference: unsharded rollout over the shard's robots
+        # (fresh key object — the sharded call donated the original carry)
+        key2 = jax.random.key(11)
+        local = B // n_dev
+        base = engine.make_rollout_fn(num_chunks=2, jit=False)
+        for i in (0, 3, 7):
+            ref_carry = engine.init(batch_size=B, rng=key2)
+            sl = slice(i * local, (i + 1) * local)
+            ref_carry = RolloutCarry(
+                controller=jax.tree.map(lambda x: x[sl], ref_carry.controller),
+                plant=jax.tree.map(lambda x: x[sl], ref_carry.plant),
+                rng=jax.random.fold_in(key2, i),
+            )
+            _, ref_chunks = base(variables, ref_carry)
+            # jitted shard_map vs eager reference: identical math up to
+            # float reassociation
+            np.testing.assert_allclose(chunks[:, sl], np.asarray(ref_chunks),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_sharded_rollout_carry_chains(self):
+        """Repeated sharded calls keep a replicated RNG and draw fresh noise."""
+        from soccerdiffusion_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": 8})
+        model, variables = make_model()
+        engine = RolloutEngine(
+            model, make_schedule(60), Normalizer.identity(8),
+            num_inference_steps=2,
+        )
+        rollout = engine.make_sharded_rollout_fn(num_chunks=1, mesh=mesh)
+        carry = engine.init(batch_size=8, rng=jax.random.key(0))
+        carry, c1 = rollout(variables, carry)
+        carry, c2 = rollout(variables, carry)
+        assert np.abs(np.asarray(c1) - np.asarray(c2)).max() > 1e-6
