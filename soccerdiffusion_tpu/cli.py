@@ -14,6 +14,8 @@ plus the training/inference entry points as subcommands:
   python -m soccerdiffusion_tpu.cli train ...      (= soccerdiffusion_tpu.training.train)
   python -m soccerdiffusion_tpu.cli distill ...    (= soccerdiffusion_tpu.training.distill)
   python -m soccerdiffusion_tpu.cli plot ...       (= soccerdiffusion_tpu.inference.plot)
+  python -m soccerdiffusion_tpu.cli report ...     (= soccerdiffusion_tpu.evaluation.report)
+  python -m soccerdiffusion_tpu.cli serve <ckpt> [--udp HOST:PORT]  (closed-loop deployment)
 """
 
 from __future__ import annotations
@@ -137,6 +139,34 @@ def _build_strategy(args):
     )
 
 
+
+def _build_serve_parser(sub):
+    p = sub.add_parser(
+        "serve",
+        help="drive a robot with a trained checkpoint at the 50 Hz control "
+             "rate (the reference's inference-node deployment, ros.py, "
+             "without ROS: built-in simulated plant or a UDP robot bridge)")
+    p.add_argument("checkpoint", type=str)
+    p.add_argument("--udp", type=str, default=None, metavar="HOST:PORT",
+                   help="drive a robot-side UdpRobotServer at this address "
+                        "instead of the in-process simulated plant")
+    p.add_argument("--duration", type=float, default=10.0,
+                   help="seconds to run the control loop")
+    p.add_argument("--control-rate", type=float,
+                   default=DEFAULT_RESAMPLE_RATE_HZ)
+    p.add_argument("--replan-ticks", type=int, default=None,
+                   help="receding horizon: replan every N control ticks "
+                        "(default: the checkpoint's pred_len = the "
+                        "reference's 200 ms chunk boundary)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the sampler step count")
+    p.add_argument("--solver", type=str, default="ddim",
+                   help="'ddim' (reference) or 'dpmpp'/'dpmpp@lambda' "
+                        "(training-free few-step; diffusion/dpm_solver.py); "
+                        "ignored for distilled checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+
+
 def cmd_import(args) -> int:
     from soccerdiffusion_tpu.data.schema import connect, create_schema
     from soccerdiffusion_tpu.ingest import ModelImporter
@@ -178,6 +208,70 @@ def cmd_pack(args) -> int:
         logger.error(f"pack failed: {exc}")
         return 1
     logger.info(f"packed {stats['rows']} rows -> {stats['out_dir']}")
+    return 0
+
+
+
+
+def cmd_serve(args) -> int:
+    """Closed-loop serving from a checkpoint (reference ml/inference/ros.py
+    deployment semantics: 50 Hz actuation, chunk replans, [0,2pi) domain)."""
+    from soccerdiffusion_tpu.config import Config
+    from soccerdiffusion_tpu.diffusion import make_schedule
+    from soccerdiffusion_tpu.inference import make_chunk_sampler
+    from soccerdiffusion_tpu.inference.realtime import (
+        RealtimeController,
+        SimulatedRobotIO,
+    )
+    from soccerdiffusion_tpu.models import DiffusionPolicy
+    from soccerdiffusion_tpu.training.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(args.checkpoint)
+    params = ckpt["hyperparams"]
+    config = Config.from_dict(params)
+    model = DiffusionPolicy(config.model)
+    variables = {"params": ckpt["state"]["params"]}
+    if ckpt["state"].get("batch_stats"):
+        variables["batch_stats"] = ckpt["state"]["batch_stats"]
+    distilled = bool(params.get("distilled_decoder", False))
+    steps = args.steps or int(params.get("distilled_num_steps", 0)) or (
+        1 if distilled else 30)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    sampler = make_chunk_sampler(
+        model, schedule, ckpt["norm"], num_inference_steps=steps,
+        distilled=distilled, solver=args.solver)
+    label = "distilled1" if distilled else f"{args.solver}{steps}"
+    logger.info(f"serving {args.checkpoint} [{label}] at "
+                f"{args.control_rate:g} Hz for {args.duration:g}s")
+
+    # Pre-warm the jit so the first in-loop replan is not a compile (the
+    # plan thread runs concurrently with the 50 Hz actuation loop).
+    import jax as _jax
+
+    from soccerdiffusion_tpu.inference.controller import (
+        init_controller_state, make_controller_batch)
+
+    warm_state = init_controller_state(config.model, batch_size=1)
+    _jax.block_until_ready(sampler(
+        variables, make_controller_batch(config.model, warm_state),
+        _jax.random.key(args.seed)))
+
+    if args.udp:
+        from soccerdiffusion_tpu.inference.transport import UdpRobotIO
+
+        io = UdpRobotIO(args.udp)
+    else:
+        io = SimulatedRobotIO(num_joints=config.model.num_joints)
+    ctrl = RealtimeController(
+        config.model, sampler, variables, io,
+        control_rate_hz=args.control_rate, seed=args.seed,
+        replan_every_ticks=args.replan_ticks,
+    )
+    ctrl.run(duration_s=args.duration)
+    lat = sorted(ctrl.plan_latencies_ms)
+    p50 = lat[len(lat) // 2] if lat else float("nan")
+    logger.info(f"served {len(lat)} replans; plan p50 {p50:.2f} ms; "
+                f"commands delivered: {getattr(io, 'commands_received', 'n/a')}")
     return 0
 
 
@@ -230,12 +324,14 @@ def cmd_db(args) -> int:
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # Pass-through subcommands reusing the dedicated entry points.
-    if argv and argv[0] in ("train", "distill", "plot"):
+    if argv and argv[0] in ("train", "distill", "plot", "report"):
         name = argv[0]
         if name == "train":
             from soccerdiffusion_tpu.training.train import main as sub_main
         elif name == "distill":
             from soccerdiffusion_tpu.training.distill import main as sub_main
+        elif name == "report":
+            from soccerdiffusion_tpu.evaluation.report import main as sub_main
         else:
             from soccerdiffusion_tpu.inference.plot import main as sub_main
         sub_main(argv[1:])
@@ -250,6 +346,7 @@ def main(argv=None) -> int:
     _build_import_parser(sub)
     _build_pack_parser(sub)
     _build_db_parser(sub)
+    _build_serve_parser(sub)
     args = parser.parse_args(argv)
     if args.command == "import":
         return cmd_import(args)
@@ -257,6 +354,8 @@ def main(argv=None) -> int:
         return cmd_pack(args)
     if args.command == "db":
         return cmd_db(args)
+    if args.command == "serve":
+        return cmd_serve(args)
     return 1
 
 

@@ -195,6 +195,14 @@ class RealtimeController:
                 next_tick = self.clock()
         if self._plan_thread is not None:
             self._plan_thread.join(timeout=5.0)
+            if self._plan_thread.is_alive():
+                # An in-flight plan can legitimately outlive the loop (e.g.
+                # the first call is a jit compile). Interpreter teardown
+                # while the daemon thread is inside XLA aborts the process,
+                # so wait it out.
+                logger.warning("waiting for in-flight plan to finish "
+                               "(first-call jit compile?)")
+                self._plan_thread.join()
 
     def stop(self) -> None:
         self._stop.set()

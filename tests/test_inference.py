@@ -586,3 +586,37 @@ class TestShardedFusedServing:
         carry, c1 = rollout(variables, carry)
         carry, c2 = rollout(variables, carry)
         assert np.abs(np.asarray(c1) - np.asarray(c2)).max() > 1e-6
+
+
+class TestServeCli:
+    def test_serve_simulated_from_checkpoint(self, tmp_path):
+        """cli serve: load a checkpoint, drive the simulated plant for a
+        fraction of a second of wall clock, finite commands delivered."""
+        from soccerdiffusion_tpu.cli import main as cli_main
+        from soccerdiffusion_tpu.training import create_train_state, make_optimizer
+        from soccerdiffusion_tpu.training.checkpoint import save_checkpoint
+
+        model, variables = make_model()
+        state = init_controller_state(CFG, batch_size=2)
+        batch = make_controller_batch(CFG, state)
+        opt = make_optimizer(1e-3, total_steps=10, use_onecycle=False)
+        tstate = create_train_state(model, {**batch}, opt, jax.random.key(0),
+                                    5, 8)
+        params = {
+            "num_joints": 8, "hidden_dim": 32,
+            "trajectory_prediction_length": 5,
+            "action_context_length": 20, "joint_state_context_length": 20,
+            "imu_context_length": 20, "use_images": False,
+            "use_gamestate": True,
+            "num_action_history_encoder_layers": 1,
+            "num_imu_encoder_layers": 1, "joint_state_encoder_layers": 1,
+            "num_decoder_layers": 1, "train_denoising_timesteps": 50,
+        }
+        ckpt = tmp_path / "policy.ckpt"
+        save_checkpoint(str(ckpt), tstate, Normalizer.identity(8), params, 0)
+        rc = cli_main(["serve", str(ckpt), "--duration", "0.3",
+                       "--steps", "2"])
+        assert rc == 0
+        rc = cli_main(["serve", str(ckpt), "--duration", "0.2",
+                       "--steps", "4", "--solver", "dpmpp@lambda"])
+        assert rc == 0
