@@ -292,7 +292,13 @@ def main():
     #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3c.md)
     #   dpmpp10    — TRAINING-FREE few-step: DPM-Solver++(2M) at 10 steps
     #                through the same chunk kernel (host-side coefficient
-    #                table swap; diffusion/dpm_solver.py)
+    #                table swap; diffusion/dpm_solver.py). Measured at
+    #                "leading" spacing: spacing changes only the (T,5)
+    #                scalar table + step-token rows (identical kernel
+    #                work), and the recommended @lambda spacing amplifies
+    #                THIS bench's random-init model into huge outputs —
+    #                quality claims for dpmpp@lambda live in the trained
+    #                quality ledger, speed is spacing-independent.
     #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
     #   int8kv     — int8 context K/V inside the chunk kernel
     #   lat64      — deployment-batch latency point (64 robots; the
@@ -308,7 +314,7 @@ def main():
         "ddim2": ["--steps", "2", "--sampler", "chunk",
                   "--chunks", str(3 * args.chunks),
                   "--fused-block", str(args.fused_block)],
-        "dpmpp10": ["--steps", "10", "--solver", "dpmpp@lambda",
+        "dpmpp10": ["--steps", "10", "--solver", "dpmpp",
                     "--sampler", "chunk",
                     "--chunks", str(2 * args.chunks),
                     "--fused-block", str(args.fused_block)],
