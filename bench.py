@@ -257,8 +257,12 @@ def main():
         print(json.dumps(measure(args)), flush=True)
         return
 
+    # --solver rides in base so the headline/fallback children honor it;
+    # named sidecars that ARE a specific solver pin their own --solver
+    # afterwards (argparse last-occurrence-wins).
     base = ["--batch", str(args.batch), "--chunks", str(args.chunks),
-            "--iters", str(args.iters), "--hidden", str(args.hidden)]
+            "--iters", str(args.iters), "--hidden", str(args.hidden),
+            "--solver", args.solver]
     if not args.bf16:
         base.append("--fp32")
     enc = ([] if args.fused_encoder else ["--xla-encoder"]) + \
@@ -306,12 +310,13 @@ def main():
     #                perf_notes "Deployment-batch latency ladder")
     sidecar_flags = {
         "distilled1": ["--steps", "1", "--distilled", "--sampler", "chunk",
+                       "--solver", "ddim",
                        "--chunks", str(4 * args.chunks),
                        "--fused-block", str(args.fused_block_distilled)],
-        "ddim4": ["--steps", "4", "--sampler", "chunk",
+        "ddim4": ["--steps", "4", "--sampler", "chunk", "--solver", "ddim",
                   "--chunks", str(2 * args.chunks),
                   "--fused-block", str(args.fused_block)],
-        "ddim2": ["--steps", "2", "--sampler", "chunk",
+        "ddim2": ["--steps", "2", "--sampler", "chunk", "--solver", "ddim",
                   "--chunks", str(3 * args.chunks),
                   "--fused-block", str(args.fused_block)],
         "dpmpp10": ["--steps", "10", "--solver", "dpmpp",

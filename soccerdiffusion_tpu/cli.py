@@ -217,30 +217,28 @@ def cmd_serve(args) -> int:
     """Closed-loop serving from a checkpoint (reference ml/inference/ros.py
     deployment semantics: 50 Hz actuation, chunk replans, [0,2pi) domain)."""
     from soccerdiffusion_tpu.config import Config
-    from soccerdiffusion_tpu.diffusion import make_schedule
+    from soccerdiffusion_tpu.diffusion import make_schedule, solver_label
     from soccerdiffusion_tpu.inference import make_chunk_sampler
     from soccerdiffusion_tpu.inference.realtime import (
         RealtimeController,
         SimulatedRobotIO,
     )
     from soccerdiffusion_tpu.models import DiffusionPolicy
-    from soccerdiffusion_tpu.training.checkpoint import load_checkpoint
+    from soccerdiffusion_tpu.training.checkpoint import load_policy_checkpoint
 
-    ckpt = load_checkpoint(args.checkpoint)
-    params = ckpt["hyperparams"]
+    # Shared decoder: the step count a checkpoint is SERVED at is the one
+    # `cli report` EVALUATES it at (training/checkpoint.py).
+    params, variables, norm, ckpt_steps, distilled = load_policy_checkpoint(
+        args.checkpoint)
     config = Config.from_dict(params)
     model = DiffusionPolicy(config.model)
-    variables = {"params": ckpt["state"]["params"]}
-    if ckpt["state"].get("batch_stats"):
-        variables["batch_stats"] = ckpt["state"]["batch_stats"]
-    distilled = bool(params.get("distilled_decoder", False))
-    steps = args.steps or int(params.get("distilled_num_steps", 0)) or (
-        1 if distilled else 30)
+    steps = args.steps or ckpt_steps
     schedule = make_schedule(config.train.train_denoising_timesteps)
     sampler = make_chunk_sampler(
-        model, schedule, ckpt["norm"], num_inference_steps=steps,
+        model, schedule, norm, num_inference_steps=steps,
         distilled=distilled, solver=args.solver)
-    label = "distilled1" if distilled else f"{args.solver}{steps}"
+    label = ("distilled1" if distilled
+             else solver_label(args.solver, steps))
     logger.info(f"serving {args.checkpoint} [{label}] at "
                 f"{args.control_rate:g} Hz for {args.duration:g}s")
 

@@ -38,24 +38,15 @@ from soccerdiffusion_tpu.evaluation.openloop import (
     sampler_agreement,
 )
 from soccerdiffusion_tpu.models import DiffusionPolicy
-from soccerdiffusion_tpu.training.checkpoint import load_checkpoint
+from soccerdiffusion_tpu.training.checkpoint import load_policy_checkpoint
 
 
 def _load(path: str):
-    """Load a checkpoint -> (hyperparams, variables, normalizer, sampler spec)."""
-    ckpt = load_checkpoint(path)
-    params = ckpt["hyperparams"]
-    variables = {"params": ckpt["state"]["params"]}
-    if ckpt["state"].get("batch_stats"):
-        variables["batch_stats"] = ckpt["state"]["batch_stats"]
-    distilled = bool(params.get("distilled_decoder", False))
-    # few-step students carry their inference step count in the checkpoint
-    # (training/distill.py --student-steps); teachers sample with the step
-    # count their students were distilled against
-    steps = int(params.get("distilled_num_steps", 0)) or (
-        1 if distilled
-        else int(params.get("distill_teacher_inference_steps", 30)))
-    return params, variables, ckpt["norm"], steps, distilled
+    """Load a checkpoint -> (hyperparams, variables, normalizer, sampler spec).
+
+    Delegates to the shared decoder so report and `cli serve` agree on the
+    step count (training/checkpoint.py:load_policy_checkpoint)."""
+    return load_policy_checkpoint(path)
 
 
 def markdown_report(result: dict) -> str:
@@ -133,50 +124,38 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
         model, t_vars, normalizer, schedule, dataset, indices,
         batch_size=batch_size, seed=seed)
 
-    for spath in students:
-        s_params, s_vars, _, s_steps, s_distilled = _load(spath)
-        name = Path(spath).name
-        logger.info(f"open-loop eval: {name} "
-                    f"({'distilled1' if s_distilled else f'ddim{s_steps}'})")
+    def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
+        """One non-teacher row: open-loop vs ground truth, agreement and
+        closed-loop divergence vs the teacher (distilled students and
+        training-free solver rows share this path exactly)."""
+        logger.info(f"open-loop eval: {name}")
         s_open = open_loop_metrics(model, s_vars, normalizer, schedule,
                                    dataset, indices, s_steps, s_distilled,
-                                   batch_size=batch_size, seed=seed)
+                                   batch_size=batch_size, seed=seed,
+                                   solver=solver)
         s_open.pop("noise_floor_mse")
         agreement = sampler_agreement(model, t_vars, s_vars, normalizer,
                                       schedule, dataset, indices, t_steps,
                                       s_steps, s_distilled,
-                                      batch_size=batch_size, seed=seed)
+                                      batch_size=batch_size, seed=seed,
+                                      student_solver=solver)
         logger.info(f"closed-loop divergence: {name} vs teacher")
         divergence = closed_loop_divergence(
             model, t_vars, s_vars, schedule, normalizer, t_steps, s_steps,
             s_distilled, batch_size=min(batch_size, 64), num_chunks=chunks,
-            seed=seed)
-        result["checkpoints"].append({
-            "name": name, "open_loop": s_open, "agreement": agreement,
-            "divergence": divergence,
-        })
-
-    for solver, steps in solver_rows:
-        name = f"teacher+{solver_label(solver, steps)}"
-        logger.info(f"open-loop eval: {name} (training-free)")
-        s_open = open_loop_metrics(model, t_vars, normalizer, schedule,
-                                   dataset, indices, steps, False,
-                                   batch_size=batch_size, seed=seed,
-                                   solver=solver)
-        s_open.pop("noise_floor_mse")
-        agreement = sampler_agreement(model, t_vars, t_vars, normalizer,
-                                      schedule, dataset, indices, t_steps,
-                                      steps, False, batch_size=batch_size,
-                                      seed=seed, student_solver=solver)
-        logger.info(f"closed-loop divergence: {name} vs teacher")
-        divergence = closed_loop_divergence(
-            model, t_vars, t_vars, schedule, normalizer, t_steps, steps,
-            False, batch_size=min(batch_size, 64), num_chunks=chunks,
             seed=seed, student_solver=solver)
         result["checkpoints"].append({
             "name": name, "open_loop": s_open, "agreement": agreement,
             "divergence": divergence,
         })
+
+    for spath in students:
+        s_params, s_vars, _, s_steps, s_distilled = _load(spath)
+        eval_row(Path(spath).name, s_vars, s_steps, s_distilled)
+
+    for solver, steps in solver_rows:
+        eval_row(f"teacher+{solver_label(solver, steps)}", t_vars, steps,
+                 False, solver=solver)
 
     if students or solver_rows:
         logger.info("teacher noise-resampling self-consistency")

@@ -77,6 +77,7 @@ class RealtimeController:
         sleep_fn: Callable[[float], None] = time.sleep,
         plan_in_thread: bool = True,
         replan_every_ticks: Optional[int] = None,
+        plan_join_timeout_s: Optional[float] = 600.0,
     ):
         self.cfg = config
         self.sample_fn = sample_fn
@@ -115,6 +116,12 @@ class RealtimeController:
         self._plan_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.plan_latencies_ms: list[float] = []
+        # Upper bound on waiting for an in-flight plan after run() ends.
+        # Covers a first-call jit compile (minutes through a cold tunnel)
+        # but not a wedged device runtime: past the bound the daemon thread
+        # is abandoned with an error rather than blocking run() forever.
+        # None = wait indefinitely.
+        self.plan_join_timeout_s = plan_join_timeout_s
 
     # ------------------------------------------------------------- plumbing
 
@@ -199,10 +206,18 @@ class RealtimeController:
                 # An in-flight plan can legitimately outlive the loop (e.g.
                 # the first call is a jit compile). Interpreter teardown
                 # while the daemon thread is inside XLA aborts the process,
-                # so wait it out.
+                # so wait it out — but only up to plan_join_timeout_s: a
+                # wedged device runtime can hang a call for tens of minutes,
+                # and an unbounded join would turn that into a hung run().
                 logger.warning("waiting for in-flight plan to finish "
                                "(first-call jit compile?)")
-                self._plan_thread.join()
+                self._plan_thread.join(timeout=self.plan_join_timeout_s)
+                if self._plan_thread.is_alive():
+                    logger.error(
+                        f"in-flight plan still running after "
+                        f"{self.plan_join_timeout_s:.0f}s; abandoning the "
+                        f"plan thread (device runtime may be wedged — "
+                        f"teardown while it is inside XLA can abort)")
 
     def stop(self) -> None:
         self._stop.set()

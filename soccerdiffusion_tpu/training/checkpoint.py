@@ -100,6 +100,36 @@ def load_checkpoint(path: str | Path, state_template=None) -> dict[str, Any]:
     }
 
 
+def load_policy_checkpoint(path: str | Path) -> tuple[dict, dict, Any, int, bool]:
+    """Load a checkpoint for INFERENCE/EVAL: the single source of truth for
+    how a checkpoint's sampler operating point is decoded.
+
+    Returns ``(hyperparams, variables, normalizer, steps, distilled)``:
+      * ``variables`` — ``{"params": ..., ["batch_stats": ...]}`` apply-ready
+      * ``steps`` — the checkpoint's inference step count: few-step students
+        carry ``distilled_num_steps`` (training/distill.py --student-steps);
+        reference-style 1-step students carry only ``distilled_decoder``
+        (reference ml/training/distill.py:49); teachers sample at the step
+        count their students were distilled against
+        (``distill_teacher_inference_steps``, default 30 — reference
+        ml/inference/ros.py:301-310 samples with exactly this count).
+      * ``distilled`` — the ``distilled_decoder`` flag (t=0 single forward).
+
+    Shared by evaluation/report.py and cli serve so the step count a
+    checkpoint is EVALUATED at is the one it is SERVED at.
+    """
+    ckpt = load_checkpoint(path)
+    params = ckpt["hyperparams"]
+    variables: dict = {"params": ckpt["state"]["params"]}
+    if ckpt["state"].get("batch_stats"):
+        variables["batch_stats"] = ckpt["state"]["batch_stats"]
+    distilled = bool(params.get("distilled_decoder", False))
+    steps = int(params.get("distilled_num_steps", 0)) or (
+        1 if distilled
+        else int(params.get("distill_teacher_inference_steps", 30)))
+    return params, variables, ckpt["norm"], steps, distilled
+
+
 # ---------------------------------------------------------------------------
 # Orbax backend (async, multi-host-capable)
 # ---------------------------------------------------------------------------

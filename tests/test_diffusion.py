@@ -201,14 +201,21 @@ class TestDPMSolverPP:
                          .standard_normal((4, 10, 3)).astype(np.float32))
         acp64 = np.asarray(sched.alphas_cumprod, np.float64)
 
-        def exact(N):
-            t0 = int(ddim_timesteps(1000, N)[0])
+        def exact(N, spacing):
+            # the exact ODE endpoint depends on the solver's OWN start
+            # timestep (leading: ddim_timesteps[0]; lambda: ~T-1), so
+            # measure each solver against its own x/sqrt(var) invariant
+            from soccerdiffusion_tpu.diffusion.dpm_solver import solver_timesteps
+
+            t0 = int(solver_timesteps(sched, N, spacing)[0])
             vT = acp64[t0] * self.S2 + (1 - acp64[t0])
             return np.asarray(xT) * np.sqrt(self.S2 / vT)
 
         def err(solver, N):
+            from soccerdiffusion_tpu.diffusion import parse_solver
+
             out = np.asarray(solver_sample(sched, eps_fn, xT, N, solver=solver))
-            return float(np.abs(out - exact(N)).max())
+            return float(np.abs(out - exact(N, parse_solver(solver)[1])).max())
 
         return err
 

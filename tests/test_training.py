@@ -95,6 +95,33 @@ class TestCheckpoint:
         assert restored["hyperparams"] == {"a": 2}
         assert restored["current_epoch"] == 1
 
+    def test_load_policy_checkpoint_step_decoding(self, tmp_path):
+        """The shared inference-side decoder (used by both `cli serve` and
+        evaluation/report.py) must map checkpoint hyperparams to the same
+        sampler operating point everywhere."""
+        from soccerdiffusion_tpu.training.checkpoint import (
+            load_policy_checkpoint,
+        )
+
+        ds, norm, model, sched, opt, state = make_env()
+        cases = [
+            # (extra hyperparams, expected steps, expected distilled)
+            ({}, 30, False),                                   # plain teacher
+            ({"distill_teacher_inference_steps": 4}, 4, False),  # few-step teacher
+            ({"distilled_decoder": True}, 1, True),            # 1-step student
+            ({"distilled_decoder": True, "distilled_num_steps": 4}, 4, True),
+        ]
+        for i, (extra, want_steps, want_distilled) in enumerate(cases):
+            hp = {"hidden_dim": 32, **extra}
+            save_checkpoint(tmp_path / f"c{i}", state, norm, hp, epoch=0)
+            params, variables, n, steps, distilled = load_policy_checkpoint(
+                tmp_path / f"c{i}")
+            assert (steps, distilled) == (want_steps, want_distilled), extra
+            assert params == hp
+            assert "params" in variables
+            np.testing.assert_allclose(np.asarray(n.mean),
+                                       np.asarray(norm.mean))
+
 
 class TestSharding:
     def test_train_step_on_8_device_mesh(self):
