@@ -52,12 +52,16 @@ from soccerdiffusion_tpu.diffusion.schedule import DiffusionSchedule
 def parse_solver(solver: str) -> tuple[str, str]:
     """Split a compound solver string into (name, spacing).
 
-    ``"ddim"`` / ``"dpmpp"`` use the reference's "leading" timestep spacing;
-    ``"dpmpp@lambda"`` (or ``"ddim@lambda"``) selects log-SNR-uniform
-    timesteps (solver_timesteps), the spacing under which the 2M multistep
-    correction is correctly sized (measured on the closed-form Gaussian
-    ODE: at N=8 leading-spaced dpmpp trails DDIM while lambda-spaced dpmpp
-    is ~3.5x more accurate; tests/test_diffusion.py::TestDPMSolverPP).
+    ``"ddim"`` / ``"dpmpp"`` use the reference's "leading" timestep spacing
+    — the DEPLOYMENT form. ``"dpmpp@lambda"`` (or ``"ddim@lambda"``)
+    selects log-SNR-uniform timesteps (solver_timesteps), the spacing under
+    which the 2M multistep correction is correctly sized on the closed-form
+    Gaussian ODE with an EXACT eps oracle (2.6-11x more accurate than ddim
+    over N=8..30; tests/test_diffusion.py::TestDPMSolverPP). On a real (imperfect)
+    eps model, however, @lambda starts at t=T-1 where 1/sqrt(abar) ~ 2e4
+    amplifies model error and the sampler diverges — measured on the
+    trained teacher in docs/quality_ledger_r3d.md. Keep @lambda for
+    analytic/ODE studies; serve with leading spacing.
     """
     name, _, spacing = solver.partition("@")
     spacing = spacing or "leading"
