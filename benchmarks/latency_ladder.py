@@ -78,6 +78,7 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
         fused_encoder=not args.cpu_smoke,
         fused_encoder_block_robots=args.encoder_block,
         replan_every=args.replan_every,
+        solver=args.solver,
     )
     carry0 = engine.init(batch, jax.random.key(0))
     init_batch = make_controller_batch(cfg, carry0.controller)
@@ -129,7 +130,9 @@ def measure_batch(args, batch: int, steps: int, distilled: bool) -> dict:
         log(f"differencing unstable at B={batch} (diff {diff_ms:.3f} vs raw "
             f"{raw_ms:.3f}); falling back to the raw number")
         period_ms, protocol = raw_ms, f"raw(K={k_hi})"
-    label = "distilled1" if distilled else f"ddim{steps}"
+    from soccerdiffusion_tpu.diffusion import solver_label
+
+    label = "distilled1" if distilled else solver_label(args.solver, steps)
     row = {
         "sampler": label, "batch_robots": batch,
         "replan_every_ticks": engine.replan_every,
@@ -147,6 +150,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=str, default="16,64,256")
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--solver", type=str, default="ddim",
+                   help="reverse-process solver for the non-distilled rows "
+                        "(ddim | dpmpp; diffusion/dpm_solver.py)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--block", type=int, default=16)
     p.add_argument("--encoder-block", type=int, default=32)

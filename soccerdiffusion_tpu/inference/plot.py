@@ -21,10 +21,9 @@ import numpy as np
 
 from soccerdiffusion_tpu import logger
 from soccerdiffusion_tpu.config import Config
-from soccerdiffusion_tpu.data import Normalizer, WindowedDataset, generate_dummy_arrays
 from soccerdiffusion_tpu.diffusion import ddim_sample, make_schedule
 from soccerdiffusion_tpu.models import DiffusionPolicy
-from soccerdiffusion_tpu.training.checkpoint import load_checkpoint
+from soccerdiffusion_tpu.training.checkpoint import load_policy_checkpoint
 
 
 def sample_open_loop(model, variables, normalizer, schedule, batch, steps, distilled, rng):
@@ -48,7 +47,9 @@ def sample_open_loop(model, variables, normalizer, schedule, batch, steps, disti
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Plot open-loop samples")
     parser.add_argument("checkpoint", type=str)
-    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="sampler steps (default: the checkpoint's own "
+                             "operating point via load_policy_checkpoint)")
     parser.add_argument("--num-samples", type=int, default=5)
     parser.add_argument("--dummy-data", action="store_true")
     parser.add_argument("--db", type=str, default=None)
@@ -56,21 +57,16 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
-    ckpt = load_checkpoint(args.checkpoint)
-    params = ckpt["hyperparams"]
+    # shared decode: the step count plotted is the one served/evaluated
+    # (training/checkpoint.py:load_policy_checkpoint)
+    params, variables, normalizer, ckpt_steps, distilled = (
+        load_policy_checkpoint(args.checkpoint))
     config = Config.from_dict(params)
-    distilled = params.get("distilled_decoder", False)
-    # few-step students (training/distill.py --student-steps K) are served
-    # by the standard DDIM path with their trained step count
-    if params.get("distilled_num_steps"):
-        args.steps = int(params["distilled_num_steps"])
+    if args.steps is None:
+        args.steps = ckpt_steps
 
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)
-    normalizer: Normalizer = ckpt["norm"]
-    variables = {"params": ckpt["state"]["params"]}
-    if ckpt["state"].get("batch_stats"):
-        variables["batch_stats"] = ckpt["state"]["batch_stats"]
 
     from soccerdiffusion_tpu.training.train import build_dataset
 
