@@ -228,6 +228,12 @@ class TrainConfig:
     # (training/flat_optim.py). Optimizer state becomes one flat mu/nu
     # pair — checkpoints do not interchange with flat_optimizer: false.
     flat_optimizer: bool = False
+    # Exponential-moving-average of the params, maintained in the jitted
+    # step (0 = off; 0.999-0.9999 typical). When a checkpoint carries an
+    # EMA tree, inference/eval serve the EMA weights — the same policy the
+    # reference applies to its ema_pytorch checkpoints (reference
+    # utils/embed_parameters.py:50-62 extracts the EMA model for serving).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

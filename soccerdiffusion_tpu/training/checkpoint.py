@@ -22,6 +22,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -44,15 +45,18 @@ def save_checkpoint(
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True)
 
-    host_state = jax.device_get(
-        {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "norm": {"mean": normalizer.mean, "std": normalizer.std},
-        }
-    )
+    host_state_dict = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "norm": {"mean": normalizer.mean, "std": normalizer.std},
+    }
+    # EMA rides in the checkpoint only when enabled, keeping the on-disk
+    # format of non-EMA runs byte-identical to earlier releases.
+    if getattr(state, "ema_params", None):
+        host_state_dict["ema_params"] = state.ema_params
+    host_state = jax.device_get(host_state_dict)
     # to_state_dict flattens optax namedtuples into msgpack-safe dicts.
     (tmp / "state.msgpack").write_bytes(
         serialization.msgpack_serialize(serialization.to_state_dict(host_state))
@@ -92,6 +96,15 @@ def load_checkpoint(path: str | Path, state_template=None) -> dict[str, Any]:
             template, {k: raw[k] for k in template}
         )
         state = state_template.replace(**restored)
+        if raw.get("ema_params"):
+            # structure-identical to params, so params is the template
+            state = state.replace(ema_params=serialization.from_state_dict(
+                state_template.params, raw["ema_params"]))
+        elif getattr(state_template, "ema_params", None):
+            # EMA newly enabled on resume from a non-EMA checkpoint:
+            # seed the average from the restored params, not the init
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params))
     return {
         "state": state,
         "norm": norm,
@@ -120,7 +133,11 @@ def load_policy_checkpoint(path: str | Path) -> tuple[dict, dict, Any, int, bool
     """
     ckpt = load_checkpoint(path)
     params = ckpt["hyperparams"]
-    variables: dict = {"params": ckpt["state"]["params"]}
+    # A checkpoint carrying an EMA tree is SERVED with the EMA weights —
+    # the reference's policy for its ema_pytorch checkpoints (reference
+    # utils/embed_parameters.py:50-62 extracts the EMA model for serving).
+    weights = ckpt["state"].get("ema_params") or ckpt["state"]["params"]
+    variables: dict = {"params": weights}
     if ckpt["state"].get("batch_stats"):
         variables["batch_stats"] = ckpt["state"]["batch_stats"]
     distilled = bool(params.get("distilled_decoder", False))
@@ -161,6 +178,8 @@ def _save_checkpoint_orbax(path, state, normalizer, hyperparams, epoch) -> None:
         "opt_state": serialization.to_state_dict(state.opt_state),
         "norm": {"mean": normalizer.mean, "std": normalizer.std},
     }
+    if getattr(state, "ema_params", None):
+        arrays["ema_params"] = state.ema_params
     array_dir = path / "arrays"
     if array_dir.exists():
         shutil.rmtree(array_dir)
@@ -205,6 +224,12 @@ def _load_checkpoint_orbax(path: Path, state_template=None) -> dict[str, Any]:
             },
         )
         state = state_template.replace(**pieces)
+        if restored.get("ema_params"):
+            state = state.replace(ema_params=serialization.from_state_dict(
+                state_template.params, restored["ema_params"]))
+        elif getattr(state_template, "ema_params", None):
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params))
     return {
         "state": state,
         "norm": norm,

@@ -192,7 +192,11 @@ def main(argv=None):
     # state is discarded (the student starts a fresh masked optimizer), so
     # its layout need not match.
     ckpt = load_checkpoint(args.checkpoint)
-    teacher_params = jax.tree.map(jnp.asarray, ckpt["state"]["params"])
+    # Distill from the weights the teacher would SERVE: the EMA tree when
+    # the checkpoint carries one (training/checkpoint.py policy), else the
+    # raw params.
+    teacher_weights = ckpt["state"].get("ema_params") or ckpt["state"]["params"]
+    teacher_params = jax.tree.map(jnp.asarray, teacher_weights)
     # distinct buffers: the student state is donated by the jitted step
     # while teacher_params is passed alongside every call
     state = state.replace(params=jax.tree.map(jnp.copy, teacher_params))

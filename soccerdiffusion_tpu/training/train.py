@@ -164,6 +164,7 @@ def main(argv=None):
             model, prepare_batch(jax.device_put(sample_batch)), optimizer,
             jax.random.key(args.seed),
             config.model.trajectory_prediction_length, config.model.num_joints,
+            ema=config.train.ema_decay > 0.0,
         )
 
     # The reference always starts the ResNet from ImageNet weights
@@ -206,6 +207,7 @@ def main(argv=None):
     train_step = make_train_step(
         model, schedule, optimizer, normalizer,
         decoder_pretraining=args.decoder_pretraining,
+        ema_decay=config.train.ema_decay,
     )
     metrics_logger = MetricsLogger(
         args.metrics, log_every=config.train.log_every,

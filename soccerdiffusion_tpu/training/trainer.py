@@ -32,6 +32,15 @@ class TrainState:
     params: core.FrozenDict | dict
     batch_stats: core.FrozenDict | dict
     opt_state: Any
+    # Exponential moving average of ``params`` ({} = disabled). The
+    # reference lineage trains/distributes EMA-wrapped checkpoints
+    # (ema_pytorch in reference ml/preliminary/
+    # train_diffusion_context_transformer_robot.py:212,260; unwrap tool
+    # utils/embed_parameters.py:50-62); here EMA is a first-class train
+    # option (TrainConfig.ema_decay) updated inside the jitted step.
+    # Under tensor parallelism apply the same param_shardings to this
+    # tree as to ``params`` (it is structure-identical).
+    ema_params: core.FrozenDict | dict = struct.field(default_factory=dict)
 
 
 def make_optimizer(
@@ -73,8 +82,12 @@ def lr_at_step(lr: float, total_steps: int, step) -> jnp.ndarray:
     )(step)
 
 
-def create_train_state(model, sample_batch, optimizer, rng, pred_len: int, num_joints: int) -> TrainState:
-    """Initialize params/batch_stats and optimizer state."""
+def create_train_state(model, sample_batch, optimizer, rng, pred_len: int,
+                       num_joints: int, ema: bool = False) -> TrainState:
+    """Initialize params/batch_stats and optimizer state.
+
+    ``ema=True`` seeds ``ema_params`` with the initial params so the
+    jitted step can maintain the moving average (TrainConfig.ema_decay)."""
     b = jax.tree_util.tree_leaves(sample_batch)[0].shape[0]
     noisy = jnp.zeros((b, pred_len, num_joints), dtype=jnp.float32)
     t = jnp.zeros((b,), dtype=jnp.int32)
@@ -86,6 +99,9 @@ def create_train_state(model, sample_batch, optimizer, rng, pred_len: int, num_j
         params=params,
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
+        # distinct buffers: aliasing params here would make the donated
+        # train step donate the same buffer twice (Execute() rejects it)
+        ema_params=jax.tree.map(jnp.copy, params) if ema else {},
     )
 
 
@@ -96,11 +112,18 @@ def make_train_step(
     normalizer: Normalizer,
     decoder_pretraining: bool = False,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng_seed) -> (state, metrics).
 
     ``rng_seed`` is a scalar int; the per-step key is derived by folding in
     the step counter, so resume reproduces the same noise stream.
+
+    ``ema_decay > 0`` maintains ``state.ema_params`` (which must be seeded,
+    ``create_train_state(ema=True)``). The effective decay warms up as
+    ``min(ema_decay, (1+t)/(10+t))`` so early steps do not freeze the
+    random init into the average (the role of ema_pytorch's
+    update_after_step ramp in the reference lineage).
     """
 
     def step_fn(state: TrainState, batch: dict, rng_seed: jnp.ndarray):
@@ -141,11 +164,19 @@ def make_train_step(
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if ema_decay > 0.0:
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                   state.ema_params, new_params)
+        else:
+            new_ema = state.ema_params
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats if new_stats else state.batch_stats,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         metrics = {
             "loss": loss,

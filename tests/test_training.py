@@ -73,6 +73,63 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestEMA:
+    def test_ema_update_math_and_disabled_path(self):
+        ds, norm, model, sched, opt, state0 = make_env()
+        state0 = state0.replace(ema_params=state0.params)  # seeded
+        decay = 0.5
+        step = make_train_step(model, sched, opt, norm, donate=False,
+                               ema_decay=decay)
+        batch = jax.device_put(next(ds.batches(16, shuffle=False)))
+        state1, _ = step(state0, batch, 0)
+        # warmup: effective decay at step 1 is min(0.5, 2/11)
+        d = min(decay, (1.0 + 1.0) / (10.0 + 1.0))
+        expect = jax.tree.map(lambda e, p: e * d + p * (1 - d),
+                              state0.params, state1.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            state1.ema_params, expect)
+        # ema lags params (params moved, average moved less)
+        p_delta = jax.tree_util.tree_leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            state1.params, state0.params))
+        e_delta = jax.tree_util.tree_leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            state1.ema_params, state0.params))
+        assert max(e_delta) < max(p_delta)
+        # disabled path: ema stays the (empty) sentinel
+        step_off = make_train_step(model, sched, opt, norm, donate=False)
+        ds2, norm2, model2, sched2, opt2, s = make_env()
+        s1, _ = step_off(s, batch, 0)
+        assert not s1.ema_params
+
+    def test_ema_with_donated_state(self):
+        """create_train_state(ema=True) must hand the donated step DISTINCT
+        param/ema buffers (aliased trees fail Execute() with 'donate the
+        same buffer twice')."""
+        from soccerdiffusion_tpu.training import create_train_state
+
+        cfg = TINY
+        dummy = generate_dummy_arrays(1, 400, num_joints=cfg.num_joints,
+                                      with_images=False)
+        ds = WindowedDataset.from_dummy(dummy, cfg)
+        norm = Normalizer.fit(ds.sample_targets(200))
+        model = DiffusionPolicy(cfg)
+        sched = make_schedule(100)
+        opt = make_optimizer(1e-3, total_steps=100)
+        batch = jax.device_put(next(ds.batches(8, shuffle=False)))
+        state = create_train_state(
+            model, batch, opt, jax.random.key(0),
+            cfg.trajectory_prediction_length, cfg.num_joints, ema=True)
+        step = make_train_step(model, sched, opt, norm, donate=True,
+                               ema_decay=0.999)
+        state, metrics = step(state, batch, 0)
+        state, metrics = step(state, batch, 0)
+        assert np.isfinite(float(metrics["loss"]))
+        assert jax.tree_util.tree_leaves(state.ema_params)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         ds, norm, model, sched, opt, state = make_env()
@@ -94,6 +151,43 @@ class TestCheckpoint:
         restored = load_checkpoint(tmp_path / "ckpt")
         assert restored["hyperparams"] == {"a": 2}
         assert restored["current_epoch"] == 1
+
+    def test_ema_checkpoint_roundtrip_and_serving(self, tmp_path):
+        """EMA rides in the checkpoint when enabled; inference serves the
+        EMA weights (the reference's embed_parameters policy); non-EMA
+        checkpoints resumed into an EMA template seed from the restored
+        params."""
+        from soccerdiffusion_tpu.training.checkpoint import (
+            load_policy_checkpoint,
+        )
+
+        ds, norm, model, sched, opt, state = make_env()
+        ema_state = state.replace(
+            ema_params=jax.tree.map(jnp.zeros_like, state.params))
+        save_checkpoint(tmp_path / "ema", ema_state, norm, {"a": 1}, epoch=0)
+        # template-free load: raw dict carries the tree
+        raw = load_checkpoint(tmp_path / "ema")["state"]
+        assert raw.get("ema_params")
+        # serving decodes to the EMA weights
+        _, variables, *_ = load_policy_checkpoint(tmp_path / "ema")
+        for leaf in jax.tree_util.tree_leaves(variables["params"]):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+        # template restore round-trips the tree
+        restored = load_checkpoint(tmp_path / "ema",
+                                   state_template=ema_state)["state"]
+        for leaf in jax.tree_util.tree_leaves(restored.ema_params):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+        # non-EMA checkpoint into an EMA template: ema seeds from params
+        save_checkpoint(tmp_path / "plain", state, norm, {"a": 1}, epoch=0)
+        resumed = load_checkpoint(tmp_path / "plain",
+                                  state_template=ema_state)["state"]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            resumed.ema_params, resumed.params)
+        # and a non-EMA checkpoint stays format-identical (no ema key)
+        assert not load_checkpoint(tmp_path / "plain")["state"].get(
+            "ema_params")
 
     def test_load_policy_checkpoint_step_decoding(self, tmp_path):
         """The shared inference-side decoder (used by both `cli serve` and
