@@ -87,9 +87,18 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fast", action="store_true",
                         help="seconds-scale smoke: tiny model + few steps")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", dest="overrides",
+                        help="override a training-config key (YAML-parsed "
+                             "value), e.g. --set ema_decay=0.999")
     args = parser.parse_args(argv)
 
     config = dict(BENCH_CONFIG)
+    for kv in args.overrides:
+        key, sep, value = kv.partition("=")
+        if not sep:
+            parser.error(f"--set expects KEY=VALUE, got {kv!r}")
+        config[key] = yaml.safe_load(value)
     if args.fast:
         config.update(hidden_dim=32, action_context_length=20,
                       imu_context_length=20, joint_state_context_length=20,
