@@ -41,12 +41,13 @@ from soccerdiffusion_tpu.models import DiffusionPolicy
 from soccerdiffusion_tpu.training.checkpoint import load_policy_checkpoint
 
 
-def _load(path: str):
+def _load(path: str, prefer_ema: bool = True):
     """Load a checkpoint -> (hyperparams, variables, normalizer, sampler spec).
 
     Delegates to the shared decoder so report and `cli serve` agree on the
-    step count (training/checkpoint.py:load_policy_checkpoint)."""
-    return load_policy_checkpoint(path)
+    step count and weight choice (EMA when the checkpoint carries it;
+    training/checkpoint.py:load_policy_checkpoint)."""
+    return load_policy_checkpoint(path, prefer_ema=prefer_ema)
 
 
 def markdown_report(result: dict) -> str:
@@ -93,13 +94,17 @@ def markdown_report(result: dict) -> str:
 def run_report(teacher: str, students: list[str], dataset, windows: int,
                chunks: int, batch_size: int, seed: int = 0,
                teacher_loaded: tuple | None = None,
-               solver_rows: list[tuple[str, int]] = ()) -> dict:
+               solver_rows: list[tuple[str, int]] = (),
+               raw_weights: bool = False) -> dict:
     """``solver_rows``: extra (solver, steps) rows evaluated on the TEACHER
     checkpoint — training-free few-step samplers (e.g. ("dpmpp", 10),
     diffusion/dpm_solver.py), ranked with the same open-loop/agreement/
-    closed-loop metrics as the distilled students."""
+    closed-loop metrics as the distilled students.
+    ``raw_weights`` evaluates the raw params of EMA checkpoints (ablation)."""
+    prefer_ema = not raw_weights
     t_params, t_vars, normalizer, t_steps, t_distilled = (
-        teacher_loaded if teacher_loaded is not None else _load(teacher))
+        teacher_loaded if teacher_loaded is not None
+        else _load(teacher, prefer_ema))
     config = Config.from_dict(t_params)
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)
@@ -150,7 +155,7 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
         })
 
     for spath in students:
-        s_params, s_vars, _, s_steps, s_distilled = _load(spath)
+        s_params, s_vars, _, s_steps, s_distilled = _load(spath, prefer_ema)
         eval_row(Path(spath).name, s_vars, s_steps, s_distilled)
 
     for solver, steps in solver_rows:
@@ -181,6 +186,9 @@ def main(argv=None):
                         help="training-free sampler row on the teacher "
                              "params, e.g. 'dpmpp10' or 'dpmpp10@lambda' "
                              "(repeatable; diffusion/dpm_solver.py)")
+    parser.add_argument("--raw-weights", action="store_true",
+                        help="evaluate the raw params of EMA checkpoints "
+                             "instead of the EMA tree (ablation)")
     args = parser.parse_args(argv)
 
     import re
@@ -200,7 +208,7 @@ def main(argv=None):
             parser.error(str(e))
         solver_rows.append((solver, int(m.group(2))))
 
-    teacher_loaded = _load(args.teacher)
+    teacher_loaded = _load(args.teacher, prefer_ema=not args.raw_weights)
     config = Config.from_dict(teacher_loaded[0])
     from soccerdiffusion_tpu.training.train import build_dataset
 
@@ -209,7 +217,8 @@ def main(argv=None):
     result = run_report(args.teacher, args.student, dataset, args.windows,
                         args.chunks, args.batch_size, args.seed,
                         teacher_loaded=teacher_loaded,
-                        solver_rows=solver_rows)
+                        solver_rows=solver_rows,
+                        raw_weights=args.raw_weights)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.with_suffix(".json").write_text(json.dumps(result, indent=2))

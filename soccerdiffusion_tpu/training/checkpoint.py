@@ -113,7 +113,8 @@ def load_checkpoint(path: str | Path, state_template=None) -> dict[str, Any]:
     }
 
 
-def load_policy_checkpoint(path: str | Path) -> tuple[dict, dict, Any, int, bool]:
+def load_policy_checkpoint(path: str | Path,
+                           prefer_ema: bool = True) -> tuple[dict, dict, Any, int, bool]:
     """Load a checkpoint for INFERENCE/EVAL: the single source of truth for
     how a checkpoint's sampler operating point is decoded.
 
@@ -136,7 +137,9 @@ def load_policy_checkpoint(path: str | Path) -> tuple[dict, dict, Any, int, bool
     # A checkpoint carrying an EMA tree is SERVED with the EMA weights —
     # the reference's policy for its ema_pytorch checkpoints (reference
     # utils/embed_parameters.py:50-62 extracts the EMA model for serving).
-    weights = ckpt["state"].get("ema_params") or ckpt["state"]["params"]
+    # ``prefer_ema=False`` serves the raw params (EMA-vs-raw ablations).
+    weights = (ckpt["state"].get("ema_params") if prefer_ema else None) \
+        or ckpt["state"]["params"]
     variables: dict = {"params": weights}
     if ckpt["state"].get("batch_stats"):
         variables["batch_stats"] = ckpt["state"]["batch_stats"]
