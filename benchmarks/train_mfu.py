@@ -112,9 +112,11 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
             state = create_train_state(
                 model, prepare_batch(batch), optimizer, jax.random.key(0),
                 cfg.trajectory_prediction_length, cfg.num_joints,
+                ema=config.train.ema_decay > 0.0,
             )
             train_step = make_train_step(model, schedule, optimizer,
-                                         Normalizer.identity(cfg.num_joints))
+                                         Normalizer.identity(cfg.num_joints),
+                                         ema_decay=config.train.ema_decay)
             if getattr(cfg, "vit_fused_block", False) or getattr(
                     cfg, "encoder_fused_block", False):
                 # XLA cost analysis cannot see FLOPs inside Pallas custom
