@@ -67,6 +67,26 @@ BENCH_CONFIG = {
     "epochs": 10,
 }
 
+# --vision: the camera-conditioned evidence run. Same proprioceptive
+# skeleton, plus a small ViT camera path, trained on the "vision" dummy
+# task (data/dummy.py: each image PREVIEWS the next target interval, so
+# the future chunk is unpredictable from proprioceptive history alone).
+# The report then records image-only sensitivity probes (eps-level and
+# trajectory-level image-shuffle ablations, evaluation/openloop.py) — the
+# recorded evidence that the camera path LEARNS and is USED.
+VISION_OVERRIDES = {
+    "dummy_task": "vision",
+    "use_images": True,
+    "image_encoder_type": "vit",
+    "image_sequence_encoder_type": "transformer",
+    "num_image_sequence_encoder_layers": 1,
+    "image_context_length": 5,
+    "image_resolution": 96,
+    "vit_patch_size": 16,
+    "vit_width": 128,
+    "vit_depth": 4,
+}
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="End-to-end quality ledger")
@@ -76,24 +96,34 @@ def main(argv=None):
     parser.add_argument("--train-steps", type=int, default=2000)
     parser.add_argument("--distill-steps", type=int, default=400)
     parser.add_argument("--student-steps", type=int, nargs="*", default=[4, 1])
-    parser.add_argument("--solver-rows", type=str, nargs="*",
-                        default=["dpmpp10@lambda", "ddim10"],
+    parser.add_argument("--solver-rows", type=str, nargs="*", default=None,
                         help="training-free sampler rows on the teacher "
                              "(diffusion/dpm_solver.py), e.g. "
                              "dpmpp10@lambda (log-SNR-uniform steps) or "
-                             "ddim10 (the same budget first-order baseline)")
+                             "ddim10 (the same budget first-order baseline); "
+                             "default dpmpp10@lambda+ddim10, none for "
+                             "--vision (its evidence is the image probes)")
     parser.add_argument("--windows", type=int, default=256)
     parser.add_argument("--chunks", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fast", action="store_true",
                         help="seconds-scale smoke: tiny model + few steps")
+    parser.add_argument("--vision", action="store_true",
+                        help="camera-conditioned evidence run: train on the "
+                             "'vision' dummy task (images preview the "
+                             "target) with a small ViT camera path and "
+                             "record image-shuffle sensitivity probes")
     parser.add_argument("--set", action="append", default=[],
                         metavar="KEY=VALUE", dest="overrides",
                         help="override a training-config key (YAML-parsed "
                              "value), e.g. --set ema_decay=0.999")
     args = parser.parse_args(argv)
+    if args.solver_rows is None:
+        args.solver_rows = [] if args.vision else ["dpmpp10@lambda", "ddim10"]
 
     config = dict(BENCH_CONFIG)
+    if args.vision:
+        config.update(VISION_OVERRIDES)
     for kv in args.overrides:
         key, sep, value = kv.partition("=")
         if not sep:
@@ -106,6 +136,9 @@ def main(argv=None):
                       num_imu_encoder_layers=1, joint_state_encoder_layers=1,
                       num_decoder_layers=1, train_denoising_timesteps=50,
                       distill_teacher_inference_steps=5, batch_size=16)
+        if args.vision:
+            config.update(image_resolution=32, vit_patch_size=8,
+                          vit_width=32, vit_depth=1, image_context_length=2)
         args.train_steps = min(args.train_steps, 30)
         args.distill_steps = min(args.distill_steps, 10)
         args.windows = min(args.windows, 16)

@@ -234,6 +234,10 @@ class TrainConfig:
     # reference applies to its ema_pytorch checkpoints (reference
     # utils/embed_parameters.py:50-62 extracts the EMA model for serving).
     ema_decay: float = 0.0
+    # Synthetic-backend task for --dummy-data runs (data/dummy.py):
+    # "decorative" (reference-style content) or "vision" (images preview
+    # the target — the camera-conditioned quality-evidence task)
+    dummy_task: str = "decorative"
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,84 @@ class DummyRecording:
     game_states: np.ndarray  # (n,) int32 in [0, 4)
     image_stamps: np.ndarray  # (n_img,) float32 seconds
     images: np.ndarray | None  # (n_img, H, W, 3) uint8, or None
+    # "vision" task metadata (None for the decorative task): the latent
+    # drawn in each image and the per-joint response direction, kept so
+    # tests can verify the image->trajectory dependence structurally.
+    vision_u: np.ndarray | None = None  # (n_img,) float32 in [-1, 1]
+    vision_dirs: np.ndarray | None = None  # (J,) float32 in [-1, 1]
+
+
+def _draw_cue_image(width: int, height: int, u: float) -> np.ndarray:
+    """RGB8 cue frame for the "vision" task: a bright green vertical bar on
+    a dim field whose horizontal position linearly encodes ``u in [-1, 1]``
+    (u = -1 -> left edge, u = +1 -> right edge). The only task-relevant
+    content is the bar position, so a correct policy must localize it."""
+    img = np.full((height, width, 3), 40, dtype=np.uint8)
+    img[height // 2 - 1 : height // 2 + 1] = 70  # faint horizon for texture
+    bar_w = max(2, width // 12)
+    cx = int(round((float(u) + 1.0) / 2.0 * (width - bar_w)))
+    img[:, cx : cx + bar_w] = (0, 255, 0)
+    return img
+
+
+#: first-order lag toward the cued target per tick (the "vision" task)
+VISION_BETA = 0.35
+#: per-joint target amplitude around pi (radians)
+VISION_AMP = 0.9
+
+
+def _vision_recording(
+    num_samples: int,
+    num_joints: int,
+    image_step: int,
+    image_size: int,
+    rng: np.random.Generator,
+    sampling_rate: int,
+    noise_std: float = 0.03,
+) -> DummyRecording:
+    """Camera-conditioned synthetic task: each image PREVIEWS the target.
+
+    A latent ``u_k ~ U[-1, 1]`` is redrawn at every image stamp
+    ``s_k = k * image_step / sampling_rate`` and drawn into that image as a
+    bar position (:func:`_draw_cue_image`). Joint commands first-order-lag
+    toward ``pi + VISION_AMP * u_k * dirs`` during ticks
+    ``[k * image_step, (k+1) * image_step)`` — i.e. the interval *after*
+    the image becomes visible. Because u is i.i.d. per interval, the future
+    chunk is unpredictable from proprioceptive history alone at interval
+    boundaries; the newest camera frame is the only source of the new
+    target. This makes image-conditioning *necessary*, unlike the
+    decorative task (and unlike the reference's dummy images,
+    dataset/dummy_data.py:49-69, which carry no trajectory signal) — the
+    basis for the recorded image-sensitivity quality evidence
+    (evaluation/openloop.py image-shuffle probes).
+    """
+    n_img = -(-num_samples // image_step)
+    u = rng.uniform(-1.0, 1.0, size=n_img).astype(np.float32)
+    dirs = rng.uniform(-1.0, 1.0, size=num_joints).astype(np.float32)
+    # keep at least unit-scale response on every joint's |dir| >= 0.25
+    dirs = np.sign(dirs) * np.maximum(np.abs(dirs), 0.25)
+    cmds = np.empty((num_samples, num_joints), dtype=np.float32)
+    prev = np.full((num_joints,), math.pi, dtype=np.float32)
+    noise = rng.normal(0.0, noise_std, size=(num_samples, num_joints)).astype(np.float32)
+    for t in range(num_samples):
+        target = math.pi + VISION_AMP * u[t // image_step] * dirs
+        prev = prev + VISION_BETA * (target - prev) + noise[t]
+        cmds[t] = prev
+    cmds = np.clip(cmds, 0.0, 2.0 * math.pi - 1e-6)
+    # joint states follow commands with one tick of plant latency
+    states = np.vstack([cmds[:1], cmds[:-1]])
+    stamps = (np.arange(n_img) * image_step / sampling_rate).astype(np.float32)
+    images = np.stack([_draw_cue_image(image_size, image_size, float(v)) for v in u])
+    return DummyRecording(
+        joint_commands=cmds,
+        joint_states=states,
+        rotations=_sinusoid_rotations(num_samples, rng),
+        game_states=np.zeros(num_samples, dtype=np.int32),
+        image_stamps=stamps,
+        images=images,
+        vision_u=u,
+        vision_dirs=dirs,
+    )
 
 
 def generate_dummy_arrays(
@@ -80,13 +158,28 @@ def generate_dummy_arrays(
     with_images: bool = False,
     seed: int = 0,
     sampling_rate: int = 100,
+    task: str = "decorative",
 ) -> list[DummyRecording]:
     """Array-tier dummy data; one entry per recording.
 
     Timestamps follow the reference convention stamp = i / sampling_rate
     (reference dummy_data.py:79,114; pytorch.py:314 assumes rate 100).
+
+    ``task`` selects the generator: "decorative" is the reference-style
+    content (sinusoid joints, test-pattern images with no trajectory
+    signal); "vision" is the camera-conditioned task where each image
+    previews the next target interval (:func:`_vision_recording`) —
+    images are always generated for it.
     """
     rng = np.random.default_rng(seed)
+    if task == "vision":
+        return [
+            _vision_recording(num_samples, num_joints, image_step,
+                              image_size, rng, sampling_rate)
+            for _ in range(num_recordings)
+        ]
+    if task != "decorative":
+        raise ValueError(f"unknown dummy task: {task!r}")
     recordings = []
     for _ in range(num_recordings):
         n_img = len(range(0, num_samples, image_step))

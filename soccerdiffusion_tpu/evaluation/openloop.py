@@ -67,16 +67,30 @@ def held_out_indices(dataset_len: int, num_windows: int, seed: int = 0) -> np.nd
 def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
                       dataset, indices: Sequence[int], num_steps: int,
                       distilled: bool, batch_size: int = 64,
-                      seed: int = 0, solver: str = "ddim") -> dict:
+                      seed: int = 0, solver: str = "ddim",
+                      shuffle_keys: Sequence[str] | None = None) -> dict:
     """Denoised trajectory vs ground-truth future commands over ``indices``.
 
     Returns overall + per-joint MSE/MAE in the denormalized joint domain
     (radians, [0, 2pi) convention), plus the noise-floor MSE of predicting
     pure denormalized noise — the "beats noise" reference point.
+
+    ``shuffle_keys`` (e.g. :data:`IMAGE_KEYS`) permutes those batch entries
+    across the batch before encoding — an ablation of one conditioning
+    modality while the targets stay honest. The MSE gap between a true run
+    and a shuffled run measures how much that modality contributes to the
+    *trajectory-level* prediction (the image-conditioned quality evidence).
     """
+    shuffle_rng = (np.random.default_rng(seed + 23)
+                   if shuffle_keys is not None else None)
     se_sum = ae_sum = noise_se_sum = None
     count = 0
     for b, batch in enumerate(eval_batches(dataset, indices, batch_size)):
+        if shuffle_rng is not None:
+            perm = shuffle_rng.permutation(len(batch["joint_command"]))
+            for k in shuffle_keys:
+                if k in batch:
+                    batch[k] = batch[k][perm]
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         bsz = jb["joint_command"].shape[0]
         shape = (bsz, model.config.trajectory_prediction_length,
@@ -117,12 +131,17 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
 CONTEXT_KEYS = ("joint_command_history", "joint_state", "rotation",
                 "image_u8", "image_valid", "image_data", "game_state")
 
+#: the camera modality's batch keys (shuffled together for the
+#: image-only sensitivity probe; stamps ride along for consistency)
+IMAGE_KEYS = ("image_u8", "image_valid", "image_data", "image_stamps")
+
 
 def context_sensitivity(model, variables, normalizer,
                         schedule: DiffusionSchedule,
                         dataset, indices: Sequence[int],
                         t_fracs: Sequence[float] = (0.1, 0.5, 0.9),
-                        batch_size: int = 64, seed: int = 0) -> dict:
+                        batch_size: int = 64, seed: int = 0,
+                        keys: Sequence[str] = CONTEXT_KEYS) -> dict:
     """Does the model actually USE its context? eps-MSE with true vs
     batch-shuffled context, per diffusion-timestep fraction.
 
@@ -132,6 +151,11 @@ def context_sensitivity(model, variables, normalizer,
     denoising (this exact diagnosis caught the lr-1e-4 quality-ledger
     teacher ignoring its context, docs/ROUND3.md). Returns per-t-fraction
     true/shuffled eps-MSE and their ratio (shuffled/true; >1 is good).
+
+    ``keys`` selects which batch entries are permuted: all context
+    (default) or a single modality (e.g. :data:`IMAGE_KEYS` measures
+    whether the CAMERA specifically is used, with every other modality
+    kept honest).
     """
     import numpy as _np
 
@@ -144,7 +168,7 @@ def context_sensitivity(model, variables, normalizer,
         bsz = jb["joint_command"].shape[0]
         perm = rng.permutation(bsz)
         jb_sh = dict(jb)
-        for k in CONTEXT_KEYS:
+        for k in keys:
             if k in jb_sh:
                 jb_sh[k] = jb_sh[k][perm]
         ctx_true = model.apply(variables, jb, False, method=model.encode_context)

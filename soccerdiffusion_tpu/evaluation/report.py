@@ -32,6 +32,7 @@ from soccerdiffusion_tpu.evaluation.divergence import (
     self_consistency,
 )
 from soccerdiffusion_tpu.evaluation.openloop import (
+    IMAGE_KEYS,
     context_sensitivity,
     held_out_indices,
     open_loop_metrics,
@@ -88,6 +89,19 @@ def markdown_report(result: dict) -> str:
         lines += ["", f"Teacher context sensitivity (shuffled/true eps-MSE "
                       f"ratio; >1 means the context is used): {rows} — "
                       f"min **{cs['min_ratio']:.2f}**."]
+    ims = result.get("image_sensitivity")
+    if ims:
+        rows = ", ".join(
+            f"t={frac}: {v['ratio']:.2f}" for frac, v in ims["per_t"].items())
+        lines += ["", f"Teacher IMAGE sensitivity (image-only shuffle, other "
+                      f"modalities honest; shuffled/true eps-MSE ratio): "
+                      f"{rows} — min **{ims['min_ratio']:.2f}**."]
+    iso = result.get("image_shuffled_open_loop")
+    if iso:
+        lines += ["", f"Open-loop MSE with SHUFFLED images: "
+                      f"**{iso['mse']:.5f}** vs {iso['true_mse']:.5f} true "
+                      f"(ratio {iso['mse_ratio_shuffled_over_true']:.2f}x) — "
+                      f"the camera's trajectory-level contribution."]
     return "\n".join(lines) + "\n"
 
 
@@ -128,6 +142,27 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
     result["context_sensitivity"] = context_sensitivity(
         model, t_vars, normalizer, schedule, dataset, indices,
         batch_size=batch_size, seed=seed)
+
+    if config.model.use_images:
+        # Camera-specific evidence: permute ONLY the image modality (every
+        # other conditioning stream stays honest) at both the eps level
+        # (context_sensitivity) and the trajectory level (open-loop MSE
+        # with shuffled images vs the true run above).
+        logger.info("image-only sensitivity: teacher")
+        result["image_sensitivity"] = context_sensitivity(
+            model, t_vars, normalizer, schedule, dataset, indices,
+            batch_size=batch_size, seed=seed, keys=IMAGE_KEYS)
+        shuf_open = open_loop_metrics(
+            model, t_vars, normalizer, schedule, dataset, indices, t_steps,
+            t_distilled, batch_size=batch_size, seed=seed,
+            shuffle_keys=IMAGE_KEYS)
+        result["image_shuffled_open_loop"] = {
+            "mse": shuf_open["mse"], "mae": shuf_open["mae"],
+            "true_mse": t_open["mse"],
+            "mse_ratio_shuffled_over_true":
+                shuf_open["mse"] / t_open["mse"] if t_open["mse"] > 0
+                else float("nan"),
+        }
 
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
         """One non-teacher row: open-loop vs ground truth, agreement and

@@ -102,7 +102,7 @@ def build_dataset(args, config: Config):
         dummy = generate_dummy_arrays(
             num_recordings=2, num_samples=n, num_joints=config.model.num_joints,
             with_images=config.model.use_images, image_size=config.model.image_resolution,
-            seed=args.seed,
+            seed=args.seed, task=config.train.dummy_task,
         )
         dataset = WindowedDataset.from_dummy(dummy, config.model)
     else:
