@@ -103,6 +103,7 @@ def _vision_recording(
     rng: np.random.Generator,
     sampling_rate: int,
     noise_std: float = 0.03,
+    dirs: np.ndarray | None = None,
 ) -> DummyRecording:
     """Camera-conditioned synthetic task: each image PREVIEWS the target.
 
@@ -122,9 +123,10 @@ def _vision_recording(
     """
     n_img = -(-num_samples // image_step)
     u = rng.uniform(-1.0, 1.0, size=n_img).astype(np.float32)
-    dirs = rng.uniform(-1.0, 1.0, size=num_joints).astype(np.float32)
-    # keep at least unit-scale response on every joint's |dir| >= 0.25
-    dirs = np.sign(dirs) * np.maximum(np.abs(dirs), 0.25)
+    if dirs is None:
+        dirs = rng.uniform(-1.0, 1.0, size=num_joints).astype(np.float32)
+        # keep at least unit-scale response on every joint's |dir| >= 0.25
+        dirs = np.sign(dirs) * np.maximum(np.abs(dirs), 0.25)
     cmds = np.empty((num_samples, num_joints), dtype=np.float32)
     prev = np.full((num_joints,), math.pi, dtype=np.float32)
     noise = rng.normal(0.0, noise_std, size=(num_samples, num_joints)).astype(np.float32)
@@ -173,9 +175,16 @@ def generate_dummy_arrays(
     """
     rng = np.random.default_rng(seed)
     if task == "vision":
+        # one image->target mapping SHARED by all recordings: the cue
+        # semantics are a property of the task, not of the session, so a
+        # policy can learn them from the newest frame alone (per-recording
+        # dirs would make the mapping ambiguous without inferring the
+        # session from proprioceptive history)
+        dirs = rng.uniform(-1.0, 1.0, size=num_joints).astype(np.float32)
+        dirs = np.sign(dirs) * np.maximum(np.abs(dirs), 0.25)
         return [
             _vision_recording(num_samples, num_joints, image_step,
-                              image_size, rng, sampling_rate)
+                              image_size, rng, sampling_rate, dirs=dirs)
             for _ in range(num_recordings)
         ]
     if task != "decorative":
