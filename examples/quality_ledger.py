@@ -124,11 +124,6 @@ def main(argv=None):
     config = dict(BENCH_CONFIG)
     if args.vision:
         config.update(VISION_OVERRIDES)
-    for kv in args.overrides:
-        key, sep, value = kv.partition("=")
-        if not sep:
-            parser.error(f"--set expects KEY=VALUE, got {kv!r}")
-        config[key] = yaml.safe_load(value)
     if args.fast:
         config.update(hidden_dim=32, action_context_length=20,
                       imu_context_length=20, joint_state_context_length=20,
@@ -143,6 +138,12 @@ def main(argv=None):
         args.distill_steps = min(args.distill_steps, 10)
         args.windows = min(args.windows, 16)
         args.chunks = min(args.chunks, 3)
+    # --set wins over every built-in block, including --fast's
+    for kv in args.overrides:
+        key, sep, value = kv.partition("=")
+        if not sep:
+            parser.error(f"--set expects KEY=VALUE, got {kv!r}")
+        config[key] = yaml.safe_load(value)
 
     workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="ledger_"))
     workdir.mkdir(parents=True, exist_ok=True)

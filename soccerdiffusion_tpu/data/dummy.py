@@ -89,6 +89,22 @@ def _draw_cue_image(width: int, height: int, u: float) -> np.ndarray:
     return img
 
 
+def _stamps_f32_floor(tick_indices: np.ndarray, sampling_rate: int) -> np.ndarray:
+    """Largest float32 <= tick/rate — so an image stamped at tick k is
+    visible to the window whose own (float64) stamp is exactly k/rate.
+
+    A plain ``.astype(float32)`` rounds ~half of the exact stamps UP one
+    ulp, and ``WindowedDataset._image_window``'s ``searchsorted(...,
+    side="right")`` then excludes the image at its own boundary tick —
+    for the "vision" task that would hand ~4% of windows a future chunk
+    driven by a cue no visible image encodes.
+    """
+    exact = tick_indices / sampling_rate  # float64
+    stamps = exact.astype(np.float32)
+    return np.where(stamps.astype(np.float64) > exact,
+                    np.nextafter(stamps, np.float32(-np.inf)), stamps)
+
+
 #: first-order lag toward the cued target per tick (the "vision" task)
 VISION_BETA = 0.35
 #: per-joint target amplitude around pi (radians)
@@ -102,8 +118,8 @@ def _vision_recording(
     image_size: int,
     rng: np.random.Generator,
     sampling_rate: int,
+    dirs: np.ndarray,
     noise_std: float = 0.03,
-    dirs: np.ndarray | None = None,
 ) -> DummyRecording:
     """Camera-conditioned synthetic task: each image PREVIEWS the target.
 
@@ -123,10 +139,6 @@ def _vision_recording(
     """
     n_img = -(-num_samples // image_step)
     u = rng.uniform(-1.0, 1.0, size=n_img).astype(np.float32)
-    if dirs is None:
-        dirs = rng.uniform(-1.0, 1.0, size=num_joints).astype(np.float32)
-        # keep at least unit-scale response on every joint's |dir| >= 0.25
-        dirs = np.sign(dirs) * np.maximum(np.abs(dirs), 0.25)
     cmds = np.empty((num_samples, num_joints), dtype=np.float32)
     prev = np.full((num_joints,), math.pi, dtype=np.float32)
     noise = rng.normal(0.0, noise_std, size=(num_samples, num_joints)).astype(np.float32)
@@ -137,7 +149,7 @@ def _vision_recording(
     cmds = np.clip(cmds, 0.0, 2.0 * math.pi - 1e-6)
     # joint states follow commands with one tick of plant latency
     states = np.vstack([cmds[:1], cmds[:-1]])
-    stamps = (np.arange(n_img) * image_step / sampling_rate).astype(np.float32)
+    stamps = _stamps_f32_floor(np.arange(n_img) * image_step, sampling_rate)
     images = np.stack([_draw_cue_image(image_size, image_size, float(v)) for v in u])
     return DummyRecording(
         joint_commands=cmds,
@@ -192,7 +204,8 @@ def generate_dummy_arrays(
     recordings = []
     for _ in range(num_recordings):
         n_img = len(range(0, num_samples, image_step))
-        stamps = (np.arange(0, num_samples, image_step) / sampling_rate).astype(np.float32)
+        stamps = _stamps_f32_floor(np.arange(0, num_samples, image_step),
+                                   sampling_rate)
         images = None
         if with_images:
             images = np.stack(

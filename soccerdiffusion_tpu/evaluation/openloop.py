@@ -141,7 +141,8 @@ def context_sensitivity(model, variables, normalizer,
                         dataset, indices: Sequence[int],
                         t_fracs: Sequence[float] = (0.1, 0.5, 0.9),
                         batch_size: int = 64, seed: int = 0,
-                        keys: Sequence[str] = CONTEXT_KEYS) -> dict:
+                        keys: Sequence[str] = CONTEXT_KEYS,
+                        variants: dict[str, Sequence[str]] | None = None) -> dict:
     """Does the model actually USE its context? eps-MSE with true vs
     batch-shuffled context, per diffusion-timestep fraction.
 
@@ -155,24 +156,35 @@ def context_sensitivity(model, variables, normalizer,
     ``keys`` selects which batch entries are permuted: all context
     (default) or a single modality (e.g. :data:`IMAGE_KEYS` measures
     whether the CAMERA specifically is used, with every other modality
-    kept honest).
+    kept honest). ``variants`` (name -> key tuple) evaluates several
+    shuffled variants against ONE shared true-side pass (same per-batch
+    permutation and noise draws as separate calls, so the numbers are
+    identical — the true-side encode/denoise work just isn't repeated);
+    the return value is then ``{name: result}``.
     """
     import numpy as _np
 
+    single = variants is None
+    if single:
+        variants = {"context": tuple(keys)}
     rng = _np.random.default_rng(seed + 17)
-    per_t = {f: [0.0, 0.0] for f in t_fracs}  # frac -> [true_se, shuf_se]
+    true_se = {f: 0.0 for f in t_fracs}
+    shuf_se = {name: {f: 0.0 for f in t_fracs} for name in variants}
     count = 0
     T = schedule.num_train_timesteps
     for b, batch in enumerate(eval_batches(dataset, indices, batch_size)):
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         bsz = jb["joint_command"].shape[0]
         perm = rng.permutation(bsz)
-        jb_sh = dict(jb)
-        for k in keys:
-            if k in jb_sh:
-                jb_sh[k] = jb_sh[k][perm]
         ctx_true = model.apply(variables, jb, False, method=model.encode_context)
-        ctx_shuf = model.apply(variables, jb_sh, False, method=model.encode_context)
+        ctx_shuf = {}
+        for name, ks in variants.items():
+            jb_sh = dict(jb)
+            for k in ks:
+                if k in jb_sh:
+                    jb_sh[k] = jb_sh[k][perm]
+            ctx_shuf[name] = model.apply(variables, jb_sh, False,
+                                         method=model.encode_context)
         # normalized domain — matches the training objective exactly
         x0 = normalizer.normalize(jb["joint_command"].astype(jnp.float32))
         eps = jax.random.normal(jax.random.key(seed + b), x0.shape, jnp.float32)
@@ -182,20 +194,25 @@ def context_sensitivity(model, variables, normalizer,
 
             xt = add_noise(schedule, x0, eps, t)
             pt = model.apply(variables, ctx_true, xt, t, method=model.denoise)
-            ps = model.apply(variables, ctx_shuf, xt, t, method=model.denoise)
-            per_t[f][0] += float(jnp.sum((pt - eps) ** 2))
-            per_t[f][1] += float(jnp.sum((ps - eps) ** 2))
+            true_se[f] += float(jnp.sum((pt - eps) ** 2))
+            for name, ctx in ctx_shuf.items():
+                ps = model.apply(variables, ctx, xt, t, method=model.denoise)
+                shuf_se[name][f] += float(jnp.sum((ps - eps) ** 2))
         count += int(eps.size)
-    out = {"num_windows": int(len(indices)), "per_t": {}}
-    for f, (ts, ss) in per_t.items():
-        out["per_t"][f"{f:.2f}"] = {
-            "eps_mse_true": ts / count,
-            "eps_mse_shuffled": ss / count,
-            "ratio": (ss / ts) if ts > 0 else float("nan"),
-        }
-    ratios = [v["ratio"] for v in out["per_t"].values()]
-    out["min_ratio"] = min(ratios)
-    return out
+    results = {}
+    for name in variants:
+        out = {"num_windows": int(len(indices)), "per_t": {}}
+        for f in t_fracs:
+            ts, ss = true_se[f], shuf_se[name][f]
+            out["per_t"][f"{f:.2f}"] = {
+                "eps_mse_true": ts / count,
+                "eps_mse_shuffled": ss / count,
+                "ratio": (ss / ts) if ts > 0 else float("nan"),
+            }
+        ratios = [v["ratio"] for v in out["per_t"].values()]
+        out["min_ratio"] = min(ratios)
+        results[name] = out
+    return results["context"] if single else results
 
 
 def sampler_agreement(model, teacher_vars, student_vars, normalizer,

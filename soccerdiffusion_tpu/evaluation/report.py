@@ -32,6 +32,7 @@ from soccerdiffusion_tpu.evaluation.divergence import (
     self_consistency,
 )
 from soccerdiffusion_tpu.evaluation.openloop import (
+    CONTEXT_KEYS,
     IMAGE_KEYS,
     context_sensitivity,
     held_out_indices,
@@ -139,19 +140,22 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
     result["checkpoints"].append(
         {"name": Path(teacher).name, "open_loop": t_open})
     logger.info("context sensitivity: teacher")
-    result["context_sensitivity"] = context_sensitivity(
+    # Camera-specific evidence for image models: permute ONLY the image
+    # modality (every other conditioning stream stays honest) at both the
+    # eps level (context_sensitivity variant — shares the true-side pass
+    # with the all-context probe) and the trajectory level (open-loop MSE
+    # with shuffled images vs the true run above).
+    sens_variants = {"context": CONTEXT_KEYS}
+    if config.model.use_images:
+        sens_variants["image"] = IMAGE_KEYS
+    sens = context_sensitivity(
         model, t_vars, normalizer, schedule, dataset, indices,
-        batch_size=batch_size, seed=seed)
+        batch_size=batch_size, seed=seed, variants=sens_variants)
+    result["context_sensitivity"] = sens["context"]
 
     if config.model.use_images:
-        # Camera-specific evidence: permute ONLY the image modality (every
-        # other conditioning stream stays honest) at both the eps level
-        # (context_sensitivity) and the trajectory level (open-loop MSE
-        # with shuffled images vs the true run above).
-        logger.info("image-only sensitivity: teacher")
-        result["image_sensitivity"] = context_sensitivity(
-            model, t_vars, normalizer, schedule, dataset, indices,
-            batch_size=batch_size, seed=seed, keys=IMAGE_KEYS)
+        result["image_sensitivity"] = sens["image"]
+        logger.info("image-shuffled open loop: teacher")
         shuf_open = open_loop_metrics(
             model, t_vars, normalizer, schedule, dataset, indices, t_steps,
             t_distilled, batch_size=batch_size, seed=seed,

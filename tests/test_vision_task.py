@@ -87,6 +87,20 @@ class TestVisionGenerator:
         except ValueError:
             pass
 
+    def test_cue_visible_at_its_own_boundary_tick(self):
+        """Image k must be selectable by the window whose float64 stamp is
+        exactly k*image_step/rate: a plain float32 cast rounds ~half the
+        stamps UP one ulp, making searchsorted(side='right') exclude the
+        cue image from the very window whose future chunk it drives."""
+        rec = _vision_rec(n=800)
+        step, rate = 10, 100
+        for k in range(len(rec.image_stamps)):
+            window_stamp = (k * step) / rate  # float64, as dataset.py does
+            hi = np.searchsorted(rec.image_stamps, window_stamp, side="right")
+            assert hi >= k + 1, (
+                f"cue image {k} (stamp {rec.image_stamps[k]!r}) invisible "
+                f"at its own boundary tick stamp {window_stamp!r}")
+
 
 class TestVisionWindows:
     def test_preview_semantics_through_dataset(self):
@@ -150,6 +164,23 @@ class TestImageProbes:
             assert np.isfinite(v["eps_mse_shuffled"])
         # random init: shuffling images cannot help or hurt systematically
         assert 0.3 < out["min_ratio"] < 3.0
+
+    def test_sensitivity_variants_match_separate_calls(self):
+        """variants= shares one true-side pass; numbers must equal the
+        two-call form (same permutation and noise streams)."""
+        ds, model, sched, variables, norm = self._setup()
+        idx = held_out_indices(len(ds), 8, seed=1)
+        both = context_sensitivity(model, variables, norm, sched, ds, idx,
+                                   batch_size=4,
+                                   variants={"context": ("image_data",
+                                                         "joint_command_history"),
+                                             "image": IMAGE_KEYS})
+        solo = context_sensitivity(model, variables, norm, sched, ds, idx,
+                                   batch_size=4, keys=IMAGE_KEYS)
+        for frac, v in solo["per_t"].items():
+            w = both["image"]["per_t"][frac]
+            assert w["eps_mse_true"] == v["eps_mse_true"]
+            assert w["eps_mse_shuffled"] == v["eps_mse_shuffled"]
 
     def test_open_loop_image_shuffle_runs_and_differs(self):
         ds, model, sched, variables, norm = self._setup()
