@@ -79,7 +79,19 @@ def _build_db_parser(sub):
     r.add_argument("recording_id", type=int)
     r.add_argument("output", type=str)
     m = db_sub.add_parser("migrate")
-    for leaf in (c, d, r, m):
+    w = db_sub.add_parser(
+        "plot-window",
+        help="render one training window (joints/rotation/images/game "
+             "state) to a PNG — the reference's dataset inspection demo, "
+             "headless (dataset/pytorch.py:418-497)")
+    w.add_argument("index", type=int)
+    w.add_argument("output", type=str)
+    w.add_argument("--config", type=str, default=None,
+                   help="training config yaml (default: default.yaml "
+                        "geometry, no images)")
+    w.add_argument("--dummy-data", action="store_true")
+    w.add_argument("--seed", type=int, default=0)
+    for leaf in (c, d, r, m, w):
         leaf.add_argument("--db", type=str, default=None)
 
 
@@ -306,6 +318,26 @@ def cmd_db(args) -> int:
         finally:
             conn.close()
         logger.info(f"schema migrated: v{before} -> v{after}")
+        return 0
+    if args.db_command == "plot-window":
+        from soccerdiffusion_tpu.config import Config
+        from soccerdiffusion_tpu.data.plot import plot_window
+        from soccerdiffusion_tpu.training.train import build_dataset
+
+        config = Config.from_yaml(args.config) if args.config else Config()
+        dataset = build_dataset(
+            argparse.Namespace(dummy_data=args.dummy_data, db=args.db,
+                               seed=args.seed), config)
+        if not 0 <= args.index < len(dataset):
+            logger.error(f"window index {args.index} out of range "
+                         f"(dataset has {len(dataset)})")
+            return 1
+        try:
+            out = plot_window(dataset[args.index], config.model, args.output)
+        except ImportError as exc:
+            logger.error(str(exc))
+            return 1
+        logger.info(f"wrote {out}")
         return 0
     if args.db_command == "recording2mcap":
         from soccerdiffusion_tpu.ingest.recording2mcap import recording2mcap
