@@ -309,6 +309,34 @@ class WindowedDataset:
             )
         return out
 
+    def image_boundary_indices(self) -> np.ndarray:
+        """Window indices whose stamp coincides with an image stamp — the
+        windows where a camera frame has JUST become visible.
+
+        For camera-cued data (the "vision" dummy task, data/dummy.py) these
+        are the windows whose future chunk is driven by a target the newest
+        image alone encodes (proprioceptive history still shows the
+        PREVIOUS target's convergence), so image-sensitivity probes
+        restricted to this subset measure the camera's contribution
+        undiluted by mid-interval windows, where history already reveals
+        the cue (evaluation/report.py boundary probes).
+        """
+        out = []
+        if not self.cfg.use_images:
+            return np.asarray(out, dtype=np.int64)
+        half_tick = 0.5 / self.sampling_rate
+        for start_sample, end_sample, ri in self.sample_boundaries:
+            rec = self.recordings[ri]
+            if (rec.images is None or rec.image_stamps is None
+                    or not len(rec.image_stamps)):
+                continue
+            for idx in range(start_sample, end_sample):
+                stamp = (idx - start_sample) * self.stride / self.sampling_rate
+                k = np.searchsorted(rec.image_stamps, stamp + half_tick) - 1
+                if k >= 0 and abs(float(rec.image_stamps[k]) - stamp) < half_tick:
+                    out.append(idx)
+        return np.asarray(out, dtype=np.int64)
+
     def _image_window(self, rec: RecordingArrays, stamp: float) -> tuple[np.ndarray, np.ndarray]:
         cfg = self.cfg
         num_frames = cfg.image_context_length

@@ -23,6 +23,7 @@ import json
 from pathlib import Path
 
 import jax.numpy as jnp
+import numpy as np
 
 from soccerdiffusion_tpu import logger
 from soccerdiffusion_tpu.config import Config
@@ -103,6 +104,22 @@ def markdown_report(result: dict) -> str:
                       f"**{iso['mse']:.5f}** vs {iso['true_mse']:.5f} true "
                       f"(ratio {iso['mse_ratio_shuffled_over_true']:.2f}x) — "
                       f"the camera's trajectory-level contribution."]
+    ibs = result.get("image_sensitivity_boundary")
+    if ibs:
+        rows = ", ".join(
+            f"t={frac}: {v['ratio']:.2f}" for frac, v in ibs["per_t"].items())
+        lines += ["", f"BOUNDARY-window image sensitivity (only windows "
+                      f"where a frame just became visible — the camera's "
+                      f"undiluted contribution): {rows} — min "
+                      f"**{ibs['min_ratio']:.2f}**."]
+    ibo = result.get("image_shuffled_open_loop_boundary")
+    if ibo:
+        lines += ["", f"Boundary-window open-loop MSE: true "
+                      f"**{ibo['true_mse']:.5f}** vs shuffled-images "
+                      f"{ibo['mse']:.5f} "
+                      f"(ratio {ibo['mse_ratio_shuffled_over_true']:.2f}x; "
+                      f"noise floor {ibo['noise_floor_mse']:.5f}; "
+                      f"{ibo['num_windows']} windows)."]
     return "\n".join(lines) + "\n"
 
 
@@ -167,6 +184,39 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                 shuf_open["mse"] / t_open["mse"] if t_open["mse"] > 0
                 else float("nan"),
         }
+        # Boundary-restricted probes: only the windows where a frame has
+        # JUST become visible. On camera-cued data these are the windows
+        # whose future the newest image alone explains (history still
+        # shows the previous cue) — mid-interval windows dilute the
+        # averaged ratio because proprioceptive history already reveals
+        # the target there (data/dataset.py image_boundary_indices).
+        if hasattr(dataset, "image_boundary_indices"):
+            b_all = dataset.image_boundary_indices()
+            if len(b_all):
+                rng = np.random.default_rng(seed + 5)
+                b_idx = np.sort(rng.permutation(b_all)[:len(indices)])
+                logger.info(f"boundary-window image probes: teacher "
+                            f"({len(b_idx)} windows)")
+                bs = context_sensitivity(
+                    model, t_vars, normalizer, schedule, dataset, b_idx,
+                    batch_size=batch_size, seed=seed, keys=IMAGE_KEYS)
+                result["image_sensitivity_boundary"] = bs
+                bt = open_loop_metrics(
+                    model, t_vars, normalizer, schedule, dataset, b_idx,
+                    t_steps, t_distilled, batch_size=batch_size, seed=seed)
+                bsh = open_loop_metrics(
+                    model, t_vars, normalizer, schedule, dataset, b_idx,
+                    t_steps, t_distilled, batch_size=batch_size, seed=seed,
+                    shuffle_keys=IMAGE_KEYS)
+                result["image_shuffled_open_loop_boundary"] = {
+                    "num_windows": int(len(b_idx)),
+                    "mse": bsh["mse"], "mae": bsh["mae"],
+                    "true_mse": bt["mse"],
+                    "noise_floor_mse": bt["noise_floor_mse"],
+                    "mse_ratio_shuffled_over_true":
+                        bsh["mse"] / bt["mse"] if bt["mse"] > 0
+                        else float("nan"),
+                }
 
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
         """One non-teacher row: open-loop vs ground truth, agreement and

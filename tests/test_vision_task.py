@@ -140,6 +140,30 @@ class TestVisionWindows:
         assert moved_toward / total > 0.8
 
 
+class TestBoundaryWindows:
+    def test_boundary_indices_align_with_image_stamps(self):
+        rec = _vision_rec(n=400)
+        ds = WindowedDataset.from_dummy([rec], VCFG)
+        b = ds.image_boundary_indices()
+        assert len(b) > 0
+        # every boundary window's stamp coincides with an image stamp
+        for idx in b:
+            stamp = idx / ds.sampling_rate  # single recording, stride 1
+            assert np.min(np.abs(rec.image_stamps - stamp)) < 0.5 / ds.sampling_rate
+        # boundaries recur once per image interval (step 10 ticks)
+        assert len(b) >= (len(ds) // 10) - 2
+        diffs = np.diff(b)
+        assert (diffs == 10).all()
+
+    def test_boundary_indices_empty_without_images(self):
+        from dataclasses import replace
+
+        cfg = replace(VCFG, use_images=False)
+        rec = generate_dummy_arrays(1, 200, num_joints=4, seed=1)[0]
+        ds = WindowedDataset.from_dummy([rec], cfg)
+        assert len(ds.image_boundary_indices()) == 0
+
+
 class TestImageProbes:
     def _setup(self):
         rec = _vision_rec(n=240)
