@@ -166,6 +166,15 @@ def main(argv=None):
     steps_per_epoch = max(1, len(dataset) // bs)
     epochs = max(1, -(-args.train_steps // steps_per_epoch))
 
+    # Single-device runs keep the (small) dummy dataset device-resident:
+    # zero per-step upload, and flat RSS on the tunneled TPU runtime, whose
+    # client retains every host->device upload for the life of the process
+    # (measured ~35 MB/step for the camera batches -> a 5000-step vision
+    # run OOMs a 128 GB host; docs/perf_notes.md).
+    import jax
+
+    device_flag = ["--device-data"] if len(jax.devices()) == 1 else []
+
     teacher = workdir / "teacher.ckpt"
     logger.info(f"[ledger] training teacher: {args.train_steps} steps "
                 f"({epochs} epochs x {steps_per_epoch})")
@@ -173,7 +182,7 @@ def main(argv=None):
         "--config", str(cfg_path), "--dummy-data", "--epochs", str(epochs),
         "--output", str(teacher), "--seed", str(args.seed),
         "--metrics", str(workdir / "teacher_metrics.jsonl"),
-    ])
+    ] + device_flag)
 
     students = []
     for k in args.student_steps:
@@ -187,7 +196,7 @@ def main(argv=None):
             "--steps-per-epoch", str(steps_per_epoch),
             "-o", str(out), "--seed", str(args.seed),
             "--metrics", str(workdir / f"student{k}_metrics.jsonl"),
-        ])
+        ] + device_flag)
         students.append(out)
 
     report_argv = ["--teacher", str(teacher), "--dummy-data",

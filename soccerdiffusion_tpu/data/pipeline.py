@@ -53,6 +53,79 @@ def prefetch_to_device(
         yield item
 
 
+class DeviceResidentData:
+    """Upload a whole (small) dataset to the device ONCE; gather batches
+    on-device by index, so per-step host->device traffic is a handful of
+    int32 indices instead of the full batch.
+
+    Two reasons to use it:
+
+    * It is the TPU-idiomatic shape for datasets that fit in HBM (the
+      dummy tiers easily do) — no per-step transfer at all.
+    * The tunneled runtime used here RETAINS a host-side mirror of every
+      uploaded buffer for the life of the process (measured: ~35 MB/step
+      for a 64x5x96px float image batch, neither GC nor Array.delete()
+      reclaims it — a 5000-step camera run OOMs a 128 GB host;
+      docs/perf_notes.md "Tunnel-client upload retention"). With the
+      dataset resident, long runs are flat-RSS.
+
+    Exposes ``batches(batch_size, shuffle, seed, drop_remainder)`` with
+    the same epoch/order semantics as ``WindowedDataset.batches`` (same
+    rng stream), yielding device-side dicts.
+    """
+
+    def __init__(self, dataset, device=None):
+        import numpy as np
+
+        if device is None:
+            if len(jax.devices()) > 1:
+                # gathering would have to respect a sharding; the
+                # small-data use cases (ledgers, dummy tiers) are
+                # single-device — pass an explicit device to override
+                raise ValueError(
+                    "DeviceResidentData supports single-device runs only "
+                    "(pass device= to pin one explicitly)")
+            device = jax.devices()[0]
+        self._device = device
+        n = len(dataset)
+        sample = dataset[0]
+        host = {
+            k: np.empty((n,) + np.shape(v), np.asarray(v).dtype)
+            for k, v in sample.items()
+        }
+        for i in range(n):
+            item = dataset[i]
+            for k, v in item.items():
+                host[k][i] = v
+        self.num_samples = n
+        self.data = jax.device_put(host, device)
+        # inputs are committed to `device`, so the gather executes there
+        self._gather = jax.jit(
+            lambda data, idx: jax.tree_util.tree_map(
+                lambda a: jnp_take(a, idx), data))
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_remainder: bool = True):
+        import numpy as np
+
+        order = np.arange(self.num_samples)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        limit = len(order) - (len(order) % batch_size if drop_remainder else 0)
+        for i in range(0, limit, batch_size):
+            idx = jax.device_put(order[i : i + batch_size], self._device)
+            yield self._gather(self.data, idx)
+
+
+def jnp_take(a, idx):
+    import jax.numpy as jnp
+
+    return jnp.take(a, idx, axis=0)
+
+
 def device_normalize_images(u8, valid):
     """uint8 image windows + validity mask -> normalized float image_data.
 

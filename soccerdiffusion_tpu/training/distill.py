@@ -142,6 +142,10 @@ def main(argv=None):
                              "forward; K>1 = few-step trajectory-matching "
                              "student served with T=K")
     parser.add_argument("--dummy-data", action="store_true")
+    parser.add_argument("--device-data", action="store_true",
+                        help="upload the whole dataset to the device once "
+                             "and gather batches on-device (single-device "
+                             "runs; see train.py --device-data)")
     parser.add_argument("--db", type=str, default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
@@ -220,13 +224,23 @@ def main(argv=None):
         # machinery (incl. the fused chunk kernel) with T=K
         params["distilled_num_steps"] = args.student_steps
 
+    device_data = None
+    if args.device_data:
+        from soccerdiffusion_tpu.data.pipeline import DeviceResidentData
+
+        device_data = DeviceResidentData(dataset)
+        logger.info(f"dataset resident on device ({len(device_data)} samples)")
+
     with mesh:
         for epoch in range(epochs):
-            for i, batch in enumerate(
+            batch_iter = (
+                device_data.batches(batch_size, shuffle=True,
+                                    seed=args.seed + epoch)
+                if device_data is not None else
                 prefetch_to_device(
-                    dataset.batches(batch_size, shuffle=True, seed=args.seed + epoch), mesh
-                )
-            ):
+                    dataset.batches(batch_size, shuffle=True,
+                                    seed=args.seed + epoch), mesh))
+            for i, batch in enumerate(batch_iter):
                 if i >= steps_per_epoch:
                     break
                 state, metrics = distill_step(state, teacher_params, batch, args.seed)

@@ -57,6 +57,13 @@ def parse_args(argv=None):
     # TPU-native additions
     parser.add_argument("--dummy-data", action="store_true",
                         help="train on the synthetic array backend")
+    parser.add_argument("--device-data", action="store_true",
+                        help="upload the whole dataset to the device once "
+                             "and gather batches on-device (single-device "
+                             "runs; datasets that fit in HBM). Flat-RSS on "
+                             "the tunneled runtime, which retains every "
+                             "host->device upload (data/pipeline.py "
+                             "DeviceResidentData)")
     parser.add_argument("--packed", action="store_true",
                         help="use the native packed-array batch assembler")
     parser.add_argument("--db", type=str, default=None, help="sqlite db path")
@@ -223,6 +230,13 @@ def main(argv=None):
     mfu = MFUMeter(flops_per_step, num_devices=len(jax.devices()))
     logger.info(f"train step FLOPs (cost analysis): {flops_per_step:.3e}")
 
+    device_data = None
+    if args.device_data:
+        from soccerdiffusion_tpu.data.pipeline import DeviceResidentData
+
+        device_data = DeviceResidentData(dataset)
+        logger.info(f"dataset resident on device ({len(device_data)} samples)")
+
     # MFU/steps-per-sec are measured over log_every-step windows with ONE
     # device sync per window: a per-step block_until_ready would serialize
     # async dispatch and systematically under-measure the pipeline the code
@@ -234,11 +248,14 @@ def main(argv=None):
         for epoch in range(start_epoch, epochs):
             window_steps = 0
             mfu.start()
-            for i, host_batch in enumerate(
+            batch_iter = (
+                device_data.batches(batch_size, shuffle=True,
+                                    seed=args.seed + epoch)
+                if device_data is not None else
                 prefetch_to_device(
-                    dataset.batches(batch_size, shuffle=True, seed=args.seed + epoch), mesh
-                )
-            ):
+                    dataset.batches(batch_size, shuffle=True,
+                                    seed=args.seed + epoch), mesh))
+            for i, host_batch in enumerate(batch_iter):
                 if i >= steps_per_epoch:
                     break
                 state, metrics = train_step(state, host_batch, args.seed)

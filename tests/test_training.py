@@ -286,6 +286,29 @@ class TestPipeline:
             np.asarray(fetched[0]["joint_command"]), batches[0]["joint_command"]
         )
 
+    def test_device_resident_batches_match_host_batches(self):
+        """DeviceResidentData must reproduce WindowedDataset.batches
+        exactly (same rng stream, same order, same values) while gathering
+        on-device — the tunnel-leak workaround must not change training."""
+        from soccerdiffusion_tpu.data.pipeline import DeviceResidentData
+
+        ds, *_ = make_env()
+        dev = DeviceResidentData(ds, device=jax.devices()[0])
+        assert len(dev) == len(ds)
+        for host_b, dev_b in zip(ds.batches(16, shuffle=True, seed=7),
+                                 dev.batches(16, shuffle=True, seed=7)):
+            assert set(host_b) == set(dev_b)
+            for k in host_b:
+                np.testing.assert_array_equal(host_b[k], np.asarray(dev_b[k]))
+
+    def test_device_resident_requires_single_device(self):
+        from soccerdiffusion_tpu.data.pipeline import DeviceResidentData
+
+        ds, *_ = make_env()
+        if len(jax.devices()) > 1:
+            with pytest.raises(ValueError):
+                DeviceResidentData(ds)
+
     def test_prefetch_with_mesh(self):
         mesh = make_mesh({"data": 8})
         ds, *_ = make_env()
