@@ -235,7 +235,12 @@ class WindowedDataset:
 
     @classmethod
     def from_dummy(cls, dummy_recordings, config: ModelConfig, **kwargs) -> "WindowedDataset":
-        """Wrap ``generate_dummy_arrays`` output."""
+        """Wrap ``generate_dummy_arrays`` output.
+
+        The source :class:`~soccerdiffusion_tpu.data.dummy.DummyRecording`
+        objects are kept on ``.dummy_recordings`` — for the "vision" task
+        they carry the cue latents (``vision_u``/``vision_dirs``) that the
+        Bayes-oracle calibration needs (evaluation/oracle.py)."""
         recs = []
         for i, d in enumerate(dummy_recordings):
             n = len(d.game_states)
@@ -251,7 +256,9 @@ class WindowedDataset:
                     recording_id=i,
                 )
             )
-        return cls(recs, config, **kwargs)
+        ds = cls(recs, config, **kwargs)
+        ds.dummy_recordings = list(dummy_recordings)
+        return ds
 
     # ------------------------------------------------------------- retrieval
 

@@ -109,6 +109,8 @@ def _stamps_f32_floor(tick_indices: np.ndarray, sampling_rate: int) -> np.ndarra
 VISION_BETA = 0.35
 #: per-joint target amplitude around pi (radians)
 VISION_AMP = 0.9
+#: per-tick process-noise std of the lag plant (radians)
+VISION_NOISE_STD = 0.03
 
 
 def _vision_recording(
@@ -119,7 +121,7 @@ def _vision_recording(
     rng: np.random.Generator,
     sampling_rate: int,
     dirs: np.ndarray,
-    noise_std: float = 0.03,
+    noise_std: float = VISION_NOISE_STD,
 ) -> DummyRecording:
     """Camera-conditioned synthetic task: each image PREVIEWS the target.
 

@@ -120,6 +120,21 @@ def markdown_report(result: dict) -> str:
                       f"(ratio {ibo['mse_ratio_shuffled_over_true']:.2f}x; "
                       f"noise floor {ibo['noise_floor_mse']:.5f}; "
                       f"{ibo['num_windows']} windows)."]
+    orc = result.get("oracle_open_loop")
+    if orc:
+        lines += ["", f"Bayes-oracle calibration (known plant, same "
+                      f"windows; evaluation/oracle.py): cued "
+                      f"**{orc['mse_cued']:.5f}** vs blind "
+                      f"{orc['mse_blind']:.5f} (achievable ratio "
+                      f"**{orc['ratio_blind_over_cued']:.2f}x**) — the "
+                      f"ceiling for the shuffled/true ratios above."]
+    orb = result.get("oracle_open_loop_boundary")
+    if orb:
+        lines += ["", f"Boundary-window oracle: cued "
+                      f"**{orb['mse_cued']:.5f}** vs blind "
+                      f"{orb['mse_blind']:.5f} (achievable ratio "
+                      f"**{orb['ratio_blind_over_cued']:.2f}x**, "
+                      f"{orb['num_windows']} windows)."]
     return "\n".join(lines) + "\n"
 
 
@@ -217,6 +232,26 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                         bsh["mse"] / bt["mse"] if bt["mse"] > 0
                         else float("nan"),
                 }
+        # Bayes-oracle calibration (vision dummy task only): the achievable
+        # cued/blind open-loop errors from the known plant, on the SAME
+        # windows — the ceiling the shuffled/true ratios above should be
+        # read against (evaluation/oracle.py).
+        recs = getattr(dataset, "dummy_recordings", None)
+        if recs and getattr(recs[0], "vision_u", None) is not None:
+            from soccerdiffusion_tpu.evaluation.oracle import (
+                vision_oracle_open_loop,
+            )
+
+            logger.info("vision Bayes-oracle calibration")
+            result["oracle_open_loop"] = vision_oracle_open_loop(
+                dataset, indices, seed=seed)
+            if hasattr(dataset, "image_boundary_indices"):
+                b_all = dataset.image_boundary_indices()
+                if len(b_all):
+                    rng = np.random.default_rng(seed + 5)
+                    b_idx = np.sort(rng.permutation(b_all)[:len(indices)])
+                    result["oracle_open_loop_boundary"] = (
+                        vision_oracle_open_loop(dataset, b_idx, seed=seed))
 
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
         """One non-teacher row: open-loop vs ground truth, agreement and

@@ -277,3 +277,73 @@ class TestSolverRows:
         assert np.isfinite(row["agreement"]["mse_vs_teacher"])
         assert np.isfinite(row["divergence"]["mean_divergence_rad"])
         assert "teacher_self_consistency" in result
+
+
+class TestVisionOracle:
+    """Bayes-oracle calibration for the vision task (evaluation/oracle.py)."""
+
+    def _vision_ds(self, num_joints=8, n=400):
+        cfg = ModelConfig(
+            num_joints=num_joints, hidden_dim=32,
+            trajectory_prediction_length=10,
+            action_context_length=20, joint_state_context_length=20,
+            imu_context_length=20, use_images=True, image_context_length=2,
+            image_resolution=32, image_encoder_type="vit", vit_patch_size=8,
+            vit_width=32, vit_depth=1, num_image_sequence_encoder_layers=1,
+            use_imu=False, use_gamestate=False,
+            num_action_history_encoder_layers=1, num_decoder_layers=1,
+        )
+        dummy = generate_dummy_arrays(
+            2, n, num_joints=num_joints, image_size=32, task="vision", seed=3)
+        return WindowedDataset.from_dummy(dummy, cfg), dummy
+
+    def test_boundary_windows_show_large_achievable_gap(self):
+        from soccerdiffusion_tpu.evaluation.oracle import vision_oracle_open_loop
+
+        ds, dummy = self._vision_ds()
+        b_idx = ds.image_boundary_indices()[:64]
+        out = vision_oracle_open_loop(ds, b_idx, num_samples=8, seed=0)
+        # at a boundary the whole 10-tick chunk is driven by the just-visible
+        # cue: the cued oracle is process-noise-limited, the blind one must
+        # guess u ~ U[-1,1]
+        assert out["mse_cued"] < 0.02
+        assert out["ratio_blind_over_cued"] > 3.0
+
+    def test_midwindow_blind_recovers_cue_from_history(self):
+        """The blind oracle is NOT naive: mid-interval it estimates the cue
+        from proprioceptive history, so its error approaches the cued one."""
+        from soccerdiffusion_tpu.evaluation.oracle import vision_oracle_open_loop
+
+        ds, dummy = self._vision_ds()
+        b = ds.image_boundary_indices()
+        mid = (b[:48] + 5)  # 5 ticks into the interval
+        mid = mid[mid < len(ds)]
+        out = vision_oracle_open_loop(ds, mid, num_samples=8, seed=0)
+        bound = vision_oracle_open_loop(ds, b[:48], num_samples=8, seed=0)
+        assert out["ratio_blind_over_cued"] < 1.1
+        assert out["ratio_blind_over_cued"] < bound["ratio_blind_over_cued"]
+
+    def test_cue_estimator_accuracy(self):
+        from soccerdiffusion_tpu.evaluation.oracle import (
+            _estimate_cue_from_history,
+        )
+
+        ds, dummy = self._vision_ds()
+        d = dummy[0]
+        stamps = np.asarray(d.image_stamps, dtype=np.float64)
+        step = int(round((stamps[1] - stamps[0]) * ds.sampling_rate))
+        for k in (3, 7, 11):
+            u_est = _estimate_cue_from_history(
+                d.joint_commands[:, :8], d.vision_dirs[:8].astype(np.float64),
+                k * step, k * step + 4)
+            assert abs(u_est - float(d.vision_u[k])) < 0.1
+
+    def test_raises_without_vision_latents(self):
+        import pytest
+
+        from soccerdiffusion_tpu.evaluation.oracle import vision_oracle_open_loop
+
+        dummy = generate_dummy_arrays(1, 200, num_joints=6)
+        ds = WindowedDataset.from_dummy(dummy, CFG)
+        with pytest.raises(ValueError):
+            vision_oracle_open_loop(ds, [0, 1])
