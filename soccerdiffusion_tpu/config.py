@@ -238,6 +238,17 @@ class TrainConfig:
     # "decorative" (reference-style content) or "vision" (images preview
     # the target — the camera-conditioned quality-evidence task)
     dummy_task: str = "decorative"
+    # CFG-style per-sample conditioning dropout: with this probability,
+    # independently per modality, a training sample sees that modality's
+    # "missing data" padding value instead of the real input
+    # (data/pipeline.py dropout_modalities). 0 = off (reference behavior).
+    modality_dropout: float = 0.0
+
+    def __post_init__(self) -> None:
+        if not 0.0 <= self.modality_dropout < 1.0:
+            raise ValueError(
+                f"modality_dropout must be in [0, 1), got {self.modality_dropout}"
+            )
 
 
 @dataclass(frozen=True)

@@ -188,3 +188,71 @@ def prepare_batch(batch: dict, keep_u8: bool = False) -> dict:
     valid = batch.pop("image_valid")
     batch["image_data"] = device_normalize_images(u8, valid)
     return batch
+
+
+def dropout_modalities(batch: dict, rng, p: float) -> dict:
+    """CFG-style per-sample conditioning dropout (in-jit, train-time only).
+
+    With probability ``p``, independently per sample and per modality,
+    replace that modality's input with the dataset's own "missing data"
+    value (the window-padding semantics of data/dataset.py, which the model
+    already sees for short histories): zeros for the joint-command history
+    and joint states, the identity orientation for the IMU (quaternion
+    ``[0,0,0,1]`` / five-dim ``[1,0,0,0,1]``), zeroed + invalid frames for
+    the camera, and ``RobotState.UNKNOWN`` for the game state. The target
+    chunk is never touched.
+
+    This is classifier-free-guidance-style conditioning dropout: the model
+    must stay a good denoiser under every partial-conditioning pattern, so
+    easy modalities cannot fully shadow hard ones (the camera, in the
+    vision-ledger runs; docs/quality_ledger_vision_imageonly.md). No
+    reference counterpart — the reference trains fully conditioned always
+    (reference ml/training/train.py:221-226 uses random context only for
+    decoder pretraining).
+    """
+    import jax.numpy as jnp
+
+    from soccerdiffusion_tpu.data.schema import RobotState
+
+    if p <= 0.0:
+        return batch
+    batch = dict(batch)
+    bsz = batch["joint_command"].shape[0]
+    keys = jax.random.split(rng, 5)
+
+    def drop_mask(key):
+        return jax.random.bernoulli(key, p, (bsz,))
+
+    for i, name in enumerate(("joint_command_history", "joint_state")):
+        if name in batch:
+            m = drop_mask(keys[i])
+            batch[name] = jnp.where(m[:, None, None],
+                                    jnp.zeros_like(batch[name]), batch[name])
+    if "rotation" in batch:
+        m = drop_mask(keys[2])
+        rot = batch["rotation"]
+        if rot.shape[-1] == 5:
+            identity = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0], dtype=rot.dtype)
+        else:
+            identity = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=rot.dtype)
+        batch["rotation"] = jnp.where(m[:, None, None], identity, rot)
+    m_img = drop_mask(keys[3])
+    if "image_u8" in batch:
+        u8 = batch["image_u8"]
+        pad = (1,) * (u8.ndim - 1)
+        batch["image_u8"] = jnp.where(m_img.reshape(bsz, *pad),
+                                      jnp.zeros_like(u8), u8)
+        batch["image_valid"] = jnp.where(m_img[:, None],
+                                         jnp.zeros_like(batch["image_valid"]),
+                                         batch["image_valid"])
+    elif "image_data" in batch:
+        img = batch["image_data"]
+        pad = (1,) * (img.ndim - 1)
+        batch["image_data"] = jnp.where(m_img.reshape(bsz, *pad),
+                                        jnp.zeros_like(img), img)
+    if "game_state" in batch:
+        m = drop_mask(keys[4])
+        batch["game_state"] = jnp.where(
+            m, jnp.full_like(batch["game_state"], int(RobotState.UNKNOWN)),
+            batch["game_state"])
+    return batch

@@ -215,6 +215,7 @@ def main(argv=None):
         model, schedule, optimizer, normalizer,
         decoder_pretraining=args.decoder_pretraining,
         ema_decay=config.train.ema_decay,
+        modality_dropout=config.train.modality_dropout,
     )
     metrics_logger = MetricsLogger(
         args.metrics, log_every=config.train.log_every,

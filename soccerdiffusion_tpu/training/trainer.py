@@ -113,6 +113,7 @@ def make_train_step(
     decoder_pretraining: bool = False,
     donate: bool = True,
     ema_decay: float = 0.0,
+    modality_dropout: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng_seed) -> (state, metrics).
 
@@ -124,10 +125,13 @@ def make_train_step(
     ``min(ema_decay, (1+t)/(10+t))`` so early steps do not freeze the
     random init into the average (the role of ema_pytorch's
     update_after_step ramp in the reference lineage).
+
+    ``modality_dropout > 0`` applies CFG-style per-sample conditioning
+    dropout inside the step (data/pipeline.py dropout_modalities).
     """
 
     def step_fn(state: TrainState, batch: dict, rng_seed: jnp.ndarray):
-        from soccerdiffusion_tpu.data.pipeline import prepare_batch
+        from soccerdiffusion_tpu.data.pipeline import dropout_modalities, prepare_batch
 
         # packed uint8 images: models with image encoders consume uint8
         # directly (normalization folded/fused model-side, perf_notes.md);
@@ -135,6 +139,12 @@ def make_train_step(
         batch = prepare_batch(batch, keep_u8=model.config.use_images)
         rng = jax.random.fold_in(jax.random.key(rng_seed), state.step)
         t_key, noise_key, ctx_key = jax.random.split(rng, 3)
+        if modality_dropout > 0.0:
+            # fold_in rather than widening the split above: the noise/t
+            # streams stay bit-identical to modality_dropout=0 runs
+            batch = dropout_modalities(
+                batch, jax.random.fold_in(rng, 7), modality_dropout
+            )
 
         targets = normalizer.normalize(batch["joint_command"])
         bsz = targets.shape[0]

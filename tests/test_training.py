@@ -73,6 +73,91 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestModalityDropout:
+    """CFG-style conditioning dropout (data/pipeline.py dropout_modalities)."""
+
+    def _batch(self, bsz=16):
+        ds, norm, model, sched, opt, state = make_env(batch_size=bsz)
+        return jax.device_put(next(ds.batches(bsz, shuffle=False)))
+
+    def test_p1_replaces_every_modality_with_its_padding_value(self):
+        from soccerdiffusion_tpu.data.pipeline import dropout_modalities
+        from soccerdiffusion_tpu.data.schema import RobotState
+
+        batch = self._batch()
+        out = dropout_modalities(dict(batch), jax.random.key(0), p=1.0 - 1e-9)
+        assert not np.asarray(out["joint_command_history"]).any()
+        assert not np.asarray(out["joint_state"]).any()
+        rot = np.asarray(out["rotation"])
+        np.testing.assert_array_equal(
+            rot, np.broadcast_to(np.array([0, 0, 0, 1], np.float32), rot.shape))
+        assert (np.asarray(out["game_state"]) == int(RobotState.UNKNOWN)).all()
+        # the target is never touched
+        np.testing.assert_array_equal(
+            np.asarray(out["joint_command"]), np.asarray(batch["joint_command"]))
+
+    def test_five_dim_rotation_identity(self):
+        from soccerdiffusion_tpu.data.pipeline import dropout_modalities
+
+        batch = {
+            "joint_command": jnp.zeros((4, 10, 8)),
+            "rotation": jnp.ones((4, 40, 5)),
+        }
+        out = dropout_modalities(batch, jax.random.key(0), p=1.0 - 1e-9)
+        rot = np.asarray(out["rotation"])
+        np.testing.assert_array_equal(
+            rot, np.broadcast_to(np.array([1, 0, 0, 0, 1], np.float32), rot.shape))
+
+    def test_image_paths_float_and_u8(self):
+        from soccerdiffusion_tpu.data.pipeline import dropout_modalities
+
+        base = {"joint_command": jnp.zeros((4, 10, 8))}
+        f = dropout_modalities(
+            dict(base, image_data=jnp.ones((4, 3, 8, 8, 3))),
+            jax.random.key(0), p=1.0 - 1e-9)
+        assert not np.asarray(f["image_data"]).any()
+        u = dropout_modalities(
+            dict(base, image_u8=jnp.full((4, 3, 8, 8, 3), 255, jnp.uint8),
+                 image_valid=jnp.ones((4, 3))),
+            jax.random.key(0), p=1.0 - 1e-9)
+        assert not np.asarray(u["image_u8"]).any()
+        assert not np.asarray(u["image_valid"]).any()
+        assert u["image_u8"].dtype == jnp.uint8
+
+    def test_p0_is_identity_and_masks_are_per_sample(self):
+        from soccerdiffusion_tpu.data.pipeline import dropout_modalities
+
+        batch = self._batch(bsz=64)
+        same = dropout_modalities(dict(batch), jax.random.key(0), p=0.0)
+        np.testing.assert_array_equal(
+            np.asarray(same["joint_state"]), np.asarray(batch["joint_state"]))
+        out = dropout_modalities(dict(batch), jax.random.key(1), p=0.5)
+        dropped = ~np.asarray(out["joint_state"]).any(axis=(1, 2))
+        assert dropped.any() and not dropped.all()
+        # modalities draw independent masks: game-state drops differ from
+        # joint-state drops somewhere at bsz=64 w.h.p.
+        gs_dropped = np.asarray(out["game_state"]) != np.asarray(batch["game_state"])
+        js_rows = np.asarray(batch["joint_state"]).any(axis=(1, 2))
+        assert (dropped[js_rows] != gs_dropped[js_rows]).any()
+
+    def test_train_step_with_dropout(self):
+        ds, norm, model, sched, opt, state = make_env()
+        batch = jax.device_put(next(ds.batches(16, shuffle=False)))
+        step_off = make_train_step(model, sched, opt, norm, donate=False)
+        step_on = make_train_step(model, sched, opt, norm, donate=False,
+                                  modality_dropout=0.5)
+        _, m_off = step_off(state, batch, 3)
+        _, m_on = step_on(state, batch, 3)
+        assert np.isfinite(float(m_on["loss"]))
+        # dropout changes the conditioning, hence the loss; the p=0 path is
+        # bit-identical to the no-arg step (same rng derivation)
+        assert float(m_on["loss"]) != float(m_off["loss"])
+        step_p0 = make_train_step(model, sched, opt, norm, donate=False,
+                                  modality_dropout=0.0)
+        _, m_p0 = step_p0(state, batch, 3)
+        assert float(m_p0["loss"]) == float(m_off["loss"])
+
+
 class TestEMA:
     def test_ema_update_math_and_disabled_path(self):
         ds, norm, model, sched, opt, state0 = make_env()
