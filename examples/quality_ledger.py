@@ -103,6 +103,11 @@ def main(argv=None):
                              "ddim10 (the same budget first-order baseline); "
                              "default dpmpp10@lambda+ddim10, none for "
                              "--vision (its evidence is the image probes)")
+    parser.add_argument("--guidance-rows", type=str, nargs="*", default=[],
+                        help="classifier-free-guidance rows on the teacher, "
+                             "SCALE[@MODALITY,...] e.g. 2.0@image — pair "
+                             "with --set modality_dropout=0.15 so the "
+                             "unconditional branch is in-distribution")
     parser.add_argument("--windows", type=int, default=256)
     parser.add_argument("--chunks", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
@@ -207,6 +212,8 @@ def main(argv=None):
         report_argv += ["--student", str(s)]
     for row in args.solver_rows:
         report_argv += ["--solver-row", row]
+    for row in args.guidance_rows:
+        report_argv += ["--guidance-row", row]
     result = report_mod.main(report_argv)
 
     # fold the teacher's learning curve tail into the ledger

@@ -176,6 +176,14 @@ def _build_serve_parser(sub):
                    help="'ddim' (reference) or 'dpmpp'/'dpmpp@lambda' "
                         "(training-free few-step; diffusion/dpm_solver.py); "
                         "ignored for distilled checkpoints")
+    p.add_argument("--guidance", type=str, default=None,
+                   metavar="SCALE[@MODALITY,...]",
+                   help="classifier-free guidance, e.g. '2.0@image': each "
+                        "denoise step runs a null-modality unconditional "
+                        "branch alongside the conditional one and "
+                        "extrapolates by SCALE (meaningful on "
+                        "modality_dropout-trained checkpoints; iterative "
+                        "samplers only)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -246,11 +254,20 @@ def cmd_serve(args) -> int:
     model = DiffusionPolicy(config.model)
     steps = args.steps or ckpt_steps
     schedule = make_schedule(config.train.train_denoising_timesteps)
+    g_scale, g_null = 1.0, ("image",)
+    if args.guidance:
+        scale_s, _, mods_s = args.guidance.partition("@")
+        g_scale = float(scale_s)
+        if mods_s:
+            g_null = tuple(mods_s.split(","))
     sampler = make_chunk_sampler(
         model, schedule, norm, num_inference_steps=steps,
-        distilled=distilled, solver=args.solver)
+        distilled=distilled, solver=args.solver,
+        guidance_scale=g_scale, guidance_null=g_null)
     label = ("distilled1" if distilled
              else solver_label(args.solver, steps))
+    if g_scale != 1.0:
+        label += f"+cfg{g_scale:g}({','.join(g_null)})"
     logger.info(f"serving {args.checkpoint} [{label}] at "
                 f"{args.control_rate:g} Hz for {args.duration:g}s")
 
@@ -352,6 +369,16 @@ def cmd_db(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS=cpu: the tunneled-TPU plugin
+    # re-asserts "axon,cpu" over the env var at import time (CLAUDE.md),
+    # so the config update — which wins — is needed to actually stay off
+    # the device (quality_ledger.py and tests/conftest.py do the same).
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     argv = list(sys.argv[1:] if argv is None else argv)
     # Pass-through subcommands reusing the dedicated entry points.
     if argv and argv[0] in ("train", "distill", "plot", "report"):

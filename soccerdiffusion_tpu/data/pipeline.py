@@ -256,3 +256,73 @@ def dropout_modalities(batch: dict, rng, p: float) -> dict:
             m, jnp.full_like(batch["game_state"], int(RobotState.UNKNOWN)),
             batch["game_state"])
     return batch
+
+
+#: modality name -> the batch keys it covers (the conditioning surface of
+#: DiffusionPolicy.encode_context, models/policy.py:105-134). "all" nulls
+#: every conditioning modality (the fully-unconditional CFG branch).
+MODALITY_KEYS = {
+    "action_history": ("joint_command_history",),
+    "joint_states": ("joint_state",),
+    "imu": ("rotation",),
+    "image": ("image_u8", "image_valid", "image_data"),
+    "game_state": ("game_state",),
+}
+
+
+def null_modalities(batch: dict, modalities) -> dict:
+    """Replace whole conditioning modalities with their "missing data" value
+    for EVERY sample — the deterministic counterpart of
+    :func:`dropout_modalities` (same null values: the window-padding
+    semantics of data/dataset.py).
+
+    This builds the *unconditional branch* for classifier-free guidance at
+    sampling time: a model trained with ``modality_dropout > 0`` has seen
+    exactly these null patterns, so ``eps_uncond = denoise(null context)``
+    is in-distribution and ``eps_u + w (eps_c - eps_u)`` amplifies the
+    contribution of the nulled modalities (Ho & Salimans 2022). No
+    reference counterpart (the reference samples fully conditioned always,
+    reference ml/inference/ros.py:301-310).
+
+    ``modalities``: iterable of :data:`MODALITY_KEYS` names, or ``"all"``.
+    Unknown names raise; modalities absent from the batch are ignored (so
+    ``("image",)`` is a safe no-op on camera-free batches).
+    """
+    import jax.numpy as jnp
+
+    from soccerdiffusion_tpu.data.schema import RobotState
+
+    if isinstance(modalities, str):
+        modalities = (modalities,)
+    names: tuple[str, ...] = tuple(modalities)
+    if "all" in names:
+        names = tuple(MODALITY_KEYS)
+    for name in names:
+        if name not in MODALITY_KEYS:
+            raise ValueError(
+                f"unknown modality {name!r}; expected one of "
+                f"{sorted(MODALITY_KEYS)} or 'all'")
+    batch = dict(batch)
+    for name in names:
+        if name in ("action_history", "joint_states"):
+            (key,) = MODALITY_KEYS[name]
+            if key in batch:
+                batch[key] = jnp.zeros_like(batch[key])
+        elif name == "imu":
+            if "rotation" in batch:
+                rot = batch["rotation"]
+                if rot.shape[-1] == 5:
+                    identity = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0],
+                                         dtype=rot.dtype)
+                else:
+                    identity = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=rot.dtype)
+                batch["rotation"] = jnp.broadcast_to(identity, rot.shape)
+        elif name == "image":
+            for key in ("image_u8", "image_data", "image_valid"):
+                if key in batch:
+                    batch[key] = jnp.zeros_like(batch[key])
+        elif name == "game_state":
+            if "game_state" in batch:
+                batch["game_state"] = jnp.full_like(
+                    batch["game_state"], int(RobotState.UNKNOWN))
+    return batch

@@ -29,22 +29,51 @@ from soccerdiffusion_tpu.diffusion import DiffusionSchedule, solver_label, solve
 
 def sample_trajectories(model, variables, schedule: DiffusionSchedule, context,
                         noise, num_steps: int, distilled: bool,
-                        solver: str = "ddim") -> jnp.ndarray:
+                        solver: str = "ddim",
+                        uncond_context: jnp.ndarray | None = None,
+                        guidance_scale: float = 1.0) -> jnp.ndarray:
     """Run the checkpoint's sampler on encoded context; normalized domain.
 
     ``distilled`` selects the single forward at t=0 (reference
     ros.py:293-298); otherwise ``num_steps`` steps of ``solver`` — "ddim"
     (ros.py:301-310) or "dpmpp" (DPM-Solver++(2M),
     diffusion/dpm_solver.py, training-free few-step).
+
+    ``uncond_context`` + ``guidance_scale`` enable classifier-free guidance
+    for the iterative samplers: each step predicts epsilon under BOTH
+    contexts in one doubled-batch denoiser pass and combines them as
+    ``eps_u + w (eps_c - eps_u)`` (Ho & Salimans 2022; w=1 is plain
+    conditional sampling). The unconditional context comes from
+    data/pipeline.py null_modalities — in-distribution for
+    ``modality_dropout``-trained checkpoints. Guidance is undefined for
+    the distilled single-forward student (its output is a trajectory,
+    not a score) and is rejected there.
     """
     bsz = noise.shape[0]
+    guided = uncond_context is not None and guidance_scale != 1.0
     if distilled:
+        if guided:
+            raise ValueError("classifier-free guidance requires an "
+                             "iterative sampler; the distilled student's "
+                             "single forward is not a score prediction")
         return model.apply(variables, context, noise,
                            jnp.zeros((bsz,), jnp.int32), method=model.denoise)
 
-    def denoise_fn(x, t):
-        return model.apply(variables, context, x,
-                           jnp.full((bsz,), t, jnp.int32), method=model.denoise)
+    if guided:
+        ctx2 = jnp.concatenate([context, uncond_context], axis=0)
+
+        def denoise_fn(x, t):
+            x2 = jnp.concatenate([x, x], axis=0)
+            eps2 = model.apply(variables, ctx2, x2,
+                               jnp.full((2 * bsz,), t, jnp.int32),
+                               method=model.denoise)
+            eps_c, eps_u = eps2[:bsz], eps2[bsz:]
+            return eps_u + guidance_scale * (eps_c - eps_u)
+    else:
+        def denoise_fn(x, t):
+            return model.apply(variables, context, x,
+                               jnp.full((bsz,), t, jnp.int32),
+                               method=model.denoise)
 
     return solver_sample(schedule, denoise_fn, noise, num_steps, solver=solver)
 
@@ -68,7 +97,9 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
                       dataset, indices: Sequence[int], num_steps: int,
                       distilled: bool, batch_size: int = 64,
                       seed: int = 0, solver: str = "ddim",
-                      shuffle_keys: Sequence[str] | None = None) -> dict:
+                      shuffle_keys: Sequence[str] | None = None,
+                      guidance_scale: float = 1.0,
+                      guidance_null: Sequence[str] | None = None) -> dict:
     """Denoised trajectory vs ground-truth future commands over ``indices``.
 
     Returns overall + per-joint MSE/MAE in the denormalized joint domain
@@ -80,6 +111,13 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
     modality while the targets stay honest. The MSE gap between a true run
     and a shuffled run measures how much that modality contributes to the
     *trajectory-level* prediction (the image-conditioned quality evidence).
+
+    ``guidance_scale`` != 1 with ``guidance_null`` (modality names for
+    data/pipeline.py null_modalities, e.g. ``("image",)``) samples with
+    classifier-free guidance: the unconditional branch nulls those
+    modalities and the combined score amplifies their contribution by
+    ``guidance_scale``. Meaningful on ``modality_dropout``-trained
+    checkpoints; iterative samplers only.
     """
     shuffle_rng = (np.random.default_rng(seed + 23)
                    if shuffle_keys is not None else None)
@@ -97,8 +135,17 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
                  model.config.num_joints)
         noise = jax.random.normal(jax.random.key(seed + b), shape, jnp.float32)
         context = model.apply(variables, jb, False, method=model.encode_context)
+        uncond = None
+        if guidance_null is not None and guidance_scale != 1.0:
+            from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+            jb_u = null_modalities(jb, guidance_null)
+            uncond = model.apply(variables, jb_u, False,
+                                 method=model.encode_context)
         traj = sample_trajectories(model, variables, schedule, context, noise,
-                                   num_steps, distilled, solver=solver)
+                                   num_steps, distilled, solver=solver,
+                                   uncond_context=uncond,
+                                   guidance_scale=guidance_scale)
         traj = normalizer.denormalize(traj)
         target = jb["joint_command"].astype(jnp.float32)
         err = np.asarray(traj.astype(jnp.float32) - target)  # (B, P, J)
@@ -113,9 +160,13 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
         count += bsz * model.config.trajectory_prediction_length
     per_joint_mse = se_sum / count
     per_joint_mae = ae_sum / count
+    label = "distilled1" if distilled else solver_label(solver, num_steps)
+    if guidance_null is not None and guidance_scale != 1.0:
+        null = (guidance_null,) if isinstance(guidance_null, str) else guidance_null
+        label += f"+cfg{guidance_scale:g}({','.join(null)})"
     return {
         "num_windows": int(len(indices)),
-        "sampler": "distilled1" if distilled else solver_label(solver, num_steps),
+        "sampler": label,
         "mse": float(per_joint_mse.mean()),
         "mae": float(per_joint_mae.mean()),
         "noise_floor_mse": float((noise_se_sum / count).mean()),

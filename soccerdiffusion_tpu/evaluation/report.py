@@ -120,6 +120,20 @@ def markdown_report(result: dict) -> str:
                       f"(ratio {ibo['mse_ratio_shuffled_over_true']:.2f}x; "
                       f"noise floor {ibo['noise_floor_mse']:.5f}; "
                       f"{ibo['num_windows']} windows)."]
+    g = result.get("guidance")
+    if g:
+        lines += ["", "Classifier-free guidance on the teacher "
+                      "(eps_u + w (eps_c - eps_u); unconditional branch "
+                      "nulls the listed modalities):", "",
+                  "| guidance | held-out MSE | boundary MSE |",
+                  "|---|---|---|"]
+        base = g[0].get("true_mse", float("nan"))
+        bt = result.get("image_shuffled_open_loop_boundary", {})
+        lines.append(f"| w=1 (unguided) | {base:.5f} | "
+                     f"{bt.get('true_mse', float('nan')):.5f} |")
+        for row in g:
+            lines.append(f"| {row['sampler']} | {row['mse']:.5f} | "
+                         f"{row.get('boundary_mse', float('nan')):.5f} |")
     orc = result.get("oracle_open_loop")
     if orc:
         lines += ["", f"Bayes-oracle calibration (known plant, same "
@@ -142,12 +156,17 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                chunks: int, batch_size: int, seed: int = 0,
                teacher_loaded: tuple | None = None,
                solver_rows: list[tuple[str, int]] = (),
-               raw_weights: bool = False) -> dict:
+               raw_weights: bool = False,
+               guidance_rows: list[tuple[float, tuple[str, ...]]] = ()) -> dict:
     """``solver_rows``: extra (solver, steps) rows evaluated on the TEACHER
     checkpoint — training-free few-step samplers (e.g. ("dpmpp", 10),
     diffusion/dpm_solver.py), ranked with the same open-loop/agreement/
     closed-loop metrics as the distilled students.
-    ``raw_weights`` evaluates the raw params of EMA checkpoints (ablation)."""
+    ``raw_weights`` evaluates the raw params of EMA checkpoints (ablation).
+    ``guidance_rows``: (scale, null-modalities) classifier-free-guidance
+    rows on the teacher (evaluation/openloop.py sample_trajectories) —
+    held-out + boundary-window open-loop MSE per row, read against the
+    unguided teacher and the oracle ceiling."""
     prefer_ema = not raw_weights
     t_params, t_vars, normalizer, t_steps, t_distilled = (
         teacher_loaded if teacher_loaded is not None
@@ -253,6 +272,36 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                     result["oracle_open_loop_boundary"] = (
                         vision_oracle_open_loop(dataset, b_idx, seed=seed))
 
+    if guidance_rows and t_distilled:
+        logger.warning("guidance rows skipped: the teacher checkpoint is a "
+                       "distilled single-forward student (no score to guide)")
+    elif guidance_rows:
+        b_idx = None
+        if hasattr(dataset, "image_boundary_indices"):
+            b_all = dataset.image_boundary_indices()
+            if len(b_all):
+                rng = np.random.default_rng(seed + 5)
+                b_idx = np.sort(rng.permutation(b_all)[:len(indices)])
+        result["guidance"] = []
+        for scale, mods in guidance_rows:
+            logger.info(f"CFG open loop: scale {scale}, null {list(mods)}")
+            g_open = open_loop_metrics(
+                model, t_vars, normalizer, schedule, dataset, indices,
+                t_steps, t_distilled, batch_size=batch_size, seed=seed,
+                guidance_scale=scale, guidance_null=mods)
+            row = {"scale": scale, "null": list(mods),
+                   "sampler": g_open["sampler"],
+                   "mse": g_open["mse"], "mae": g_open["mae"],
+                   "true_mse": t_open["mse"]}
+            if b_idx is not None:
+                g_b = open_loop_metrics(
+                    model, t_vars, normalizer, schedule, dataset, b_idx,
+                    t_steps, t_distilled, batch_size=batch_size, seed=seed,
+                    guidance_scale=scale, guidance_null=mods)
+                row["boundary_mse"] = g_b["mse"]
+                row["boundary_mae"] = g_b["mae"]
+            result["guidance"].append(row)
+
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
         """One non-teacher row: open-loop vs ground truth, agreement and
         closed-loop divergence vs the teacher (distilled students and
@@ -313,6 +362,11 @@ def main(argv=None):
     parser.add_argument("--raw-weights", action="store_true",
                         help="evaluate the raw params of EMA checkpoints "
                              "instead of the EMA tree (ablation)")
+    parser.add_argument("--guidance-row", action="append", default=[],
+                        help="classifier-free-guidance row on the teacher, "
+                             "SCALE[@MODALITY[,MODALITY...]] — e.g. "
+                             "'2.0@image' (default null modality: image); "
+                             "repeatable (data/pipeline.py null_modalities)")
     args = parser.parse_args(argv)
 
     import re
@@ -332,6 +386,23 @@ def main(argv=None):
             parser.error(str(e))
         solver_rows.append((solver, int(m.group(2))))
 
+    from soccerdiffusion_tpu.data.pipeline import MODALITY_KEYS
+
+    guidance_rows = []
+    for row in args.guidance_row:
+        scale_s, _, mods_s = row.partition("@")
+        try:
+            scale = float(scale_s)
+        except ValueError:
+            parser.error(f"bad --guidance-row {row!r}; expected e.g. "
+                         f"'2.0@image'")
+        mods = tuple(mods_s.split(",")) if mods_s else ("image",)
+        for mod in mods:
+            if mod != "all" and mod not in MODALITY_KEYS:
+                parser.error(f"unknown modality {mod!r} in --guidance-row; "
+                             f"expected {sorted(MODALITY_KEYS)} or 'all'")
+        guidance_rows.append((scale, mods))
+
     teacher_loaded = _load(args.teacher, prefer_ema=not args.raw_weights)
     config = Config.from_dict(teacher_loaded[0])
     from soccerdiffusion_tpu.training.train import build_dataset
@@ -342,7 +413,8 @@ def main(argv=None):
                         args.chunks, args.batch_size, args.seed,
                         teacher_loaded=teacher_loaded,
                         solver_rows=solver_rows,
-                        raw_weights=args.raw_weights)
+                        raw_weights=args.raw_weights,
+                        guidance_rows=guidance_rows)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.with_suffix(".json").write_text(json.dumps(result, indent=2))

@@ -80,6 +80,8 @@ class RolloutEngine:
         replan_every: int | None = None,
         solver: str = "ddim",
         fused_interpret: bool = False,
+        guidance_scale: float = 1.0,
+        guidance_null: tuple[str, ...] = ("image",),
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -126,6 +128,25 @@ class RolloutEngine:
                 "fused 'chunk' kernel; distilled students and the per-step "
                 "fused denoiser are DDIM-trained/DDIM-only")
         self.solver = solver
+        # Classifier-free guidance at serving time: each denoise step runs
+        # the conditional AND a null-modality unconditional branch in one
+        # doubled-batch pass and combines them as eps_u + w (eps_c - eps_u)
+        # (evaluation/openloop.py documents the semantics; meaningful on
+        # modality_dropout-trained checkpoints). XLA sampler path only —
+        # the fused Pallas kernels and the distilled single forward reject
+        # it (for the fused kernels, run w=1 or serve guided via the XLA
+        # path at 2x batch).
+        self.guidance_scale = float(guidance_scale)
+        self.guidance_null = tuple(guidance_null)
+        if self.guidance_scale != 1.0 and (distilled or fused):
+            raise ValueError(
+                "guidance_scale != 1 requires the XLA iterative sampler "
+                "(fused=False, distilled=False)")
+        if self.guidance_scale != 1.0:
+            from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+            # validate modality names eagerly, not at first replan
+            null_modalities({}, self.guidance_null)
         # Receding-horizon control: replan after `replan_every` of the
         # chunk's pred_len ticks instead of playing the whole chunk. The
         # reference replans only at chunk boundaries (every pred_len/50 s =
@@ -252,6 +273,29 @@ class RolloutEngine:
             )[:, 0]  # (T, E)
             traj = fused.sample(packed, noise, st_table, self.schedule,
                                 self.num_inference_steps)
+        elif self.guidance_scale != 1.0:
+            from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+            # CFG: stack the conditional and null-modality contexts along
+            # the batch axis so each step is ONE doubled-batch denoiser pass
+            ctx_u = self.model.apply(
+                variables, null_modalities(batch, self.guidance_null), False,
+                method=self.model.encode_context)
+            ctx2 = jnp.concatenate([context, ctx_u], axis=0)
+            context_kv = self.model.apply(variables, ctx2,
+                                          method=self.model.precompute_context_kv)
+            w = self.guidance_scale
+
+            def denoise_fn(x, t):
+                eps2 = self.model.apply(
+                    variables, context_kv, jnp.concatenate([x, x], axis=0),
+                    jnp.full((2 * bsz,), t, dtype=jnp.int32),
+                    method=self.model.denoise_with_kv,
+                )
+                return eps2[bsz:] + w * (eps2[:bsz] - eps2[bsz:])
+
+            traj = solver_sample(self.schedule, denoise_fn, noise,
+                                 self.num_inference_steps, solver=self.solver)
         else:
             context_kv = self.model.apply(variables, context,
                                           method=self.model.precompute_context_kv)

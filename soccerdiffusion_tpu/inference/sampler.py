@@ -27,16 +27,39 @@ def make_chunk_sampler(
     distilled: bool = False,
     jit: bool = True,
     solver: str = "ddim",
+    guidance_scale: float = 1.0,
+    guidance_null: tuple[str, ...] = ("image",),
 ) -> Callable:
     """Returns ``sample_fn(variables, batch, rng) -> (B, pred_len, J)`` action
     chunks in the [0, 2*pi) joint domain (denormalized).
 
     ``solver``: "ddim" (the reference sampler) or "dpmpp"
-    (DPM-Solver++(2M), diffusion/dpm_solver.py — training-free few-step)."""
+    (DPM-Solver++(2M), diffusion/dpm_solver.py — training-free few-step).
+
+    ``guidance_scale`` != 1 serves with classifier-free guidance: each step
+    denoises under the conditional context AND a ``guidance_null``-nulled
+    context in one doubled-batch pass, combined as ``eps_u + w (eps_c -
+    eps_u)`` (data/pipeline.py null_modalities; meaningful on
+    modality_dropout-trained checkpoints). Iterative samplers only."""
+    guided = guidance_scale != 1.0
+    if guided and distilled:
+        raise ValueError("classifier-free guidance requires an iterative "
+                         "sampler; the distilled single forward is not a "
+                         "score prediction")
+    if guided:
+        from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+        null_modalities({}, guidance_null)  # validate names eagerly
 
     def sample_fn(variables, batch, rng):
         context = model.apply(variables, batch, False, method=model.encode_context)
         bsz = context.shape[0]
+        if guided:
+            from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+            ctx_u = model.apply(variables, null_modalities(batch, guidance_null),
+                                False, method=model.encode_context)
+            context = jnp.concatenate([context, ctx_u], axis=0)
         shape = (
             bsz,
             model.config.trajectory_prediction_length,
@@ -57,11 +80,22 @@ def make_chunk_sampler(
             context_kv = model.apply(variables, context,
                                      method=model.precompute_context_kv)
 
-            def denoise_fn(x, t):
-                return model.apply(
-                    variables, context_kv, x, jnp.full((bsz,), t, dtype=jnp.int32),
-                    method=model.denoise_with_kv,
-                )
+            if guided:
+                def denoise_fn(x, t):
+                    eps2 = model.apply(
+                        variables, context_kv, jnp.concatenate([x, x], axis=0),
+                        jnp.full((2 * bsz,), t, dtype=jnp.int32),
+                        method=model.denoise_with_kv,
+                    )
+                    return (eps2[bsz:]
+                            + guidance_scale * (eps2[:bsz] - eps2[bsz:]))
+            else:
+                def denoise_fn(x, t):
+                    return model.apply(
+                        variables, context_kv, x,
+                        jnp.full((bsz,), t, dtype=jnp.int32),
+                        method=model.denoise_with_kv,
+                    )
 
             traj = solver_sample(schedule, denoise_fn, noise,
                                  num_inference_steps, solver=solver)

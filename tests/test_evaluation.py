@@ -279,6 +279,102 @@ class TestSolverRows:
         assert "teacher_self_consistency" in result
 
 
+class TestGuidance:
+    """Classifier-free guidance at sampling time (openloop.py
+    sample_trajectories; unconditional branch from data/pipeline.py
+    null_modalities)."""
+
+    def _contexts(self):
+        ds, model, sched, _, state, norm = setup()
+        variables = {"params": state.params}
+        from soccerdiffusion_tpu.data.pipeline import null_modalities
+        from soccerdiffusion_tpu.evaluation.openloop import eval_batches
+
+        idx = held_out_indices(len(ds), 8, 0)
+        batch = next(eval_batches(ds, idx, 8))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        ctx = model.apply(variables, jb, False, method=model.encode_context)
+        jb_u = null_modalities(jb, ("action_history",))
+        ctx_u = model.apply(variables, jb_u, False, method=model.encode_context)
+        noise = jax.random.normal(jax.random.key(0), (8, 5, 6), jnp.float32)
+        return ds, model, sched, variables, norm, ctx, ctx_u, noise
+
+    def test_w0_equals_unconditional_w2_differs(self):
+        from soccerdiffusion_tpu.evaluation.openloop import sample_trajectories
+
+        _, model, sched, variables, _, ctx, ctx_u, noise = self._contexts()
+        # w=0: the guided score IS the unconditional score — the doubled-
+        # batch CFG pass must reproduce plain sampling on the null context
+        g0 = sample_trajectories(model, variables, sched, ctx, noise, 4,
+                                 False, uncond_context=ctx_u,
+                                 guidance_scale=0.0)
+        uncond = sample_trajectories(model, variables, sched, ctx_u, noise,
+                                     4, False)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(uncond),
+                                   atol=1e-5)
+        # w=1 short-circuits to the plain conditional path
+        g1 = sample_trajectories(model, variables, sched, ctx, noise, 4,
+                                 False, uncond_context=ctx_u,
+                                 guidance_scale=1.0)
+        plain = sample_trajectories(model, variables, sched, ctx, noise, 4,
+                                    False)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(plain))
+        # w=2 extrapolates beyond the conditional score
+        g2 = sample_trajectories(model, variables, sched, ctx, noise, 4,
+                                 False, uncond_context=ctx_u,
+                                 guidance_scale=2.0)
+        assert not np.allclose(np.asarray(g2), np.asarray(plain), atol=1e-5)
+
+    def test_distilled_guidance_raises(self):
+        import pytest
+
+        from soccerdiffusion_tpu.evaluation.openloop import sample_trajectories
+
+        _, model, sched, variables, _, ctx, ctx_u, noise = self._contexts()
+        with pytest.raises(ValueError, match="iterative sampler"):
+            sample_trajectories(model, variables, sched, ctx, noise, 1,
+                                True, uncond_context=ctx_u,
+                                guidance_scale=2.0)
+
+    def test_open_loop_metrics_guided(self):
+        ds, model, sched, variables, norm, *_ = self._contexts()
+        idx = held_out_indices(len(ds), 8, 0)
+        m = open_loop_metrics(model, variables, norm, sched, ds, idx,
+                              num_steps=4, distilled=False, batch_size=8,
+                              guidance_scale=1.5,
+                              guidance_null=("action_history",))
+        assert m["sampler"] == "ddim4+cfg1.5(action_history)"
+        assert np.isfinite(m["mse"]) and np.isfinite(m["mae"])
+
+    def test_report_guidance_rows(self, tmp_path):
+        from soccerdiffusion_tpu.evaluation.report import (
+            markdown_report,
+            run_report,
+        )
+        from soccerdiffusion_tpu.training.checkpoint import save_checkpoint
+
+        ds, model, sched, _, state, norm = setup()
+        params = {
+            "num_joints": 6, "hidden_dim": 32,
+            "trajectory_prediction_length": 5,
+            "action_context_length": 20, "joint_state_context_length": 20,
+            "imu_context_length": 20, "use_images": False, "use_imu": False,
+            "use_joint_states": False, "use_gamestate": False,
+            "num_action_history_encoder_layers": 1, "num_decoder_layers": 1,
+            "train_denoising_timesteps": 50,
+        }
+        ckpt = tmp_path / "teacher.ckpt"
+        save_checkpoint(str(ckpt), state, norm, params, 0)
+        result = run_report(str(ckpt), [], ds, windows=8, chunks=2,
+                            batch_size=8,
+                            guidance_rows=[(1.5, ("action_history",))])
+        (row,) = result["guidance"]
+        assert row["sampler"] == "ddim30+cfg1.5(action_history)"
+        assert np.isfinite(row["mse"]) and row["true_mse"] > 0
+        md = markdown_report(result)
+        assert "cfg1.5" in md and "w=1 (unguided)" in md
+
+
 class TestVisionOracle:
     """Bayes-oracle calibration for the vision task (evaluation/oracle.py)."""
 

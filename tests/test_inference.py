@@ -106,6 +106,76 @@ class TestSampler:
         assert float(np.asarray(out).mean()) > 50.0
 
 
+class TestGuidedServing:
+    """Classifier-free guidance on the serving paths (inference/sampler.py
+    make_chunk_sampler, inference/rollout.py RolloutEngine)."""
+
+    def test_guided_sampler_w0_equals_nulled_batch(self):
+        from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+        model, variables = make_model()
+        state = init_controller_state(CFG, batch_size=2)
+        batch = make_controller_batch(CFG, state)
+        sched = make_schedule(50)
+        norm = Normalizer.identity(8)
+        nulled = ("action_history", "imu")
+        guided = make_chunk_sampler(model, sched, norm, num_inference_steps=4,
+                                    guidance_scale=0.0, guidance_null=nulled)
+        plain = make_chunk_sampler(model, sched, norm, num_inference_steps=4)
+        # w=0: the guided score is exactly the unconditional branch, i.e.
+        # plain sampling on the pre-nulled batch
+        g = guided(variables, batch, jax.random.key(1))
+        u = plain(variables, null_modalities(batch, nulled), jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(u), atol=1e-5)
+        # w=2 extrapolates: differs from both the conditional and the
+        # unconditional samples
+        g2 = make_chunk_sampler(model, sched, norm, num_inference_steps=4,
+                                guidance_scale=2.0, guidance_null=nulled)(
+            variables, batch, jax.random.key(1))
+        c = plain(variables, batch, jax.random.key(1))
+        assert g2.shape == c.shape == (2, 5, 8)
+        assert not np.allclose(np.asarray(g2), np.asarray(c), atol=1e-5)
+
+    def test_guided_sampler_rejections(self):
+        import pytest
+
+        model, _ = make_model()
+        sched = make_schedule(50)
+        norm = Normalizer.identity(8)
+        with pytest.raises(ValueError, match="iterative sampler"):
+            make_chunk_sampler(model, sched, norm, distilled=True,
+                               guidance_scale=2.0)
+        with pytest.raises(ValueError, match="unknown modality"):
+            make_chunk_sampler(model, sched, norm, guidance_scale=2.0,
+                               guidance_null=("camera",))
+
+    def test_guided_rollout_runs_and_differs(self):
+        model, variables = make_model()
+        sched = make_schedule(50)
+        norm = Normalizer.identity(8)
+        kw = dict(num_inference_steps=3)
+        plain = RolloutEngine(model, sched, norm, **kw)
+        guided = RolloutEngine(model, sched, norm, guidance_scale=3.0,
+                               guidance_null=("imu",), **kw)
+        c0 = plain.init(2, jax.random.key(2))
+        c1 = guided.init(2, jax.random.key(2))
+        _, traj_p = plain.make_rollout_fn(num_chunks=2, jit=False)(variables, c0)
+        _, traj_g = guided.make_rollout_fn(num_chunks=2, jit=False)(variables, c1)
+        assert np.isfinite(np.asarray(traj_g)).all()
+        assert not np.allclose(np.asarray(traj_g), np.asarray(traj_p),
+                               atol=1e-5)
+
+    def test_guided_rollout_rejects_fused_and_distilled(self):
+        import pytest
+
+        model, _ = make_model()
+        sched = make_schedule(50)
+        norm = Normalizer.identity(8)
+        for bad in (dict(fused="chunk"), dict(distilled=True)):
+            with pytest.raises(ValueError, match="XLA iterative sampler"):
+                RolloutEngine(model, sched, norm, guidance_scale=2.0, **bad)
+
+
 class TestPlayer:
     def test_select_action_by_wall_clock(self):
         chunk = jnp.arange(5 * 2, dtype=jnp.float32).reshape(5, 2)

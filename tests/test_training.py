@@ -140,6 +140,42 @@ class TestModalityDropout:
         js_rows = np.asarray(batch["joint_state"]).any(axis=(1, 2))
         assert (dropped[js_rows] != gs_dropped[js_rows]).any()
 
+    def test_null_modalities_matches_dropout_at_p1(self):
+        """null_modalities (the deterministic CFG unconditional branch)
+        produces exactly the null values dropout_modalities trains on."""
+        from soccerdiffusion_tpu.data.pipeline import (
+            dropout_modalities,
+            null_modalities,
+        )
+
+        batch = self._batch()
+        batch = dict(batch, image_u8=jnp.full((16, 3, 8, 8, 3), 7, jnp.uint8),
+                     image_valid=jnp.ones((16, 3)))
+        via_dropout = dropout_modalities(dict(batch), jax.random.key(0),
+                                         p=1.0 - 1e-9)
+        via_null = null_modalities(batch, "all")
+        for k in batch:
+            np.testing.assert_array_equal(
+                np.asarray(via_dropout[k]), np.asarray(via_null[k]), err_msg=k)
+
+    def test_null_modalities_selective_and_validating(self):
+        import pytest
+
+        from soccerdiffusion_tpu.data.pipeline import null_modalities
+
+        batch = self._batch()
+        out = null_modalities(batch, ("joint_states",))
+        assert not np.asarray(out["joint_state"]).any()
+        np.testing.assert_array_equal(  # other modalities untouched
+            np.asarray(out["joint_command_history"]),
+            np.asarray(batch["joint_command_history"]))
+        with pytest.raises(ValueError, match="unknown modality"):
+            null_modalities(batch, ("camera",))
+        # absent modalities are a safe no-op
+        same = null_modalities(batch, ("image",))
+        np.testing.assert_array_equal(
+            np.asarray(same["joint_state"]), np.asarray(batch["joint_state"]))
+
     def test_train_step_with_dropout(self):
         ds, norm, model, sched, opt, state = make_env()
         batch = jax.device_put(next(ds.batches(16, shuffle=False)))
