@@ -21,26 +21,34 @@ import numpy as np
 
 from soccerdiffusion_tpu import logger
 from soccerdiffusion_tpu.config import Config
-from soccerdiffusion_tpu.diffusion import ddim_sample, make_schedule
+from soccerdiffusion_tpu.diffusion import make_schedule
 from soccerdiffusion_tpu.models import DiffusionPolicy
 from soccerdiffusion_tpu.training.checkpoint import load_policy_checkpoint
 
 
-def sample_open_loop(model, variables, normalizer, schedule, batch, steps, distilled, rng):
-    """Returns (denoised, initial_noise) in the denormalized joint domain."""
+def sample_open_loop(model, variables, normalizer, schedule, batch, steps,
+                     distilled, rng, guidance_scale: float = 1.0,
+                     guidance_null: tuple[str, ...] = ("image",)):
+    """Returns (denoised, initial_noise) in the denormalized joint domain.
+
+    ``guidance_scale`` != 1 plots classifier-free-guided samples
+    (evaluation/openloop.py sample_trajectories semantics; iterative
+    samplers only)."""
+    from soccerdiffusion_tpu.evaluation.openloop import sample_trajectories
+
     bsz = batch["joint_command"].shape[0]
     shape = (bsz, model.config.trajectory_prediction_length, model.config.num_joints)
     noise = jax.random.normal(rng, shape, dtype=jnp.float32)
     context = model.apply(variables, batch, False, method=model.encode_context)
-    if distilled:
-        traj = model.apply(variables, context, noise, jnp.zeros((bsz,), jnp.int32),
-                           method=model.denoise)
-    else:
-        def denoise_fn(x, t):
-            return model.apply(variables, context, x, jnp.full((bsz,), t, jnp.int32),
-                               method=model.denoise)
+    uncond = None
+    if guidance_scale != 1.0 and not distilled:
+        from soccerdiffusion_tpu.data.pipeline import null_modalities
 
-        traj = ddim_sample(schedule, denoise_fn, noise, steps)
+        uncond = model.apply(variables, null_modalities(batch, guidance_null),
+                             False, method=model.encode_context)
+    traj = sample_trajectories(model, variables, schedule, context, noise,
+                               steps, distilled, uncond_context=uncond,
+                               guidance_scale=guidance_scale)
     return normalizer.denormalize(traj), normalizer.denormalize(noise)
 
 
@@ -55,7 +63,18 @@ def main(argv=None):
     parser.add_argument("--db", type=str, default=None)
     parser.add_argument("--output", "-o", type=str, default="plots")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--guidance", type=str, default=None,
+                        metavar="SCALE[@MODALITY,...]",
+                        help="classifier-free guidance, e.g. '2.0@image' "
+                             "(iterative samplers only; meaningful on "
+                             "modality_dropout-trained checkpoints)")
     args = parser.parse_args(argv)
+    g_scale, g_null = 1.0, ("image",)
+    if args.guidance:
+        scale_s, _, mods_s = args.guidance.partition("@")
+        g_scale = float(scale_s)
+        if mods_s:
+            g_null = tuple(mods_s.split(","))
 
     # shared decode: the step count plotted is the one served/evaluated
     # (training/checkpoint.py:load_policy_checkpoint)
@@ -88,6 +107,7 @@ def main(argv=None):
         traj, noisy = sample_open_loop(
             model, variables, normalizer, schedule, batch, args.steps, distilled,
             jax.random.key(args.seed + s),
+            guidance_scale=g_scale, guidance_null=g_null,
         )
         traj, noisy = np.asarray(traj)[0], np.asarray(noisy)[0]
         target = item["joint_command"]
