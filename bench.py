@@ -9,10 +9,16 @@ ticks — with the default.yaml proprioceptive+gamestate architecture (h128,
 
 The default sampler path is the whole-chunk fused Pallas program
 (ops/fused_chunk.py, one op per 30-step chunk). Because a cold Mosaic
-compile through the tunneled backend can take ~10 min, the default run
-tries the fused path in a subprocess with a timeout and falls back to the
-plain XLA path if it cannot finish; with a warm persistent cache
-(.jax_cache/, populated by earlier runs) it completes in ~2 min.
+compile through the tunneled backend can take ~10 min per program, ALL
+operating points (headline + sidecars) are measured in ONE child process
+(one backend init, shared persistent compile cache) that spools each
+completed point to a results file and enforces a total wall budget
+(--budget, default 1800 s): when the budget runs short it SKIPS remaining
+sidecars instead of dying, and if the child hangs in a compile the parent
+kills it at the deadline and reports whatever points completed. A cold
+run therefore always produces at least the headline (falling back to the
+Mosaic-free XLA path if even that cannot finish); a warm-cache run
+(.jax_cache/) completes the default point set in a few minutes.
 
 vs_baseline is measured against the north-star target derived from
 BASELINE.json (>=4096 rollouts on a v5e-8 at <10 ms per 30-step chunk
@@ -198,6 +204,94 @@ def run_child(extra: list[str], timeout: int) -> dict | None:
     return None
 
 
+# Per-point overrides applied on top of the base args. All points ride the
+# fused whole-chunk kernel; measurement order is the priority order (the
+# budget cuts from the tail). Rationale per point:
+#   headline    — 30-step DDIM (reference fidelity semantics, ros.py:301-310)
+#   distilled1  — 1-step student (BASELINE.md "30 Hz closed loop with
+#                 distilled sampler"); quality: docs/quality_ledger_r3c.md
+#   ddim4       — few-step-student operating point, same kernel at T=4;
+#                 the quality-gated deployment headline (docs/HEADLINE.md)
+#   dpmpp10     — training-free DPM-Solver++(2M); leading spacing (speed is
+#                 spacing-independent, see round-3 notes)
+#   lat64       — deployment-batch latency point (<10 ms p50 contract)
+#   ddim2/patch5/int8kv — experiment-tier records (measured neutral or
+#                 refuted as headline levers; kept for the ledger)
+def point_overrides(args) -> dict[str, dict]:
+    k = args.chunks
+    return {
+        "headline": {},
+        "distilled1": {"steps": 1, "distilled": True, "solver": "ddim",
+                       "chunks": 4 * k,
+                       "fused_block": args.fused_block_distilled},
+        "ddim4": {"steps": 4, "solver": "ddim", "chunks": 2 * k},
+        "dpmpp10": {"steps": 10, "solver": "dpmpp", "chunks": 2 * k},
+        "lat64": {"batch": 64, "chunks": 68},
+        "ddim2": {"steps": 2, "solver": "ddim", "chunks": 3 * k},
+        "patch5": {"patch": 5},
+        "int8kv": {"kv_quant": "int8"},
+    }
+
+
+DEFAULT_SIDECARS = "distilled1,ddim4"
+FULL_SIDECARS = "distilled1,ddim4,dpmpp10,lat64,ddim2,patch5,int8kv"
+
+
+def run_multi(args) -> None:
+    """Child mode: measure every planned point in THIS process, spooling
+    each completed result as a JSON line to --results-file so the parent
+    can salvage partial progress if a compile hangs past the deadline.
+
+    Budget policy: the headline is always attempted; each subsequent point
+    starts only if the elapsed wall time leaves room for a point at the
+    cost of the slowest one seen so far (cold compiles dominate, and all
+    points compile the same family of programs).
+    """
+    import copy
+
+    t0 = time.monotonic()
+    overrides = point_overrides(args)
+    wanted = ["headline"] + [s for s in args.sidecars.split(",")
+                             if s and s in overrides]
+    out = open(args.results_file or os.path.join(REPO, ".bench_points.jsonl"),
+               "a", buffering=1)
+    slowest = 0.0
+    for i, name in enumerate(wanted):
+        elapsed = time.monotonic() - t0
+        if i > 0:
+            need = max(slowest * 1.1, 120.0)
+            if elapsed + need > args.budget:
+                log(f"budget: {elapsed:.0f}s elapsed of {args.budget}s, "
+                    f"~{need:.0f}s needed -> skipping {wanted[i:]}")
+                for skipped in wanted[i:]:
+                    out.write(json.dumps({"point": skipped,
+                                          "skipped": "budget"}) + "\n")
+                break
+        pa = copy.copy(args)
+        for key, val in overrides[name].items():
+            setattr(pa, key, val)
+        tp = time.monotonic()
+        try:
+            res = measure(pa)
+        except SystemExit as e:
+            log(f"point {name} invalid (rc {e.code}); recording failure")
+            out.write(json.dumps({"point": name,
+                                  "failed": f"rc {e.code}"}) + "\n")
+            continue
+        except Exception as e:  # noqa: BLE001 — keep measuring other points
+            log(f"point {name} failed: {type(e).__name__}: {e}")
+            out.write(json.dumps({"point": name,
+                                  "failed": repr(e)[:200]}) + "\n")
+            continue
+        dt = time.monotonic() - tp
+        slowest = max(slowest, dt)
+        res["point"] = name
+        res["point_wall_s"] = round(dt, 1)
+        out.write(json.dumps(res) + "\n")
+        log(f"point {name} done in {dt:.0f}s")
+    out.close()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024, help="robots per chip")
@@ -235,123 +329,115 @@ def main():
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
     parser.add_argument("--inline", action="store_true",
-                        help="measure in-process (no fallback orchestration)")
-    parser.add_argument("--sidecars", type=str,
-                        default="distilled1,ddim4,ddim2,dpmpp10,lat64,patch5,int8kv",
-                        help="comma list of extra recorded points: distilled1 "
-                             "(1-step student path), ddim4/ddim2 (few-step-"
-                             "student operating points through the chunk "
-                             "kernel; quality ledger backs both), "
-                             "patch5 (encoder_patch_size=5, S=61), int8kv "
-                             "(int8 context K/V in-kernel); '' = headline only")
+                        help="measure ONE point in-process (no orchestration)")
+    parser.add_argument("--multi", action="store_true",
+                        help="child mode: measure headline + sidecars in one "
+                             "process, spooling results to --results-file")
+    parser.add_argument("--results-file", type=str, default="",
+                        help="(--multi) JSONL spool for completed points")
+    parser.add_argument("--budget", type=int, default=1800,
+                        help="total wall budget (s); when it runs short, "
+                             "remaining sidecars are SKIPPED, never the run "
+                             "killed — the headline is always attempted")
+    parser.add_argument("--sidecars", type=str, default=DEFAULT_SIDECARS,
+                        help="comma list of extra recorded points (priority "
+                             "order is fixed: %s); 'full' = all of them, "
+                             "'' = headline only" % FULL_SIDECARS)
     parser.add_argument("--no-distilled-sidecar", action="store_true",
                         help="skip all sidecar measurements (headline only)")
-    parser.add_argument("--child-timeout", type=int, default=3600,
-                        help="per-child wall limit; a cold-cache Mosaic "
-                             "compile of the chunk program through the "
-                             "tunnel has been observed at 800-1500+ s, "
-                             "and a timed-out child writes no cache entry")
     args = parser.parse_args()
+    if args.sidecars == "full":
+        args.sidecars = FULL_SIDECARS
+    if args.no_distilled_sidecar:
+        args.sidecars = ""
 
     if args.inline:
         print(json.dumps(measure(args)), flush=True)
         return
+    if args.multi:
+        run_multi(args)
+        return
 
-    # --solver rides in base so the headline/fallback children honor it;
-    # named sidecars that ARE a specific solver pin their own --solver
-    # afterwards (argparse last-occurrence-wins).
-    base = ["--batch", str(args.batch), "--chunks", str(args.chunks),
-            "--iters", str(args.iters), "--hidden", str(args.hidden),
-            "--solver", args.solver]
-    if not args.bf16:
-        base.append("--fp32")
-    enc = ([] if args.fused_encoder else ["--xla-encoder"]) + \
-        ["--fused-encoder-block", str(args.fused_encoder_block)]
+    # Parent: ONE child measures every point (one backend init, one warm
+    # compile-cache lineage — round 3's 8-children design blew the driver
+    # budget, BENCH_r03.json rc=124). The child spools each completed point;
+    # if it hangs in a cold Mosaic compile we kill it at the deadline and
+    # still report what finished.
+    t_start = time.monotonic()
+    results_file = os.path.join(REPO, ".bench_points.jsonl")
+    if os.path.exists(results_file):
+        os.remove(results_file)
+    child_args = [a for a in sys.argv[1:] if a]  # pass flags through verbatim
+    cmd = [sys.executable, os.path.abspath(__file__), "--multi",
+           "--results-file", results_file] + child_args
+    try:
+        proc = subprocess.run(cmd, capture_output=False, text=True,
+                              timeout=args.budget + 120, cwd=REPO,
+                              stdout=sys.stderr, stderr=sys.stderr)
+        if proc.returncode != 0:
+            log(f"multi child exited rc={proc.returncode}")
+    except subprocess.TimeoutExpired:
+        log(f"multi child killed at deadline ({args.budget + 120}s); "
+            "salvaging completed points")
 
-    # Headline: 30-step DDIM through the fused chunk kernel, with fallback.
-    result = None
-    if args.sampler == "chunk":
-        result = run_child(base + enc + ["--steps", str(args.steps),
-                                         "--sampler", "chunk",
-                                         "--patch", str(args.patch),
-                                         "--kv-quant", args.kv_quant,
-                                         "--fused-block", str(args.fused_block)],
-                           args.child_timeout)
-        if result is None:
-            log("falling back to the all-XLA path")
+    points: dict[str, dict] = {}
+    if os.path.exists(results_file):
+        with open(results_file) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    points[rec.pop("point", "?")] = rec
+
+    result = points.get("headline")
+    if result is not None and ("skipped" in result or "failed" in result):
+        result = None
     if result is None:
-        # fallback avoids Mosaic entirely (encoder included)
-        result = run_child(base + ["--xla-encoder", "--steps", str(args.steps),
-                                   "--sampler",
-                                   "none" if args.sampler == "chunk" else args.sampler],
-                           args.child_timeout)
+        # Headline never completed (cold-compile hang or kernel failure):
+        # fall back to the Mosaic-free XLA path, bounded by what's left of
+        # the budget (the XLA program compiles in ~1-2 min even cold).
+        log("headline missing; falling back to the all-XLA path")
+        remaining = max(300, int(args.budget + 300 - (time.monotonic() - t_start)))
+        base = ["--batch", str(args.batch), "--chunks", str(args.chunks),
+                "--iters", str(args.iters), "--hidden", str(args.hidden),
+                "--solver", args.solver, "--steps", str(args.steps)]
+        if not args.bf16:
+            base.append("--fp32")
+        result = run_child(base + ["--xla-encoder", "--sampler", "none"],
+                           remaining)
     if result is None:
         log("benchmark failed on all paths")
         sys.exit(1)
+    result.pop("point_wall_s", None)
 
-    # Sidecars: additional recorded operating points in the same JSON line.
-    #   distilled1 — 1-step student (BASELINE.md north star "30 Hz closed
-    #                loop with distilled sampler")
-    #   ddim4/ddim2 — few-step-distilled student serving points (same
-    #                kernel, T=4/T=2; quality ledger: docs/quality_ledger_r3c.md)
-    #   dpmpp10    — TRAINING-FREE few-step: DPM-Solver++(2M) at 10 steps
-    #                through the same chunk kernel (host-side coefficient
-    #                table swap; diffusion/dpm_solver.py). Measured at
-    #                "leading" spacing: spacing changes only the (T,5)
-    #                scalar table + step-token rows (identical kernel
-    #                work), and the recommended @lambda spacing amplifies
-    #                THIS bench's random-init model into huge outputs —
-    #                quality claims for dpmpp@lambda live in the trained
-    #                quality ledger, speed is spacing-independent.
-    #   patch5     — reference-sanctioned encoder_patch_size=5 (S=61)
-    #   int8kv     — int8 context K/V inside the chunk kernel
-    #   lat64      — deployment-batch latency point (64 robots; the
-    #                north-star "<10 ms p50 30-step chunk" contract;
-    #                perf_notes "Deployment-batch latency ladder")
-    sidecar_flags = {
-        "distilled1": ["--steps", "1", "--distilled", "--sampler", "chunk",
-                       "--solver", "ddim",
-                       "--chunks", str(4 * args.chunks),
-                       "--fused-block", str(args.fused_block_distilled)],
-        "ddim4": ["--steps", "4", "--sampler", "chunk", "--solver", "ddim",
-                  "--chunks", str(2 * args.chunks),
-                  "--fused-block", str(args.fused_block)],
-        "ddim2": ["--steps", "2", "--sampler", "chunk", "--solver", "ddim",
-                  "--chunks", str(3 * args.chunks),
-                  "--fused-block", str(args.fused_block)],
-        "dpmpp10": ["--steps", "10", "--solver", "dpmpp",
-                    "--sampler", "chunk",
-                    "--chunks", str(2 * args.chunks),
-                    "--fused-block", str(args.fused_block)],
-        "patch5": ["--steps", str(args.steps), "--sampler", "chunk",
-                   "--patch", "5",
-                   "--fused-block", str(args.fused_block)],
-        "int8kv": ["--steps", str(args.steps), "--sampler", "chunk",
-                   "--kv-quant", "int8",
-                   "--fused-block", str(args.fused_block)],
-        "lat64": ["--steps", str(args.steps), "--sampler", "chunk",
-                  "--batch", "64", "--chunks", "68",
-                  "--fused-block", str(args.fused_block)],
-    }
-    wanted = [] if args.no_distilled_sidecar else [
-        s for s in args.sidecars.split(",") if s]
-    for name in wanted:
-        if name not in sidecar_flags:
-            log(f"unknown sidecar {name!r}; skipping")
-            continue
-        side = run_child(base + enc + sidecar_flags[name], args.child_timeout)
-        if side is None and name == "distilled1":
-            side = run_child(base + ["--xla-encoder", "--steps", "1",
-                                     "--distilled", "--sampler", "none"],
-                             args.child_timeout // 2)
-        if side is None:
-            log(f"sidecar {name} failed; omitting")
+    skipped = []
+    for name in [s for s in args.sidecars.split(",") if s]:
+        side = points.get(name)
+        if side is None or "failed" in side or "skipped" in side:
+            skipped.append(name)
             continue
         result[f"{name}_chunks_per_sec_per_chip"] = side["value"]
         result[f"{name}_p50_replan_period_ms"] = side["p50_replan_period_ms"]
         result[f"{name}_sampler_path"] = side["sampler_path"]
         if side.get("batch_robots") != args.batch:
             result[f"{name}_batch_robots"] = side["batch_robots"]
+    if skipped:
+        result["sidecars_skipped"] = ",".join(skipped)
+    # Deployment headline (round-4 decision, docs/HEADLINE.md): the
+    # quality-gated 4-step student is the DEPLOYMENT operating point
+    # (1.37x the north star, quality within teacher self-consistency —
+    # docs/quality_ledger_r3c.md); the top-level `metric` stays the
+    # 30-step DDIM FIDELITY reference (the reference's own sampling
+    # semantics, ros.py:301-310) for cross-round protocol continuity.
+    if "ddim4_chunks_per_sec_per_chip" in result:
+        north_star = 4096 / 8 * (1000.0 / 10.0)
+        result["deployment_headline"] = "ddim4"
+        result["deployment_chunks_per_sec_per_chip"] = \
+            result["ddim4_chunks_per_sec_per_chip"]
+        result["deployment_vs_baseline"] = round(
+            result["ddim4_chunks_per_sec_per_chip"] / north_star, 3)
+        result["deployment_quality_gate"] = "docs/quality_ledger_r3c.md"
+    result["bench_wall_s"] = round(time.monotonic() - t_start, 1)
 
     print(json.dumps(result), flush=True)
 

@@ -256,10 +256,12 @@ def cmd_serve(args) -> int:
     schedule = make_schedule(config.train.train_denoising_timesteps)
     g_scale, g_null = 1.0, ("image",)
     if args.guidance:
-        scale_s, _, mods_s = args.guidance.partition("@")
-        g_scale = float(scale_s)
-        if mods_s:
-            g_null = tuple(mods_s.split(","))
+        from soccerdiffusion_tpu.data.pipeline import parse_guidance_spec
+
+        try:
+            g_scale, g_null = parse_guidance_spec(args.guidance)
+        except ValueError as e:
+            raise SystemExit(f"--guidance: {e}") from None
     sampler = make_chunk_sampler(
         model, schedule, norm, num_inference_steps=steps,
         distilled=distilled, solver=args.solver,

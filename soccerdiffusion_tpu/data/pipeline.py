@@ -270,6 +270,43 @@ MODALITY_KEYS = {
 }
 
 
+def parse_guidance_spec(spec: str) -> tuple[float, tuple[str, ...]]:
+    """Parse the CLI classifier-free-guidance spec ``SCALE[@MODALITY,...]``
+    (e.g. ``'2.0@image'``) into ``(scale, null_modalities)``.
+
+    One parser for every CLI surface (serve/plot/report) so malformed specs
+    fail uniformly: raises :class:`ValueError` on a non-numeric scale or an
+    unknown modality name (callers with an argparse parser wrap this in
+    ``parser.error``). The default modality is ``image``.
+    """
+    scale_s, _, mods_s = spec.partition("@")
+    try:
+        scale = float(scale_s)
+    except ValueError:
+        raise ValueError(
+            f"bad guidance spec {spec!r}: scale {scale_s!r} is not a number; "
+            "expected SCALE[@MODALITY,...], e.g. '2.0@image'") from None
+    mods = tuple(mods_s.split(",")) if mods_s else ("image",)
+    for mod in mods:
+        if mod != "all" and mod not in MODALITY_KEYS:
+            raise ValueError(
+                f"bad guidance spec {spec!r}: unknown modality {mod!r}; "
+                f"expected one of {sorted(MODALITY_KEYS)} or 'all'")
+    return scale, mods
+
+
+def inactive_guidance_modalities(model_config, modalities) -> list[str]:
+    """The subset of ``modalities`` that ``model_config`` never conditions
+    on — nulling those is a silent no-op (``eps_u == eps_c``), so guidance
+    pays the doubled-batch cost for an unguided result. Callers warn when
+    this is non-empty (advisor finding r3: ``serve --guidance 2.0@image``
+    on a camera-free config)."""
+    names = tuple(MODALITY_KEYS) if "all" in modalities else tuple(modalities)
+    off = {"image": not model_config.use_images,
+           "game_state": not model_config.use_gamestate}
+    return [m for m in names if off.get(m, False)]
+
+
 def null_modalities(batch: dict, modalities) -> dict:
     """Replace whole conditioning modalities with their "missing data" value
     for EVERY sample — the deterministic counterpart of
@@ -318,6 +355,15 @@ def null_modalities(batch: dict, modalities) -> dict:
                     identity = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=rot.dtype)
                 batch["rotation"] = jnp.broadcast_to(identity, rot.shape)
         elif name == "image":
+            if "image_tokens" in batch:
+                # cached per-frame ENCODINGS (inference/controller.py):
+                # zeroing them is not the null condition (the null is the
+                # zero IMAGE, whose encoding is nonzero) — refuse rather
+                # than produce a silently-wrong unconditional branch
+                raise ValueError(
+                    "cannot null the 'image' modality of a cached-token "
+                    "batch (image_tokens are encodings, not frames); serve "
+                    "guidance with cache_image_tokens=False")
             for key in ("image_u8", "image_data", "image_valid"):
                 if key in batch:
                     batch[key] = jnp.zeros_like(batch[key])

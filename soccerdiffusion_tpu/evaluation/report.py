@@ -386,22 +386,14 @@ def main(argv=None):
             parser.error(str(e))
         solver_rows.append((solver, int(m.group(2))))
 
-    from soccerdiffusion_tpu.data.pipeline import MODALITY_KEYS
+    from soccerdiffusion_tpu.data.pipeline import parse_guidance_spec
 
     guidance_rows = []
     for row in args.guidance_row:
-        scale_s, _, mods_s = row.partition("@")
         try:
-            scale = float(scale_s)
-        except ValueError:
-            parser.error(f"bad --guidance-row {row!r}; expected e.g. "
-                         f"'2.0@image'")
-        mods = tuple(mods_s.split(",")) if mods_s else ("image",)
-        for mod in mods:
-            if mod != "all" and mod not in MODALITY_KEYS:
-                parser.error(f"unknown modality {mod!r} in --guidance-row; "
-                             f"expected {sorted(MODALITY_KEYS)} or 'all'")
-        guidance_rows.append((scale, mods))
+            guidance_rows.append(parse_guidance_spec(row))
+        except ValueError as e:
+            parser.error(str(e))
 
     teacher_loaded = _load(args.teacher, prefer_ema=not args.raw_weights)
     config = Config.from_dict(teacher_loaded[0])

@@ -33,13 +33,26 @@ class ControllerState:
     imu_history: jnp.ndarray  # (B, I, 4|5)
     images: jnp.ndarray | None  # (B, F, H, W, 3) preprocessed, or None
     game_state: jnp.ndarray  # (B,) int32
+    # Serving-side image-token cache: per-frame encoder outputs (B, F,
+    # hidden), rolled on frame ARRIVAL (10 Hz) so replans skip the image
+    # encoder entirely (models/policy.py encode_image_frames). Mutually
+    # exclusive with ``images``.
+    image_tokens: jnp.ndarray | None = None
 
 
-def init_controller_state(config: ModelConfig, batch_size: int = 1) -> ControllerState:
+def init_controller_state(config: ModelConfig, batch_size: int = 1,
+                          cache_image_tokens: bool = False) -> ControllerState:
+    """``cache_image_tokens``: hold the image context as cached per-frame
+    TOKENS instead of raw frames. The zeros init is a placeholder — for
+    exact parity with the raw path's zero-image buffers, fill it with the
+    zero-frame encoding (see RolloutEngine.init / RealtimeController)."""
     cfg = config
     b = batch_size
-    images = None
-    if cfg.use_images:
+    images = image_tokens = None
+    if cfg.use_images and cache_image_tokens:
+        image_tokens = jnp.zeros(
+            (b, cfg.image_context_length, cfg.hidden_dim), dtype=jnp.float32)
+    elif cfg.use_images:
         images = jnp.zeros(
             (b, cfg.image_context_length, cfg.image_resolution, cfg.image_resolution, 3),
             dtype=jnp.float32,
@@ -52,6 +65,7 @@ def init_controller_state(config: ModelConfig, batch_size: int = 1) -> Controlle
         # The reference node pins game_state to 2 (= STOPPED in sorted order)
         # during play (ros.py:275); keep that default, callers may observe.
         game_state=jnp.full((b,), 2, dtype=jnp.int32),
+        image_tokens=image_tokens,
     )
 
 
@@ -66,6 +80,7 @@ def observe(
     imu: jnp.ndarray | None = None,  # (B, 4|5)
     image: jnp.ndarray | None = None,  # (B, H, W, 3) preprocessed
     game_state: jnp.ndarray | None = None,  # (B,)
+    image_tokens: jnp.ndarray | None = None,  # (B, hidden) encoded frame
 ) -> ControllerState:
     """Push one tick of sensor data into the rolling buffers (ros.py:205-257)."""
     updates = {}
@@ -77,6 +92,9 @@ def observe(
         updates["imu_history"] = _roll_append(state.imu_history, imu[:, None])
     if image is not None and state.images is not None:
         updates["images"] = _roll_append(state.images, image[:, None])
+    if image_tokens is not None and state.image_tokens is not None:
+        updates["image_tokens"] = _roll_append(state.image_tokens,
+                                               image_tokens[:, None])
     if game_state is not None:
         updates["game_state"] = game_state
     return state.replace(**updates)
@@ -93,7 +111,10 @@ def make_controller_batch(config: ModelConfig, state: ControllerState) -> dict:
     if config.use_imu:
         batch["rotation"] = state.imu_history
     if config.use_images:
-        batch["image_data"] = state.images
+        if state.image_tokens is not None:
+            batch["image_tokens"] = state.image_tokens
+        else:
+            batch["image_data"] = state.images
     if config.use_gamestate:
         batch["game_state"] = state.game_state
     if not batch:
@@ -119,6 +140,7 @@ def observe_many(
     joint_states: jnp.ndarray | None = None,  # (B, K, J)
     imus: jnp.ndarray | None = None,  # (B, K, 4|5)
     images: jnp.ndarray | None = None,  # (B, K', H, W, 3) preprocessed
+    image_tokens: jnp.ndarray | None = None,  # (B, K', hidden) encoded
 ) -> ControllerState:
     """Push K ticks of sensor rows in ONE buffer update per modality —
     identical result to K sequential ``observe`` calls (each an O(history)
@@ -132,4 +154,6 @@ def observe_many(
         updates["imu_history"] = _roll_append(state.imu_history, imus)
     if images is not None and state.images is not None:
         updates["images"] = _roll_append(state.images, images)
+    if image_tokens is not None and state.image_tokens is not None:
+        updates["image_tokens"] = _roll_append(state.image_tokens, image_tokens)
     return state.replace(**updates)

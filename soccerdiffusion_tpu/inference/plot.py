@@ -71,15 +71,23 @@ def main(argv=None):
     args = parser.parse_args(argv)
     g_scale, g_null = 1.0, ("image",)
     if args.guidance:
-        scale_s, _, mods_s = args.guidance.partition("@")
-        g_scale = float(scale_s)
-        if mods_s:
-            g_null = tuple(mods_s.split(","))
+        from soccerdiffusion_tpu.data.pipeline import parse_guidance_spec
+
+        try:
+            g_scale, g_null = parse_guidance_spec(args.guidance)
+        except ValueError as e:
+            parser.error(str(e))
 
     # shared decode: the step count plotted is the one served/evaluated
     # (training/checkpoint.py:load_policy_checkpoint)
     params, variables, normalizer, ckpt_steps, distilled = (
         load_policy_checkpoint(args.checkpoint))
+    if g_scale != 1.0 and distilled:
+        # consistent with serve (raises) / report (warns): never render
+        # silently-unguided plots for a guided request
+        parser.error("--guidance requires an iterative sampler; "
+                     f"{args.checkpoint} is a distilled checkpoint whose "
+                     "single forward is not a score prediction")
     config = Config.from_dict(params)
     if args.steps is None:
         args.steps = ckpt_steps

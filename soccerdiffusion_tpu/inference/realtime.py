@@ -78,6 +78,7 @@ class RealtimeController:
         plan_in_thread: bool = True,
         replan_every_ticks: Optional[int] = None,
         plan_join_timeout_s: Optional[float] = 600.0,
+        encode_image_fn: Optional[Callable] = None,
     ):
         self.cfg = config
         self.sample_fn = sample_fn
@@ -108,7 +109,28 @@ class RealtimeController:
                 f"got {replan_every_ticks}")
         self.replan_period = self.replan_every_ticks / control_rate_hz
 
-        self._state = init_controller_state(config, batch_size=1)
+        # Image-token caching (encode_image_fn given): each camera frame is
+        # encoded ONCE on arrival — on the 10 Hz image tick, off the replan
+        # critical path — and the replan samples against the cached token
+        # buffer (models/policy.py encode_image_frames / encode_context's
+        # image_tokens branch). The reference re-encodes the whole frame
+        # stack inside every 200 ms step() (ros.py:177-203, 287-313).
+        # ``encode_image_fn(variables, frames(1,K,H,W,3)) -> (1,K,hidden)``,
+        # e.g. jax.jit(partial(model.apply, method=model.encode_image_frames)).
+        self.encode_image_fn = encode_image_fn
+        cache_tokens = config.use_images and encode_image_fn is not None
+        self._state = init_controller_state(config, batch_size=1,
+                                            cache_image_tokens=cache_tokens)
+        if cache_tokens:
+            # parity with the raw path's zero-image buffers: prefill the
+            # cache with the zero-frame encoding
+            res = config.image_resolution
+            zero_tok = np.asarray(encode_image_fn(
+                variables, jnp.zeros((1, 1, res, res, 3))))
+            self._state = self._state.replace(image_tokens=jnp.broadcast_to(
+                jnp.asarray(zero_tok),
+                self._state.image_tokens.shape).astype(
+                    self._state.image_tokens.dtype))
         self._state_lock = threading.Lock()
         self._rng = jax.random.key(seed)
         self._slot: Optional[ChunkSlot] = None
@@ -134,6 +156,13 @@ class RealtimeController:
             image = self.io.read_image()
             if image is not None:
                 self._last_image_time = now
+        image_tokens = None
+        if image is not None and self.encode_image_fn is not None:
+            # encode on arrival (10 Hz), not on replan — the expensive
+            # per-frame encoder leaves the replan critical path entirely
+            image_tokens = self.encode_image_fn(
+                self.variables, jnp.asarray(image)[None, None])[:, 0]
+            image = None
         with self._state_lock:
             self._state = observe(
                 self._state,
@@ -141,6 +170,7 @@ class RealtimeController:
                 imu=None if imu is None else jnp.asarray(imu)[None],
                 image=None if image is None else jnp.asarray(image)[None],
                 game_state=None if game_state is None else jnp.full((1,), game_state, jnp.int32),
+                image_tokens=image_tokens,
             )
 
     def _plan_once(self) -> None:

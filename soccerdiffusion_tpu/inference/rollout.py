@@ -82,6 +82,7 @@ class RolloutEngine:
         fused_interpret: bool = False,
         guidance_scale: float = 1.0,
         guidance_null: tuple[str, ...] = ("image",),
+        cache_image_tokens: bool | None = None,
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -108,6 +109,15 @@ class RolloutEngine:
         # "int8": quantized context K/V inside the fused chunk kernel
         # (ops/fused_chunk.py context_kv_quant)
         self.fused_kv_quant = fused_kv_quant
+        # Serving-side image-token cache (default ON for image configs):
+        # per-frame ViT/ResNet encodings are computed once per FRAME
+        # arrival (10 Hz stub camera) and rolled in the controller state;
+        # replans run only the frame-sequence encoder. Numerically
+        # identical to re-encoding the stack (models/vision.py mode
+        # contract) at a fraction of the vision FLOPs per replan.
+        self.cache_image_tokens = (
+            self.cfg.use_images if cache_image_tokens is None
+            else bool(cache_image_tokens))
         # run the fused Pallas samplers in interpret mode (CPU tests /
         # dryruns; production leaves this False)
         self.fused_interpret = fused_interpret
@@ -142,11 +152,29 @@ class RolloutEngine:
             raise ValueError(
                 "guidance_scale != 1 requires the XLA iterative sampler "
                 "(fused=False, distilled=False)")
+        if (self.guidance_scale != 1.0 and self.cache_image_tokens
+                and self.cfg.use_images
+                and ("image" in self.guidance_null
+                     or "all" in self.guidance_null)):
+            raise ValueError(
+                "image-modality guidance cannot run against the image-token "
+                "cache (tokens are encodings, the null is the zero FRAME); "
+                "pass cache_image_tokens=False")
         if self.guidance_scale != 1.0:
-            from soccerdiffusion_tpu.data.pipeline import null_modalities
+            from soccerdiffusion_tpu.data.pipeline import (
+                inactive_guidance_modalities, null_modalities)
 
             # validate modality names eagerly, not at first replan
             null_modalities({}, self.guidance_null)
+            inactive = inactive_guidance_modalities(self.cfg,
+                                                    self.guidance_null)
+            if inactive:
+                from soccerdiffusion_tpu import logger
+
+                logger.warning(
+                    f"guidance over {inactive} is a no-op: the model config "
+                    "does not condition on those modalities — the doubled-"
+                    "batch CFG cost buys an unguided sample")
         # Receding-horizon control: replan after `replan_every` of the
         # chunk's pred_len ticks instead of playing the whole chunk. The
         # reference replans only at chunk boundaries (every pred_len/50 s =
@@ -171,9 +199,27 @@ class RolloutEngine:
 
     # ------------------------------------------------------------------ init
 
-    def init(self, batch_size: int, rng: jax.Array) -> RolloutCarry:
+    def init(self, batch_size: int, rng: jax.Array,
+             variables=None) -> RolloutCarry:
+        """``variables``: when the image-token cache is active, pass the
+        model variables to prefill the token buffer with the ZERO-frame
+        encoding — exact parity with the raw path's zero-image buffers
+        (reference ros.py:88-106 zero init) from the very first replan.
+        Without it the cache starts at zero TOKENS and warms up over the
+        first image_context_length frames."""
+        controller = init_controller_state(
+            self.cfg, batch_size,
+            cache_image_tokens=self.cache_image_tokens)
+        if controller.image_tokens is not None and variables is not None:
+            res = self.cfg.image_resolution
+            zero_tok = self.model.apply(
+                variables, jnp.zeros((1, 1, res, res, 3)),
+                method=self.model.encode_image_frames)  # (1, 1, hidden)
+            controller = controller.replace(image_tokens=jnp.broadcast_to(
+                zero_tok.astype(controller.image_tokens.dtype),
+                controller.image_tokens.shape))
         return RolloutCarry(
-            controller=init_controller_state(self.cfg, batch_size),
+            controller=controller,
             plant=PlantState(
                 positions=jnp.zeros((batch_size, self.cfg.num_joints)),
                 phase=jnp.linspace(0.0, 2 * jnp.pi, batch_size, endpoint=False),
@@ -201,10 +247,12 @@ class RolloutEngine:
                 block_robots=largest_dividing_block(
                     self.fused_encoder_block_robots, bsz),
             )
-            context = enc.encode(batch)
+            encode_fn = enc.encode
         else:
-            context = self.model.apply(variables, batch, False,
-                                       method=self.model.encode_context)
+            def encode_fn(b):
+                return self.model.apply(variables, b, False,
+                                        method=self.model.encode_context)
+        context = encode_fn(batch)
         bsz = context.shape[0]
         shape = (bsz, self.cfg.trajectory_prediction_length, self.cfg.num_joints)
         noise = jax.random.normal(rng, shape, dtype=jnp.float32)
@@ -277,10 +325,11 @@ class RolloutEngine:
             from soccerdiffusion_tpu.data.pipeline import null_modalities
 
             # CFG: stack the conditional and null-modality contexts along
-            # the batch axis so each step is ONE doubled-batch denoiser pass
-            ctx_u = self.model.apply(
-                variables, null_modalities(batch, self.guidance_null), False,
-                method=self.model.encode_context)
+            # the batch axis so each step is ONE doubled-batch denoiser pass.
+            # BOTH branches go through the same encode_fn (advisor r3: a
+            # fused-encoder conditional vs XLA unconditional would leak any
+            # encoder numeric gap into eps_c - eps_u).
+            ctx_u = encode_fn(null_modalities(batch, self.guidance_null))
             ctx2 = jnp.concatenate([context, ctx_u], axis=0)
             context_kv = self.model.apply(variables, ctx2,
                                           method=self.model.precompute_context_kv)
@@ -413,8 +462,17 @@ class RolloutEngine:
             frames = jnp.broadcast_to(
                 jnp.sin(base + ph), (ph.shape[0], n_frames, res, res, 1))
             frames = jnp.repeat(frames, 3, axis=-1)
+        frame_tokens = None
+        if frames is not None and carry.controller.image_tokens is not None:
+            # token cache: encode ONLY the frames that arrived this period
+            # (n_frames per replan vs the full image_context_length stack
+            # the raw path re-encodes inside encode_context every replan)
+            frame_tokens = self.model.apply(
+                variables, frames, method=self.model.encode_image_frames)
+            frames = None
         controller = observe_many(controller, joint_states=js_rows,
-                                  imus=imu_rows, images=frames)
+                                  imus=imu_rows, images=frames,
+                                  image_tokens=frame_tokens)
         return RolloutCarry(controller=controller, plant=plant, rng=rng), executed
 
     # --------------------------------------------------------------- rollout

@@ -47,9 +47,21 @@ def make_chunk_sampler(
                          "sampler; the distilled single forward is not a "
                          "score prediction")
     if guided:
-        from soccerdiffusion_tpu.data.pipeline import null_modalities
+        from soccerdiffusion_tpu.data.pipeline import (
+            inactive_guidance_modalities, null_modalities)
 
         null_modalities({}, guidance_null)  # validate names eagerly
+        inactive = inactive_guidance_modalities(model.config, guidance_null)
+        if inactive:
+            from soccerdiffusion_tpu import logger
+
+            # guiding a modality the config never conditions on makes
+            # eps_u == eps_c: doubled-batch cost for an unguided result
+            logger.warning(
+                f"guidance over {inactive} is a no-op: the model config "
+                "does not condition on "
+                f"{'/'.join(inactive)} (use_images/use_gamestate off); "
+                "the doubled-batch CFG cost buys an unguided sample")
 
     def sample_fn(variables, batch, rng):
         context = model.apply(variables, batch, False, method=model.encode_context)

@@ -113,7 +113,14 @@ class DiffusionPolicy(nn.Module):
         if cfg.use_joint_states:
             context.append(self.joint_states_encoder(batch["joint_state"].astype(self.dtype)))
         if cfg.use_images:
-            if "image_u8" in batch:
+            if "image_tokens" in batch:
+                # serving-side token cache (inference/controller.py): the
+                # per-frame encodings were computed as each frame ARRIVED;
+                # only the frame-sequence encoder runs per replan.
+                # Numerically identical to the image_data path.
+                context.append(self.image_sequence_encoder(
+                    batch["image_tokens"], train=train, mode="sequence"))
+            elif "image_u8" in batch:
                 # raw packed uint8 path: normalization folded into the
                 # encoder (vit) or applied in-jit (others); avoids
                 # materializing full-image float tensors (perf_notes.md)
@@ -132,6 +139,18 @@ class DiffusionPolicy(nn.Module):
             bsz = batch["joint_command"].shape[0]
             return jnp.zeros((bsz, 0, cfg.hidden_dim), dtype=self.dtype)
         return jnp.concatenate(context, axis=1)
+
+    def encode_image_frames(self, frames: jnp.ndarray,
+                            valid: jnp.ndarray | None = None,
+                            train: bool = False) -> jnp.ndarray:
+        """Per-frame image tokens (B, K, hidden) WITHOUT the frame-sequence
+        encoder — the cacheable half of the image pathway. Serving encodes
+        each camera frame once on arrival (10 Hz) and replans against the
+        cached token buffer via ``encode_context({"image_tokens": ...})``
+        (the reference re-encodes the whole frame stack every 200 ms step,
+        ml/inference/ros.py:177-203 + 287-313)."""
+        return self.image_sequence_encoder(frames, train=train, valid=valid,
+                                           mode="frames")
 
     def denoise(self, context: jnp.ndarray, noisy_chunk: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         """Predict epsilon for the noisy action chunk given context tokens."""

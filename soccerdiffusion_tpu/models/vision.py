@@ -312,36 +312,57 @@ class ImageSequenceEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
-                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                 valid: jnp.ndarray | None = None,
+                 mode: str = "full") -> jnp.ndarray:
         """``x``: normalized float frames, or raw uint8 frames when
         ``valid`` (B, T) is given. The ViT encoder consumes uint8 directly
         (normalization folded into its patch embed); other encoders
-        normalize here in-jit."""
-        b, t = x.shape[0], x.shape[1]
-        if x.ndim == 4 and self.encoder_type != "vit":
-            raise ValueError(
-                "pre-patchified frames (B, T, patches, P*P*C) are a ViT-only "
-                "input layout (data/pipeline.patchify_frames)")
-        encoder = make_image_encoder(self.encoder_type, self.hidden_dim,
-                                     self.use_final_avgpool, self.dtype,
-                                     self.attention_impl, remat=self.remat,
-                                     vit_geometry=self.vit_geometry,
-                                     vit_fused_block=self.vit_fused_block,
-                                     vit_fused_block_frames=self.vit_fused_block_frames,
-                                     vit_fused_gelu=self.vit_fused_gelu,
-                                     vit_fused_layout=self.vit_fused_layout)
-        if valid is not None and self.encoder_type != "vit":
-            from soccerdiffusion_tpu.data.pipeline import device_normalize_images
+        normalize here in-jit.
 
-            x = device_normalize_images(x, valid)
-            valid = None
-        frames = x.reshape((b * t,) + x.shape[2:])
-        if valid is not None:
-            tokens = encoder(frames, train, valid=valid.reshape(b * t))
+        ``mode`` splits the pipeline for serving-side token caching
+        (inference/realtime.py, rollout.py — frames arrive at 10 Hz but
+        replans run more often, so per-frame encodings are computed once
+        per FRAME, not once per replan):
+          * ``"full"``     frames -> per-frame tokens -> sequence encoder
+          * ``"frames"``   frames -> per-frame tokens (B, T, hidden) only
+          * ``"sequence"`` ``x`` IS the (B, T, hidden) token buffer; run
+            only the sequence encoder. ``frames(x) |> sequence`` is
+            numerically identical to ``full(x)`` (the per-frame encoder
+            depends on each frame alone).
+        """
+        if mode not in ("full", "frames", "sequence"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "sequence":
+            tokens = x.astype(self.dtype)
+            b, t = tokens.shape[0], tokens.shape[1]
         else:
-            # positional ``train`` so nn.remat's static_argnums covers it
-            tokens = encoder(frames, train)
-        tokens = tokens.reshape(b, t, self.hidden_dim)
+            b, t = x.shape[0], x.shape[1]
+            if x.ndim == 4 and self.encoder_type != "vit":
+                raise ValueError(
+                    "pre-patchified frames (B, T, patches, P*P*C) are a ViT-only "
+                    "input layout (data/pipeline.patchify_frames)")
+            encoder = make_image_encoder(self.encoder_type, self.hidden_dim,
+                                         self.use_final_avgpool, self.dtype,
+                                         self.attention_impl, remat=self.remat,
+                                         vit_geometry=self.vit_geometry,
+                                         vit_fused_block=self.vit_fused_block,
+                                         vit_fused_block_frames=self.vit_fused_block_frames,
+                                         vit_fused_gelu=self.vit_fused_gelu,
+                                         vit_fused_layout=self.vit_fused_layout)
+            if valid is not None and self.encoder_type != "vit":
+                from soccerdiffusion_tpu.data.pipeline import device_normalize_images
+
+                x = device_normalize_images(x, valid)
+                valid = None
+            frames = x.reshape((b * t,) + x.shape[2:])
+            if valid is not None:
+                tokens = encoder(frames, train, valid=valid.reshape(b * t))
+            else:
+                # positional ``train`` so nn.remat's static_argnums covers it
+                tokens = encoder(frames, train)
+            tokens = tokens.reshape(b, t, self.hidden_dim)
+            if mode == "frames":
+                return tokens
         if self.sequence_encoder_type == "transformer":
             # The reference stacks a full BaseEncoder with patch_size=1 and
             # 8 heads over the frame tokens (reference image.py:112-118).

@@ -125,3 +125,36 @@ def test_rollout_with_fused_encoder_matches_xla_rollout():
     _, chunks1 = fused.make_rollout_fn(2, jit=False)(variables, c1)
     np.testing.assert_allclose(np.asarray(chunks1), np.asarray(chunks0),
                                atol=5e-4)
+
+
+def test_guided_rollout_with_fused_encoder_matches_xla():
+    """CFG through the fused encoder: BOTH the conditional and the nulled
+    unconditional branch ride the same encoder (advisor r3 — a mixed
+    fused/XLA pair would leak the encoder numeric gap into eps_c - eps_u)."""
+    from soccerdiffusion_tpu.data import Normalizer
+    from soccerdiffusion_tpu.diffusion import make_schedule
+    from soccerdiffusion_tpu.inference import RolloutEngine
+
+    cfg = ModelConfig(
+        num_joints=6, hidden_dim=64, trajectory_prediction_length=5,
+        action_context_length=16, joint_state_context_length=16,
+        imu_context_length=16, use_images=False, use_gamestate=True,
+        num_action_history_encoder_layers=2, num_imu_encoder_layers=2,
+        joint_state_encoder_layers=2, num_decoder_layers=2,
+        compute_dtype="float32",
+    )
+    model, variables, _ = build(cfg, batch_size=4)
+    schedule = make_schedule(50)
+    norm = Normalizer.identity(cfg.num_joints)
+    kw = dict(num_inference_steps=3, guidance_scale=2.5,
+              guidance_null=("imu", "game_state"))
+    base = RolloutEngine(model, schedule, norm, **kw)
+    fused = RolloutEngine(model, schedule, norm,
+                          fused_encoder="interpret", **kw)
+    c0 = base.init(4, jax.random.key(0))
+    c1 = fused.init(4, jax.random.key(0))
+    _, chunks0 = base.make_rollout_fn(2, jit=False)(variables, c0)
+    _, chunks1 = fused.make_rollout_fn(2, jit=False)(variables, c1)
+    assert np.isfinite(np.asarray(chunks1)).all()
+    np.testing.assert_allclose(np.asarray(chunks1), np.asarray(chunks0),
+                               atol=5e-3)

@@ -175,6 +175,50 @@ class TestGuidedServing:
             with pytest.raises(ValueError, match="XLA iterative sampler"):
                 RolloutEngine(model, sched, norm, guidance_scale=2.0, **bad)
 
+    def test_parse_guidance_spec(self):
+        """One shared SCALE[@MODALITY,...] parser for serve/plot/report
+        (advisor r3: malformed --guidance used to traceback in serve/plot
+        while report validated)."""
+        import pytest
+
+        from soccerdiffusion_tpu.data.pipeline import parse_guidance_spec
+
+        assert parse_guidance_spec("2.0") == (2.0, ("image",))
+        assert parse_guidance_spec("1.5@imu,game_state") == \
+            (1.5, ("imu", "game_state"))
+        assert parse_guidance_spec("3@all") == (3.0, ("all",))
+        with pytest.raises(ValueError, match="not a number"):
+            parse_guidance_spec("image")
+        with pytest.raises(ValueError, match="not a number"):
+            parse_guidance_spec("@image")
+        with pytest.raises(ValueError, match="unknown modality"):
+            parse_guidance_spec("2.0@camera")
+
+    def test_inactive_modality_guidance_warns(self, caplog):
+        """Guiding a modality the config never conditions on is a silent
+        no-op (eps_u == eps_c); both serving constructors warn (advisor
+        r3, inference/sampler.py + rollout.py)."""
+        import logging
+
+        model, _ = make_model()  # CFG: use_images=False
+        sched = make_schedule(50)
+        norm = Normalizer.identity(8)
+        with caplog.at_level(logging.WARNING, logger="soccerdiffusion_tpu"):
+            make_chunk_sampler(model, sched, norm, guidance_scale=2.0,
+                               guidance_null=("image",))
+        assert any("no-op" in r.message for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="soccerdiffusion_tpu"):
+            RolloutEngine(model, sched, norm, guidance_scale=2.0,
+                          guidance_null=("image",))
+        assert any("no-op" in r.message for r in caplog.records)
+        # an ACTIVE modality does not warn
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="soccerdiffusion_tpu"):
+            make_chunk_sampler(model, sched, norm, guidance_scale=2.0,
+                               guidance_null=("imu",))
+        assert not any("no-op" in r.message for r in caplog.records)
+
 
 class TestPlayer:
     def test_select_action_by_wall_clock(self):
@@ -327,6 +371,63 @@ class TestRealtimeController:
         assert len(ctrl.plan_latencies_ms) >= 1
         # untrained model -> arbitrary magnitudes, but the loop must stay finite
         assert np.isfinite(io.positions).all()
+
+    def test_closed_loop_cached_image_tokens(self):
+        """Camera config with encode_image_fn: frames are encoded on the
+        10 Hz image tick into the token cache, and every replan samples
+        against batch['image_tokens'] (no raw frames on the plan path)."""
+        from functools import partial
+
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.inference.realtime import (
+            RealtimeController,
+            SimulatedRobotIO,
+        )
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        cfg = ModelConfig(
+            num_joints=8, hidden_dim=32, trajectory_prediction_length=5,
+            action_context_length=12, joint_state_context_length=12,
+            imu_context_length=12, use_images=True, image_encoder_type="vit",
+            image_sequence_encoder_type="none", image_context_length=3,
+            image_resolution=32, vit_patch_size=16, vit_width=32, vit_depth=1,
+            use_gamestate=False, num_action_history_encoder_layers=1,
+            num_imu_encoder_layers=1, joint_state_encoder_layers=1,
+            num_decoder_layers=1)
+        model = DiffusionPolicy(cfg)
+        state = init_controller_state(cfg, batch_size=1)
+        batch = make_controller_batch(cfg, state)
+        variables = model.init(jax.random.key(0), batch,
+                               jnp.zeros((1, 5, 8)), jnp.zeros((1,), jnp.int32))
+
+        base_sampler = make_chunk_sampler(
+            model, make_schedule(100), Normalizer.identity(8),
+            num_inference_steps=2)
+        seen_keys = []
+
+        def sampler(variables, batch, rng):
+            seen_keys.append(sorted(batch))
+            return base_sampler(variables, batch, rng)
+
+        class CameraIO(SimulatedRobotIO):
+            def read_image(self):
+                return np.full((32, 32, 3), 0.25, dtype=np.float32)
+
+        clock = VirtualClock()
+        ctrl = RealtimeController(
+            cfg, sampler, variables, CameraIO(num_joints=8),
+            control_rate_hz=100, clock=clock, sleep_fn=clock.sleep,
+            plan_in_thread=False,
+            encode_image_fn=partial(model.apply,
+                                    method=model.encode_image_frames),
+        )
+        # the cache prefills with the zero-frame encoding, not zeros
+        assert ctrl._state.image_tokens is not None
+        assert float(np.abs(np.asarray(ctrl._state.image_tokens)).max()) > 0
+        ctrl.run(duration_s=0.5)
+        assert seen_keys and all("image_tokens" in k and "image_data" not in k
+                                 for k in seen_keys)
+        assert np.isfinite(ctrl._state.image_tokens).all()
 
     def test_closed_loop_receding_horizon(self):
         """replan_every_ticks=2 doubles the replan rate (and pushes 2-row
@@ -555,8 +656,11 @@ class TestMultimodalRollout:
             num_imu_encoder_layers=1, joint_state_encoder_layers=1,
             num_decoder_layers=1)
         model = DiffusionPolicy(cfg)
+        # cache_image_tokens=False: the raw-frame path (reference buffer
+        # semantics, ros.py:205-257); the cached default is covered below
         engine = RolloutEngine(model, make_schedule(50), Normalizer.identity(8),
-                               num_inference_steps=2)
+                               num_inference_steps=2,
+                               cache_image_tokens=False)
         carry = engine.init(3, jax.random.key(0))
         batch = make_controller_batch(cfg, carry.controller)
         variables = model.init(jax.random.key(1), batch,
@@ -568,6 +672,54 @@ class TestMultimodalRollout:
         # 2 periods x 2 frames = newest 4 slots filled, non-zero
         assert imgs.shape == (3, 4, 32, 32, 3)
         assert np.abs(imgs[:, -1]).max() > 0
+
+    def test_cached_token_rollout_matches_raw_frames(self):
+        """Image-token caching (the default for image configs): per-frame
+        encodings computed on frame arrival + sequence-encoder-only replans
+        produce the SAME rollout as re-encoding the raw frame stack every
+        replan — while carrying a (B, F, hidden) buffer instead of
+        (B, F, H, W, 3)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from soccerdiffusion_tpu.config import ModelConfig
+        from soccerdiffusion_tpu.data.normalizer import Normalizer
+        from soccerdiffusion_tpu.diffusion import make_schedule
+        from soccerdiffusion_tpu.inference import RolloutEngine
+        from soccerdiffusion_tpu.inference.controller import make_controller_batch
+        from soccerdiffusion_tpu.models import DiffusionPolicy
+
+        cfg = ModelConfig(
+            num_joints=8, hidden_dim=32, trajectory_prediction_length=10,
+            action_context_length=12, joint_state_context_length=12,
+            imu_context_length=12, use_images=True, image_encoder_type="vit",
+            image_sequence_encoder_type="transformer",
+            num_image_sequence_encoder_layers=1, image_context_length=4,
+            image_resolution=32, vit_patch_size=16, vit_width=32, vit_depth=1,
+            use_gamestate=False, num_action_history_encoder_layers=1,
+            num_imu_encoder_layers=1, joint_state_encoder_layers=1,
+            num_decoder_layers=1, compute_dtype="float32")
+        model = DiffusionPolicy(cfg)
+        sched = make_schedule(50)
+        norm = Normalizer.identity(8)
+        raw = RolloutEngine(model, sched, norm, num_inference_steps=2,
+                            cache_image_tokens=False)
+        cached = RolloutEngine(model, sched, norm, num_inference_steps=2)
+        assert cached.cache_image_tokens  # default ON for image configs
+        c0 = raw.init(2, jax.random.key(0))
+        batch = make_controller_batch(cfg, c0.controller)
+        variables = model.init(jax.random.key(1), batch,
+                               jnp.zeros((2, 10, 8)), jnp.zeros((2,), jnp.int32))
+        # variables prefill the token cache with the zero-frame encoding ->
+        # exact parity from the very first replan
+        c1 = cached.init(2, jax.random.key(0), variables=variables)
+        assert c1.controller.images is None
+        assert c1.controller.image_tokens.shape == (2, 4, 32)
+        _, chunks_raw = raw.make_rollout_fn(3, jit=False)(variables, c0)
+        _, chunks_tok = cached.make_rollout_fn(3, jit=False)(variables, c1)
+        np.testing.assert_allclose(np.asarray(chunks_tok),
+                                   np.asarray(chunks_raw), atol=1e-5)
 
     def test_fused_encoder_rejected_for_image_configs(self):
         import jax

@@ -353,12 +353,17 @@ class TestCLI:
         assert main(["import", "bit-bots", str(f), "lab"]) == 1
 
     def test_recording2mcap_roundtrip(self, tmp_path):
-        """DB -> .mcap export through the vendored writer, read back with the
-        vendored reader (reference dataset/recording2mcap.py:302-320)."""
+        """DB -> ROS 2-typed .mcap export (CDR channels, the types the
+        reference's rosbag2 exporter registers, recording2mcap.py:76-299),
+        read back with the vendored reader + schema-driven CDR decoder and
+        compared against the DB rows."""
         import json
 
+        import numpy as np
+
         from soccerdiffusion_tpu.cli import main
-        from soccerdiffusion_tpu.ingest.mcap_io import McapReader
+        from soccerdiffusion_tpu.config import CANONICAL_JOINT_NAMES_22
+        from soccerdiffusion_tpu.ingest.mcap_io import McapReader, decode_cdr
 
         db = str(tmp_path / "db.sqlite3")
         main(["db", "create-schema", "--db", db])
@@ -368,12 +373,59 @@ class TestCLI:
 
         r = McapReader.from_file(out)
         topics = {c.topic for c in r.channels.values()}
-        assert {"/recording", "/image", "/rotation", "/joint_states",
-                "/joint_commands", "/game_state"} <= topics
-        msgs = list(r.iter_messages(topics=["/joint_commands"]))
+        assert {"/recording", "/image", "/rotation", "/rotation/euler",
+                "/joint_states", "/joint_commands", "/game_state"} <= topics
+        # every channel is CDR over a ros2msg schema — a rosbag2 consumer's
+        # contract (no more foxglove-JSON)
+        for c in r.channels.values():
+            assert c.message_encoding == "cdr"
+
+        def decoded(topic):
+            for _, schema, m in r.iter_messages(topics=[topic]):
+                assert schema.encoding == "ros2msg"
+                yield m, decode_cdr(schema.data.decode(), schema.name, m.data)
+
+        # /recording: JSON info in a std_msgs/String at t=0, incl. counts
+        (m0, info_msg), = decoded("/recording")
+        info = json.loads(info_msg.data)
+        assert info["num_joint_commands"] == 50
+        assert info["img_width"] > 0
+
+        # /joint_commands: positions equal the DB row, stamp in the header
+        msgs = list(decoded("/joint_commands"))
         assert len(msgs) == 50
-        payload = json.loads(msgs[0][2].data)
-        assert len(payload["name"]) == 22
+        conn = connect(db)
+        joint_cols = ", ".join(f'"{n}"' for n in CANONICAL_JOINT_NAMES_22)
+        rows = conn.execute(
+            f"SELECT stamp, {joint_cols} FROM JointCommands"
+            " WHERE recording_id=1 ORDER BY stamp").fetchall()
+        for (m, msg), row in zip(msgs, rows):
+            assert list(msg.name) == list(CANONICAL_JOINT_NAMES_22)
+            np.testing.assert_allclose(msg.position, row[1:], rtol=1e-12)
+            stamp = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+            assert abs(stamp - row[0]) < 1e-6
+            assert m.log_time == msg.header.stamp.sec * 10**9 + \
+                msg.header.stamp.nanosec
+
+        # /image: rgb8 frame with the DB blob byte-for-byte
+        (m, img), = ((m, v) for m, v in [next(iter(decoded("/image")))])
+        blob = conn.execute(
+            "SELECT data FROM Image WHERE recording_id=1"
+            " ORDER BY stamp LIMIT 1").fetchone()[0]
+        assert img.encoding == "rgb8"
+        assert img.step == img.width * 3
+        assert bytes(img.data) == bytes(blob)
+
+        # /rotation + /rotation/euler ride the same stamps
+        quats = list(decoded("/rotation"))
+        eulers = list(decoded("/rotation/euler"))
+        assert len(quats) == len(eulers) > 0
+        qx = quats[0][1]
+        assert np.isfinite([qx.x, qx.y, qx.z, qx.w]).all()
+
+        # /game_state: raw state string
+        states = [v.data for _, v in decoded("/game_state")]
+        assert states and all(isinstance(s, str) for s in states)
 
     def test_recording2mcap_missing_recording(self, tmp_path):
         from soccerdiffusion_tpu.cli import main

@@ -95,6 +95,37 @@ class TestShapes:
         # 20/5 per modality * 3 + 1 game state
         assert ctx.shape == (2, 13, 16)
 
+    def test_image_token_cache_matches_full_image_path(self, rng):
+        """encode_image_frames |> encode_context({'image_tokens': ...}) is
+        numerically identical to encode_context({'image_data': ...}) — the
+        contract the serving-side token cache rests on
+        (models/vision.py mode docstring, inference/controller.py)."""
+        cfg = ModelConfig(**{
+            **PROPRIO, "use_images": True, "image_encoder_type": "vit",
+            "image_sequence_encoder_type": "transformer",
+            "num_image_sequence_encoder_layers": 1,
+            "image_context_length": 3, "image_resolution": 32,
+            "vit_patch_size": 16, "vit_width": 32, "vit_depth": 1,
+        })
+        model = DiffusionPolicy(cfg)
+        batch = make_batch(rng, cfg=cfg)
+        batch["image_data"] = jnp.asarray(
+            rng.standard_normal((2, 3, 32, 32, 3)).astype(np.float32))
+        noisy = jnp.asarray(rng.standard_normal((2, 5, 6)).astype(np.float32))
+        t = jnp.array([3, 900])
+        variables = model.init(jax.random.key(0), batch, noisy, t)
+        ctx_full = model.apply(variables, batch, False,
+                               method=model.encode_context)
+        tokens = model.apply(variables, batch["image_data"],
+                             method=model.encode_image_frames)
+        assert tokens.shape == (2, 3, cfg.hidden_dim)
+        batch_tok = {k: v for k, v in batch.items() if k != "image_data"}
+        batch_tok["image_tokens"] = tokens
+        ctx_tok = model.apply(variables, batch_tok, False,
+                              method=model.encode_context)
+        np.testing.assert_allclose(np.asarray(ctx_tok), np.asarray(ctx_full),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_all_encoders_off_uses_step_token_only(self, rng):
         # decoder_only tier (reference config/decoder_only.yaml): context is
         # just the diffusion step token.
