@@ -364,7 +364,11 @@ def main():
     # if it hangs in a cold Mosaic compile we kill it at the deadline and
     # still report what finished.
     t_start = time.monotonic()
-    results_file = os.path.join(REPO, ".bench_points.jsonl")
+    # Per-run unique spool: a fixed path can be clobbered by a concurrent
+    # bench/test process (observed: a pytest run poisoned a live bench's
+    # results with stub records), and "a" mode keeps writing to the
+    # unlinked inode while the parent reads fresh garbage.
+    results_file = os.path.join(REPO, f".bench_points.{os.getpid()}.jsonl")
     if os.path.exists(results_file):
         os.remove(results_file)
     child_args = [a for a in sys.argv[1:] if a]  # pass flags through verbatim
@@ -388,6 +392,7 @@ def main():
                 if line.startswith("{"):
                     rec = json.loads(line)
                     points[rec.pop("point", "?")] = rec
+        os.remove(results_file)
 
     result = points.get("headline")
     if result is not None and ("skipped" in result or "failed" in result):
