@@ -235,13 +235,18 @@ def main():
                      overrides={"vit_fused_block": False})
     # NB: a failed oversized device_put poisons the tunnel device for the
     # rest of the process (server-side allocations are not reclaimed), so
-    # only attempt batches known to fit for the conv configs.
+    # only attempt batches known to fit for the conv configs — unless
+    # MFU_BATCH explicitly pins a ladder (the round-4 remat campaign runs
+    # larger batches with remat_image_encoder=true via MFU_OVERRIDES).
+    conv_batches = tuple(
+        int(b) for b in os.environ.get("MFU_BATCH", "64,32").split(",")) \
+        if only in ("default_resnet18", "larger_model") else (64, 32)
     if want("default_resnet18"):
         bench_config("default_resnet18", os.path.join(cfgdir, "default.yaml"),
-                     batch_sizes=(64, 32))
+                     batch_sizes=conv_batches)
     if want("larger_model"):
         bench_config("larger_model", os.path.join(cfgdir, "larger_model.yaml"),
-                     batch_sizes=(64, 32))
+                     batch_sizes=conv_batches)
     emit(bench="done")
 
 

@@ -243,12 +243,32 @@ class TrainConfig:
     # "missing data" padding value instead of the real input
     # (data/pipeline.py dropout_modalities). 0 = off (reference behavior).
     modality_dropout: float = 0.0
+    # Camera-credit levers (round-4: make the policy demonstrably USE its
+    # camera on camera-cued data; docs/quality_ledger_vision_oracle.md
+    # shows the learnable signal lives almost entirely in the ~10% of
+    # windows whose stamp coincides with a frame arrival):
+    # fraction of each training epoch drawn (with replacement) from the
+    # image-BOUNDARY windows (data/dataset.py image_boundary_indices) —
+    # 0 = uniform windows (reference behavior)
+    boundary_oversample: float = 0.0
+    # learning-rate multiplier for the image_sequence_encoder subtree
+    # (per-module update scaling in training/trainer.py make_optimizer);
+    # 1.0 = single LR (reference behavior)
+    image_encoder_lr_mult: float = 1.0
 
     def __post_init__(self) -> None:
         if not 0.0 <= self.modality_dropout < 1.0:
             raise ValueError(
                 f"modality_dropout must be in [0, 1), got {self.modality_dropout}"
             )
+        if not 0.0 <= self.boundary_oversample < 1.0:
+            raise ValueError(
+                f"boundary_oversample must be in [0, 1), got "
+                f"{self.boundary_oversample}")
+        if self.image_encoder_lr_mult <= 0.0:
+            raise ValueError(
+                f"image_encoder_lr_mult must be > 0, got "
+                f"{self.image_encoder_lr_mult}")
 
 
 @dataclass(frozen=True)

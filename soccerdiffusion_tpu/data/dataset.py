@@ -316,6 +316,27 @@ class WindowedDataset:
             )
         return out
 
+    @staticmethod
+    def oversampled_order(n: int, special: np.ndarray, frac: float,
+                          rng: np.random.Generator) -> np.ndarray:
+        """An epoch's window order with ``frac`` of the slots drawn (with
+        replacement) from ``special`` and the rest a uniform permutation.
+
+        The round-4 camera lever: on camera-cued data the learnable image
+        signal concentrates in the ~1/image_step boundary windows
+        (docs/quality_ledger_vision_oracle.md — achievable cued/blind
+        ratio 59.5x there vs 1.3x on mixed windows), so uniform sampling
+        starves the image pathway's gradient by ~10x. Epoch length and
+        batch shapes are unchanged; evaluation always uses uniform
+        held-out windows (evaluation/report.py)."""
+        order = rng.permutation(n)
+        if frac <= 0.0 or len(special) == 0:
+            return order
+        k = int(round(frac * n))
+        slots = rng.choice(n, size=k, replace=False)
+        order[slots] = rng.choice(special, size=k, replace=True)
+        return order
+
     def image_boundary_indices(self) -> np.ndarray:
         """Window indices whose stamp coincides with an image stamp — the
         windows where a camera frame has JUST become visible.
@@ -385,11 +406,17 @@ class WindowedDataset:
         return np.concatenate([self[int(i)]["joint_command"] for i in idx], axis=0)
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_remainder: bool = True):
-        """Yield stacked numpy batch dicts for one epoch."""
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+                drop_remainder: bool = True, order: np.ndarray | None = None):
+        """Yield stacked numpy batch dicts for one epoch.
+
+        ``order``: explicit window-index sequence for the epoch (overrides
+        ``shuffle``/``seed``) — the hook :func:`oversampled_order` rides
+        for boundary-window oversampling (TrainConfig.boundary_oversample).
+        """
+        if order is None:
+            order = np.arange(len(self))
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
         limit = len(order) - (len(order) % batch_size if drop_remainder else 0)
         for i in range(0, limit, batch_size):
             chunk = [self[int(j)] for j in order[i : i + batch_size]]

@@ -377,13 +377,36 @@ class PackedDataset:
                 out["game_state"][i] = self.gs[rs + li]
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_remainder: bool = True):
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+                drop_remainder: bool = True, order: np.ndarray | None = None):
+        if order is None:
+            order = np.arange(len(self))
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
         limit = len(order) - (len(order) % batch_size if drop_remainder else 0)
         for i in range(0, limit, batch_size):
             yield self.assemble(order[i : i + batch_size])
+
+    def image_boundary_indices(self) -> np.ndarray:
+        """Window indices whose stamp coincides with an image stamp — same
+        contract as WindowedDataset.image_boundary_indices (the camera-
+        credit windows; TrainConfig.boundary_oversample rides this)."""
+        if not self.cfg.use_images or self.img_stamps is None:
+            return np.asarray([], dtype=np.int64)
+        out = []
+        half_tick = 0.5 / self.sampling_rate
+        for r in range(len(self.rec_lengths)):
+            n_win = int(self._cum[r + 1] - self._cum[r])
+            s0, cnt = int(self.img_rec_starts[r]), int(self.img_rec_counts[r])
+            stamps = np.asarray(self.img_stamps[s0:s0 + cnt], dtype=np.float64)
+            if not len(stamps):
+                continue
+            win_stamps = np.arange(n_win) * self.stride / self.sampling_rate
+            k = np.searchsorted(stamps, win_stamps + half_tick) - 1
+            hit = (k >= 0) & (np.abs(stamps[np.maximum(k, 0)] - win_stamps)
+                              < half_tick)
+            out.append(np.nonzero(hit)[0] + int(self._cum[r]))
+        return (np.concatenate(out) if out
+                else np.asarray([], dtype=np.int64))
 
     def sample_targets(self, num_samples: int, seed: int = 0) -> np.ndarray:
         rng = np.random.default_rng(seed)

@@ -108,15 +108,17 @@ class DeviceResidentData:
         return self.num_samples
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_remainder: bool = True):
+                drop_remainder: bool = True, order=None):
         import numpy as np
 
-        order = np.arange(self.num_samples)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+        if order is None:
+            order = np.arange(self.num_samples)
+            if shuffle:
+                np.random.default_rng(seed).shuffle(order)
         limit = len(order) - (len(order) % batch_size if drop_remainder else 0)
         for i in range(0, limit, batch_size):
-            idx = jax.device_put(order[i : i + batch_size], self._device)
+            idx = jax.device_put(np.asarray(order[i : i + batch_size]),
+                                 self._device)
             yield self._gather(self.data, idx)
 
 

@@ -160,8 +160,15 @@ def main(argv=None):
 
     model = DiffusionPolicy(config.model)
     schedule = make_schedule(config.train.train_denoising_timesteps)
+    lr_mults = None
+    if config.model.use_images and config.train.image_encoder_lr_mult != 1.0:
+        # camera-credit lever (round 4): faster learning for the image
+        # pathway without touching the proprio/decoder LR
+        lr_mults = {"image_sequence_encoder": config.train.image_encoder_lr_mult}
+        logger.info(f"image_sequence_encoder LR x{config.train.image_encoder_lr_mult:g}")
     optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay,
-                               flat=config.train.flat_optimizer)
+                               flat=config.train.flat_optimizer,
+                               module_lr_mults=lr_mults)
 
     from soccerdiffusion_tpu.data.pipeline import prepare_batch
 
@@ -243,19 +250,40 @@ def main(argv=None):
     # async dispatch and systematically under-measure the pipeline the code
     # is capable of. The global step is tracked host-side so no per-step
     # state.step fetch forces a sync either.
+    # Boundary-window oversampling (camera-credit lever, round 4): a
+    # fraction of each epoch's slots re-drawn from the windows where a
+    # camera frame just arrived — where the cued signal lives
+    # (data/dataset.py oversampled_order docstring).
+    boundary = None
+    if (config.train.boundary_oversample > 0.0
+            and hasattr(dataset, "image_boundary_indices")):
+        boundary = dataset.image_boundary_indices()
+        logger.info(
+            f"boundary oversampling {config.train.boundary_oversample:g}: "
+            f"{len(boundary)} boundary windows of {len(dataset)}")
+
     log_every = max(1, config.train.log_every)
     global_step = int(state.step)
     with mesh:
         for epoch in range(start_epoch, epochs):
             window_steps = 0
             mfu.start()
+            order = None
+            if boundary is not None and len(boundary):
+                from soccerdiffusion_tpu.data.dataset import WindowedDataset
+
+                order = WindowedDataset.oversampled_order(
+                    len(dataset), boundary,
+                    config.train.boundary_oversample,
+                    np.random.default_rng(args.seed + epoch))
             batch_iter = (
                 device_data.batches(batch_size, shuffle=True,
-                                    seed=args.seed + epoch)
+                                    seed=args.seed + epoch, order=order)
                 if device_data is not None else
                 prefetch_to_device(
                     dataset.batches(batch_size, shuffle=True,
-                                    seed=args.seed + epoch), mesh))
+                                    seed=args.seed + epoch, order=order),
+                    mesh))
             for i, host_batch in enumerate(batch_iter):
                 if i >= steps_per_epoch:
                     break

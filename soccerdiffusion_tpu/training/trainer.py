@@ -49,6 +49,7 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     use_onecycle: bool = True,
     flat: bool = False,
+    module_lr_mults: dict[str, float] | None = None,
 ) -> optax.GradientTransformation:
     """AdamW + OneCycle (torch defaults; reference train.py:162-174).
 
@@ -57,6 +58,12 @@ def make_optimizer(
     ~8 per param tensor (training/flat_optim.py). Note the optimizer
     state becomes one flat mu/nu pair, so checkpoints do not interchange
     with ``flat=False`` ones.
+
+    ``module_lr_mults``: {top-level param module name -> multiplier} —
+    scales the post-AdamW update of that subtree (exactly equivalent to a
+    per-module LR since AdamW's update is lr-linear). The round-4 camera
+    lever (TrainConfig.image_encoder_lr_mult) rides this with
+    ``{"image_sequence_encoder": m}``.
     """
     if use_onecycle:
         schedule = optax.cosine_onecycle_schedule(
@@ -70,6 +77,18 @@ def make_optimizer(
         from soccerdiffusion_tpu.training.flat_optim import flat_wrap
 
         opt = flat_wrap(opt)
+    mults = {k: m for k, m in (module_lr_mults or {}).items() if m != 1.0}
+    if mults:
+        def mask_for(module: str):
+            def mask(tree):
+                return {k: jax.tree.map(lambda _: k == module, v)
+                        for k, v in tree.items()}
+            return mask
+
+        opt = optax.chain(opt, *[
+            optax.masked(optax.scale(m), mask_for(name))
+            for name, m in sorted(mults.items())
+        ])
     return opt
 
 

@@ -37,3 +37,57 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# --------------------------------------------------------------- test tiers
+#
+# The default run excludes `-m slow` (pyproject addopts) to keep push/PR
+# feedback fast (VERDICT r3 weak #6: the suite had crept to ~30-42 min);
+# the CI nightly lane runs everything with `-m ""`. Centralized here (one
+# list, measured from `--durations`) instead of scattered decorators so
+# re-tiering after a durations run is a one-file change. Every subsystem
+# keeps at least one fast test in the default tier.
+SLOW_MODULES = {
+    "test_graft_entry",   # driver + CI compile-check the entries directly
+    "test_multihost",     # two-process distributed init (~110 s)
+    "test_swin_port",     # torch Swin-T port parity (~36 s)
+    "test_e2e_fixture",   # fixture import stays default; train/report marked
+}
+SLOW_TESTS = {
+    # (module, substring of test id)
+    ("test_fused_decoder_layer", "test_policy_forward_and_grads_match"),
+    ("test_fused_decoder_layer", "test_grads_match_autodiff"),
+    ("test_fused_vit_block", "test_policy_wiring_param_compat_and_grad"),
+    ("test_fused_vit_block", "test_proprio_encoder_wiring_parity"),
+    ("test_fused_vit_block", "test_bf16_grads_close_to_quick"),
+    ("test_fused_vit_block", "test_grad_accumulates_across_grid"),
+    ("test_fused_vit_block", "test_grads_match_autodiff"),
+    ("test_packed", "test_train_step_on_packed_image_batch"),
+    ("test_vision", "test_swin_tiny_forward"),
+    ("test_fused_chunk", "test_block_sizes_agree"),
+    ("test_fused_chunk", "test_full_chunk_matches_xla_sampler"),
+    ("test_fused_chunk", "test_eight_head_parity"),
+    ("test_fused_chunk", "test_grouped_blockdiag_matches_xla"),
+    ("test_import_torch_checkpoint", "test_apply_pretrained_backbone"),
+    ("test_ring_attention", "test_train_step_under_ring_mesh"),
+    ("test_inference", "TestShardedFusedServing"),
+    ("test_inference", "test_rollout_with_images_updates_buffers"),
+    ("test_inference", "test_cached_token_rollout_matches_raw_frames"),
+    ("test_inference", "test_chunk_fused_rollout_matches_xla_rollout"),
+    ("test_evaluation", "test_report_round_trip"),
+    ("test_vision_task", "test_image_sensitivity_probe_runs"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.module.__name__ if item.module else ""
+        if module == "test_e2e_fixture":
+            continue  # marks its own slow test; import tier stays default
+        if module in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+            continue
+        for mod, frag in SLOW_TESTS:
+            if module == mod and frag in item.nodeid:
+                item.add_marker(pytest.mark.slow)
+                break

@@ -33,7 +33,7 @@ action_context_length: 64
 trajectory_prediction_length: 10
 epochs: 4
 batch_size: 16
-lr: 1.e-3
+lr: 3.e-3
 train_denoising_timesteps: 100
 imu_context_length: 64
 joint_state_context_length: 64
@@ -110,10 +110,11 @@ class TestFixtureTrainReport:
         cfg_path.write_text(TINY_CONFIG)
         ckpt = tmp_path / "model.ckpt"
         metrics = tmp_path / "metrics.jsonl"
-        # ~190 windows / batch 16 -> 11 steps per epoch; 18 epochs ~ 200
-        # steps (the VERDICT item's "train(200 steps)" scale)
+        # ~290 rows -> 18 windows/batch-16 step; 40 epochs ~ 720 steps —
+        # measured (lr 3e-3) to land open-loop MSE 0.072 vs noise floor
+        # 0.093 on this bag, so "beats the floor" is a real gate
         train_main(["--config", str(cfg_path), "--db", imported_db,
-                    "--packed", "--epochs", "18",
+                    "--packed", "--epochs", "40",
                     "-o", str(ckpt), "--metrics", str(metrics)])
         assert ckpt.exists()
         losses = [json.loads(line)["loss"]

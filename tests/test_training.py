@@ -65,6 +65,28 @@ class TestTrainStep:
         s2, m2 = step(state, batch, 7)
         assert float(m1["loss"]) == float(m2["loss"])
 
+    def test_module_lr_mult_scales_updates(self):
+        """make_optimizer(module_lr_mults=...): the named subtree's
+        post-AdamW update is scaled exactly, every other subtree is
+        bit-identical (the image_encoder_lr_mult camera lever)."""
+        import jax.numpy as jnp
+
+        from soccerdiffusion_tpu.training import make_optimizer
+
+        params = {"image_sequence_encoder": {"w": jnp.ones((3,))},
+                  "decoder": {"w": jnp.ones((3,))}}
+        grads = jax.tree.map(lambda p: jnp.full_like(p, 0.1), params)
+        base = make_optimizer(1e-3, 100, use_onecycle=False)
+        mult = make_optimizer(1e-3, 100, use_onecycle=False,
+                              module_lr_mults={"image_sequence_encoder": 2.0})
+        u0, _ = base.update(grads, base.init(params), params)
+        u1, _ = mult.update(grads, mult.init(params), params)
+        np.testing.assert_array_equal(np.asarray(u1["decoder"]["w"]),
+                                      np.asarray(u0["decoder"]["w"]))
+        np.testing.assert_allclose(
+            np.asarray(u1["image_sequence_encoder"]["w"]),
+            2.0 * np.asarray(u0["image_sequence_encoder"]["w"]), rtol=1e-6)
+
     def test_decoder_pretraining_mode(self):
         ds, norm, model, sched, opt, state = make_env()
         step = make_train_step(model, sched, opt, norm, decoder_pretraining=True, donate=False)

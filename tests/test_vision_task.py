@@ -163,6 +163,44 @@ class TestBoundaryWindows:
         ds = WindowedDataset.from_dummy([rec], cfg)
         assert len(ds.image_boundary_indices()) == 0
 
+    def test_oversampled_order_mixes_boundary_windows(self):
+        """The round-4 camera-credit lever: frac of each epoch's slots come
+        from the boundary set; epoch length unchanged; frac=0 reduces to a
+        plain permutation."""
+        rng = np.random.default_rng(0)
+        boundary = np.asarray([0, 10, 20, 30])
+        order = WindowedDataset.oversampled_order(100, boundary, 0.5, rng)
+        assert len(order) == 100
+        frac = np.isin(order, boundary).mean()
+        assert 0.45 <= frac <= 0.65  # ~0.5 requested (+ natural hits)
+        plain = WindowedDataset.oversampled_order(
+            100, boundary, 0.0, np.random.default_rng(1))
+        assert sorted(plain) == list(range(100))
+
+    def test_boundary_oversample_reaches_train_batches(self):
+        """TrainConfig.boundary_oversample flows train.py -> batches(order)
+        and skews the sampled windows toward boundary indices."""
+        rec = _vision_rec(n=400)
+        ds = WindowedDataset.from_dummy([rec], VCFG)
+        boundary = ds.image_boundary_indices()
+        order = WindowedDataset.oversampled_order(
+            len(ds), boundary, 0.6, np.random.default_rng(0))
+        seen = []
+        for batch in ds.batches(16, order=order):
+            seen.append(batch["joint_command"].shape[0])
+        assert sum(seen) == (len(ds) // 16) * 16
+        # the natural boundary rate is ~10%; the skewed order is >50%
+        assert np.isin(order, boundary).mean() > 0.5
+
+    def test_packed_boundary_indices_match_windowed(self):
+        from soccerdiffusion_tpu.data.packed import PackedDataset
+
+        rec = _vision_rec(n=400)
+        ds = WindowedDataset.from_dummy([rec], VCFG)
+        packed = PackedDataset.from_windowed(ds)
+        np.testing.assert_array_equal(packed.image_boundary_indices(),
+                                      ds.image_boundary_indices())
+
 
 class TestImageProbes:
     def _setup(self):
