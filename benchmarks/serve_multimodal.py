@@ -109,8 +109,14 @@ def main():
     # though frames refresh at 10 Hz vs the 5 Hz replan rate).
     eng30 = RolloutEngine(model, schedule, normalizer, num_inference_steps=30,
                           fused="chunk", fused_block_robots=16)
-    carry = eng30.init(B, jax.random.key(0))
-    batch = make_controller_batch(cfg, carry.controller)
+    # init params from a RAW-FRAME batch: a token-cache batch would skip
+    # the image encoder entirely and its params would never be created
+    # (production loads trained checkpoints, so only scratch-init
+    # benchmarks hit this)
+    from soccerdiffusion_tpu.inference.controller import init_controller_state
+
+    raw_state = init_controller_state(cfg, batch_size=B)
+    batch = make_controller_batch(cfg, raw_state)
     variables = model.init(jax.random.key(1), batch,
                            jnp.zeros((B, cfg.trajectory_prediction_length,
                                       cfg.num_joints)),

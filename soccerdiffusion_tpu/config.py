@@ -87,6 +87,13 @@ class ModelConfig:
     num_decoder_heads: int = 4  # every reference config uses 4 (model.py:115)
     # TPU-native knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Auxiliary cue-regression head on the newest per-frame image token
+    # (models/policy.py predict-cue pathway): a Dense(1) trained against
+    # the "vision" dummy task's latent (TrainConfig.aux_cue_weight) to
+    # force the image encoder to learn cue extraction the diffusion loss
+    # alone was measured not to teach at ledger budgets (round 4,
+    # docs/quality_ledger_vision_r4a.md). Inference ignores it.
+    aux_cue_head: bool = False
     # "auto" | "xla" | "pallas" | "ring" — "ring" enables sequence
     # parallelism over a mesh "seq" axis (parallel/ring_attention.py):
     # encoder self-attention rides the ring, the denoiser's cross-attention
@@ -255,6 +262,12 @@ class TrainConfig:
     # (per-module update scaling in training/trainer.py make_optimizer);
     # 1.0 = single LR (reference behavior)
     image_encoder_lr_mult: float = 1.0
+    # weight of the auxiliary cue-regression loss (needs
+    # ModelConfig.aux_cue_head and a dataset exposing "vision_u" labels —
+    # the camera-cued dummy task). Do not combine with modality_dropout:
+    # dropped images would train the cue head against real labels on
+    # nulled frames. 0 = off.
+    aux_cue_weight: float = 0.0
 
     def __post_init__(self) -> None:
         if not 0.0 <= self.modality_dropout < 1.0:
@@ -269,6 +282,11 @@ class TrainConfig:
             raise ValueError(
                 f"image_encoder_lr_mult must be > 0, got "
                 f"{self.image_encoder_lr_mult}")
+        if self.aux_cue_weight > 0.0 and self.modality_dropout > 0.0:
+            raise ValueError(
+                "aux_cue_weight and modality_dropout are mutually "
+                "exclusive: dropped images would train the cue head "
+                "against real labels on nulled frames")
 
 
 @dataclass(frozen=True)

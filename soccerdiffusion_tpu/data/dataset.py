@@ -106,6 +106,10 @@ class RecordingArrays:
     image_stamps: np.ndarray  # (k,) float32 sorted
     images: np.ndarray | SqliteImageStore | None  # (k, H, W, 3) uint8, lazy store, or None
     recording_id: int = 0
+    # "vision" dummy-task cue latents (data/dummy.py), one per image — the
+    # aux-cue-head training target (TrainConfig.aux_cue_weight); None for
+    # real recordings and the decorative task
+    vision_u: np.ndarray | None = None
 
 
 class WindowedDataset:
@@ -254,6 +258,7 @@ class WindowedDataset:
                     image_stamps=d.image_stamps,
                     images=d.images,
                     recording_id=i,
+                    vision_u=d.vision_u,
                 )
             )
         ds = cls(recs, config, **kwargs)
@@ -309,6 +314,14 @@ class WindowedDataset:
                 out["rotation"] = quats
         if cfg.use_images:
             out["image_data"], out["image_stamps"] = self._image_window(rec, stamp)
+            if rec.vision_u is not None:
+                # aux-cue-head target: the latent drawn in the NEWEST
+                # VISIBLE frame (same side="right" visibility rule as
+                # _image_window, so label and frame agree at boundaries)
+                hi = np.searchsorted(rec.image_stamps, stamp, side="right")
+                out["vision_u"] = np.float32(
+                    rec.vision_u[hi - 1] if hi > 0 else 0.0)
+                out["vision_u_valid"] = np.float32(1.0 if hi > 0 else 0.0)
         if cfg.use_gamestate:
             gi = np.searchsorted(rec.game_state_stamps, stamp, side="right") - 1
             out["game_state"] = np.int32(

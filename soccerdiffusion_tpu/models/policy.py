@@ -92,6 +92,9 @@ class DiffusionPolicy(nn.Module):
             )
         if cfg.use_gamestate:
             self.game_state_encoder = GameStateEncoder(cfg.hidden_dim, dtype=self.dtype)
+        if cfg.use_images and cfg.aux_cue_head:
+            # auxiliary cue-regression head (see ModelConfig.aux_cue_head)
+            self.cue_head = nn.Dense(1, name="cue_head")
         self.diffusion_action_generator = DiffusionActionGenerator(
             num_joints=cfg.num_joints, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_decoder_layers,
@@ -104,8 +107,17 @@ class DiffusionPolicy(nn.Module):
 
     def encode_context(self, batch: dict[str, jnp.ndarray], train: bool = True) -> jnp.ndarray:
         """Concatenated (B, S, hidden) context tokens, canonical modality order."""
+        return self._context_impl(batch, train, want_frame_tokens=False)[0]
+
+    def _context_impl(self, batch, train: bool, want_frame_tokens: bool):
+        """Shared body of encode_context; ``want_frame_tokens=True``
+        additionally returns the PRE-sequence per-frame image tokens
+        (B, F, hidden) — the aux-cue-head tap (frames |> sequence is
+        numerically identical to the single full pass, models/vision.py
+        mode contract)."""
         cfg = self.config
         context = []
+        frame_tokens = None
         if cfg.use_action_history:
             context.append(self.action_history_encoder(batch["joint_command_history"].astype(self.dtype)))
         if cfg.use_imu:
@@ -118,8 +130,17 @@ class DiffusionPolicy(nn.Module):
                 # per-frame encodings were computed as each frame ARRIVED;
                 # only the frame-sequence encoder runs per replan.
                 # Numerically identical to the image_data path.
+                frame_tokens = batch["image_tokens"]
                 context.append(self.image_sequence_encoder(
-                    batch["image_tokens"], train=train, mode="sequence"))
+                    frame_tokens, train=train, mode="sequence"))
+            elif want_frame_tokens:
+                x, valid = ((batch["image_u8"], batch["image_valid"])
+                            if "image_u8" in batch
+                            else (batch["image_data"].astype(self.dtype), None))
+                frame_tokens = self.image_sequence_encoder(
+                    x, train=train, valid=valid, mode="frames")
+                context.append(self.image_sequence_encoder(
+                    frame_tokens, train=train, mode="sequence"))
             elif "image_u8" in batch:
                 # raw packed uint8 path: normalization folded into the
                 # encoder (vit) or applied in-jit (others); avoids
@@ -137,8 +158,21 @@ class DiffusionPolicy(nn.Module):
             # config/decoder_only.yaml + model.py:173-176, where the context
             # list may be empty).
             bsz = batch["joint_command"].shape[0]
-            return jnp.zeros((bsz, 0, cfg.hidden_dim), dtype=self.dtype)
-        return jnp.concatenate(context, axis=1)
+            return jnp.zeros((bsz, 0, cfg.hidden_dim), dtype=self.dtype), None
+        return jnp.concatenate(context, axis=1), frame_tokens
+
+    def forward_with_cue(self, batch: dict[str, jnp.ndarray],
+                         noisy_chunk: jnp.ndarray, t: jnp.ndarray,
+                         train: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """``(eps, cue)``: the standard forward plus the aux cue-head
+        regression from the NEWEST per-frame image token — sharing the
+        frame encoder compute with the main pathway. Training-only
+        (TrainConfig.aux_cue_weight); requires ModelConfig.aux_cue_head."""
+        context, frame_tokens = self._context_impl(batch, train,
+                                                   want_frame_tokens=True)
+        eps = self.denoise(context, noisy_chunk, t)
+        cue = self.cue_head(frame_tokens[:, -1].astype(jnp.float32))[..., 0]
+        return eps, cue
 
     def encode_image_frames(self, frames: jnp.ndarray,
                             valid: jnp.ndarray | None = None,

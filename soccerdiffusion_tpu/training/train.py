@@ -218,11 +218,18 @@ def main(argv=None):
         state = state.replace(params=merged)
         logger.info("loaded pretrained decoder weights")
 
+    aux_cue_weight = config.train.aux_cue_weight
+    if aux_cue_weight > 0.0 and "vision_u" not in sample_batch:
+        logger.warning("aux_cue_weight set but the dataset exposes no "
+                       "vision_u labels (camera-cued dummy task only); "
+                       "disabling the aux cue loss")
+        aux_cue_weight = 0.0
     train_step = make_train_step(
         model, schedule, optimizer, normalizer,
         decoder_pretraining=args.decoder_pretraining,
         ema_decay=config.train.ema_decay,
         modality_dropout=config.train.modality_dropout,
+        aux_cue_weight=aux_cue_weight,
     )
     metrics_logger = MetricsLogger(
         args.metrics, log_every=config.train.log_every,
@@ -301,6 +308,8 @@ def main(argv=None):
                         global_step - 1,
                         {
                             "loss": metrics["loss"],
+                            **({"aux_cue_loss": metrics["aux_cue_loss"]}
+                               if "aux_cue_loss" in metrics else {}),
                             "grad_norm": metrics["grad_norm"],
                             "lr": lr_at_step(config.train.lr, total_steps, global_step - 1),
                             "epoch": epoch,

@@ -110,7 +110,13 @@ def create_train_state(model, sample_batch, optimizer, rng, pred_len: int,
     b = jax.tree_util.tree_leaves(sample_batch)[0].shape[0]
     noisy = jnp.zeros((b, pred_len, num_joints), dtype=jnp.float32)
     t = jnp.zeros((b,), dtype=jnp.int32)
-    variables = model.init(rng, sample_batch, noisy, t)
+    if getattr(model.config, "aux_cue_head", False) and model.config.use_images:
+        # the lazily-created cue head only materializes params on the
+        # pathway that uses it (models/policy.py forward_with_cue)
+        variables = model.init(rng, sample_batch, noisy, t,
+                               method=model.forward_with_cue)
+    else:
+        variables = model.init(rng, sample_batch, noisy, t)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -133,6 +139,7 @@ def make_train_step(
     donate: bool = True,
     ema_decay: float = 0.0,
     modality_dropout: float = 0.0,
+    aux_cue_weight: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng_seed) -> (state, metrics).
 
@@ -182,15 +189,31 @@ def make_train_step(
                 ctx = jax.random.normal(ctx_key, (bsz, 10, hidden), dtype=jnp.float32)
                 pred = model.apply(variables, ctx, noisy, t, method=model.denoise)
                 new_stats = {}
+            elif aux_cue_weight > 0.0:
+                # aux cue-regression rider (ModelConfig.aux_cue_head): one
+                # shared forward also predicts the newest frame's latent;
+                # masked MSE against the dataset's vision_u label
+                (pred, cue), mutated = model.apply(
+                    variables, batch, noisy, t, train=True,
+                    mutable=["batch_stats"], method=model.forward_with_cue,
+                )
+                new_stats = mutated.get("batch_stats", {})
+                valid = batch.get(
+                    "vision_u_valid", jnp.ones_like(batch["vision_u"]))
+                aux = (jnp.sum(valid * jnp.square(cue - batch["vision_u"]))
+                       / jnp.maximum(jnp.sum(valid), 1.0))
+                eps_mse = jnp.mean(jnp.square(pred.astype(jnp.float32) - noise))
+                return eps_mse + aux_cue_weight * aux, (new_stats, aux)
             else:
                 pred, mutated = model.apply(
                     variables, batch, noisy, t, train=True, mutable=["batch_stats"]
                 )
                 new_stats = mutated.get("batch_stats", {})
             loss = jnp.mean(jnp.square(pred.astype(jnp.float32) - noise))
-            return loss, new_stats
+            return loss, (new_stats, None)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (new_stats, aux_loss)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if ema_decay > 0.0:
@@ -217,6 +240,8 @@ def make_train_step(
                 name: optax.global_norm(sub) for name, sub in grads.items()
             },
         }
+        if aux_loss is not None:
+            metrics["aux_cue_loss"] = aux_loss
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

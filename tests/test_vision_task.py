@@ -192,6 +192,70 @@ class TestBoundaryWindows:
         # the natural boundary rate is ~10%; the skewed order is >50%
         assert np.isin(order, boundary).mean() > 0.5
 
+    def test_vision_u_labels_in_windows(self):
+        """Windows on the vision task expose the newest VISIBLE frame's
+        latent as 'vision_u' (the aux-cue-head target) under the same
+        side='right' visibility rule as the image window itself."""
+        rec = _vision_rec(n=400)
+        ds = WindowedDataset.from_dummy([rec], VCFG)
+        item = ds[37]
+        assert "vision_u" in item and item["vision_u_valid"] == 1.0
+        stamp = 37 / ds.sampling_rate
+        hi = np.searchsorted(rec.image_stamps, stamp, side="right")
+        assert item["vision_u"] == rec.vision_u[hi - 1]
+        # decorative recordings carry no labels
+        rec2 = generate_dummy_arrays(1, 120, num_joints=4, with_images=True,
+                                     image_size=32, seed=3)[0]
+        from dataclasses import replace as dreplace
+
+        ds2 = WindowedDataset.from_dummy([rec2], VCFG)
+        assert "vision_u" not in ds2[0]
+
+    def test_aux_cue_head_trains_and_shares_encoder(self):
+        """make_train_step(aux_cue_weight>0): one shared forward returns
+        (eps, cue); the masked cue MSE appears in metrics and DROPS with
+        training (the head + ViT learn the bar-position regression), and
+        inference pathways ignore the extra cue_head params."""
+        from dataclasses import replace as dreplace
+
+        from soccerdiffusion_tpu.data import Normalizer
+        from soccerdiffusion_tpu.diffusion import make_schedule
+        from soccerdiffusion_tpu.training import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = dreplace(VCFG, aux_cue_head=True)
+        rec = _vision_rec(n=400)
+        ds = WindowedDataset.from_dummy([rec], cfg)
+        model = DiffusionPolicy(cfg)
+        sched = make_schedule(50)
+        norm = Normalizer.fit(ds.sample_targets(64))
+        opt = make_optimizer(3e-3, 60)
+        batch = next(ds.batches(16, shuffle=False))
+        assert "vision_u" in batch
+        state = create_train_state(model, jax.device_put(batch), opt,
+                                   jax.random.key(0), 5, 4)
+        assert "cue_head" in state.params
+        step = make_train_step(model, sched, opt, norm, donate=False,
+                               aux_cue_weight=1.0)
+        aux = []
+        for e in range(4):
+            for b in ds.batches(16, shuffle=True, seed=e):
+                state, m = step(state, jax.device_put(b), 0)
+                aux.append(float(m["aux_cue_loss"]))
+        assert np.isfinite(aux).all()
+        # u ~ U[-1,1]: predicting 0 gives 1/3; learning must beat that
+        assert np.mean(aux[-5:]) < 0.8 * np.mean(aux[:3])
+        # inference ignores the extra head: encode_context works with the
+        # superset params
+        variables = {"params": state.params}
+        ctx = model.apply(variables, {k: jax.numpy.asarray(v)
+                                      for k, v in batch.items()},
+                          False, method=model.encode_context)
+        assert np.isfinite(np.asarray(ctx)).all()
+
     def test_packed_boundary_indices_match_windowed(self):
         from soccerdiffusion_tpu.data.packed import PackedDataset
 
