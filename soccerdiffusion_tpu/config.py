@@ -262,6 +262,10 @@ class TrainConfig:
     # (per-module update scaling in training/trainer.py make_optimizer);
     # 1.0 = single LR (reference behavior)
     image_encoder_lr_mult: float = 1.0
+    # global-norm gradient clipping before AdamW (0 = off, the reference
+    # behavior). Observed need: the aux-cue-head vision run blew up at
+    # OneCycle peak LR (healthy aux 1e-4 -> 0.4 at step ~2700, round 4).
+    grad_clip_norm: float = 0.0
     # weight of the auxiliary cue-regression loss (needs
     # ModelConfig.aux_cue_head and a dataset exposing "vision_u" labels —
     # the camera-cued dummy task). Do not combine with modality_dropout:

@@ -168,7 +168,8 @@ def main(argv=None):
         logger.info(f"image_sequence_encoder LR x{config.train.image_encoder_lr_mult:g}")
     optimizer = make_optimizer(config.train.lr, total_steps, config.train.weight_decay,
                                flat=config.train.flat_optimizer,
-                               module_lr_mults=lr_mults)
+                               module_lr_mults=lr_mults,
+                               grad_clip_norm=config.train.grad_clip_norm)
 
     from soccerdiffusion_tpu.data.pipeline import prepare_batch
 

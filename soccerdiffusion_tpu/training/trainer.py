@@ -50,6 +50,7 @@ def make_optimizer(
     use_onecycle: bool = True,
     flat: bool = False,
     module_lr_mults: dict[str, float] | None = None,
+    grad_clip_norm: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW + OneCycle (torch defaults; reference train.py:162-174).
 
@@ -73,6 +74,9 @@ def make_optimizer(
     else:
         schedule = lr
     opt = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    if grad_clip_norm > 0.0:
+        # clip BEFORE AdamW (TrainConfig.grad_clip_norm)
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
     if flat:
         from soccerdiffusion_tpu.training.flat_optim import flat_wrap
 

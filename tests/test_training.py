@@ -87,6 +87,30 @@ class TestTrainStep:
             np.asarray(u1["image_sequence_encoder"]["w"]),
             2.0 * np.asarray(u0["image_sequence_encoder"]["w"]), rtol=1e-6)
 
+    def test_grad_clip_norm_caps_large_grads_only(self):
+        """make_optimizer(grad_clip_norm=c): grads with global norm <= c
+        update bit-identically to the unclipped optimizer; grads above c
+        are rescaled to norm c before AdamW (TrainConfig.grad_clip_norm)."""
+        import jax.numpy as jnp
+
+        from soccerdiffusion_tpu.training import make_optimizer
+
+        params = {"decoder": {"w": jnp.ones((4,))}}
+        small = {"decoder": {"w": jnp.full((4,), 0.1)}}   # norm 0.2
+        big = {"decoder": {"w": jnp.full((4,), 100.0)}}   # norm 200
+        base = make_optimizer(1e-3, 100, use_onecycle=False)
+        clip = make_optimizer(1e-3, 100, use_onecycle=False, grad_clip_norm=1.0)
+        u0, _ = base.update(small, base.init(params), params)
+        u1, _ = clip.update(small, clip.init(params), params)
+        np.testing.assert_array_equal(np.asarray(u1["decoder"]["w"]),
+                                      np.asarray(u0["decoder"]["w"]))
+        # clipped big grad == unclipped grad rescaled to global norm 1.0
+        scaled = jax.tree.map(lambda g: g / 200.0, big)
+        u2, _ = base.update(scaled, base.init(params), params)
+        u3, _ = clip.update(big, clip.init(params), params)
+        np.testing.assert_allclose(np.asarray(u3["decoder"]["w"]),
+                                   np.asarray(u2["decoder"]["w"]), rtol=1e-6)
+
     def test_decoder_pretraining_mode(self):
         ds, norm, model, sched, opt, state = make_env()
         step = make_train_step(model, sched, opt, norm, decoder_pretraining=True, donate=False)
