@@ -76,11 +76,21 @@ def ddim_step(
     t: jnp.ndarray,
     prev_t: jnp.ndarray,
     sample: jnp.ndarray,
+    *,
+    clip_x0: float | None = None,
 ) -> jnp.ndarray:
-    """One deterministic DDIM reverse step (eta=0, epsilon prediction, no clipping).
+    """One deterministic DDIM reverse step (eta=0, epsilon prediction).
 
       x0_hat = (x_t - sqrt(1-abar_t) eps) / sqrt(abar_t)
       x_prev = sqrt(abar_prev) x0_hat + sqrt(1-abar_prev) eps
+
+    ``clip_x0`` (default off — the reference's clip_sample=False path)
+    enables diffusers' ``clip_sample`` semantics: x0_hat is clamped to
+    [-clip_x0, clip_x0] and eps is RECOMPUTED from the clamped x0 before
+    the reverse mixture. The preliminary MLP archetype depends on this
+    (reference ml/preliminary/train_robot_multi_joint.py:47 uses the
+    DDIMScheduler default clip_sample=True on tanh-bounded data); the
+    production policy path never sets it, keeping serving parity exact.
 
     ``t``/``prev_t`` may be scalars or per-batch (B,) arrays.
     """
@@ -92,6 +102,9 @@ def ddim_step(
     abar_prev = abar_prev.reshape(abar_prev.shape + (1,) * (x.ndim - abar_prev.ndim))
 
     x0_hat = (x - jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(abar_t)
+    if clip_x0 is not None:
+        x0_hat = jnp.clip(x0_hat, -clip_x0, clip_x0)
+        eps = (x - jnp.sqrt(abar_t) * x0_hat) / jnp.sqrt(1.0 - abar_t)
     x_prev = jnp.sqrt(abar_prev) * x0_hat + jnp.sqrt(1.0 - abar_prev) * eps
     return x_prev.astype(sample.dtype)
 
@@ -101,6 +114,8 @@ def ddim_sample(
     denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     x_t: jnp.ndarray,
     num_inference_steps: int,
+    *,
+    clip_x0: float | None = None,
 ) -> jnp.ndarray:
     """Full DDIM sampling loop as one ``lax.scan``.
 
@@ -108,13 +123,15 @@ def ddim_sample(
     timestep ``t`` (an int32 scalar). Mirrors the reference's inference loop
     (reference ros.py:301-310, distill.py:179-189) but compiles to a single
     fused loop. The trip count ``num_inference_steps`` is static.
+    ``clip_x0`` forwards to :func:`ddim_step` (diffusers clip_sample
+    semantics; default off = reference parity).
     """
     ts = jnp.asarray(ddim_timesteps(schedule.num_train_timesteps, num_inference_steps))
     step_ratio = schedule.num_train_timesteps // num_inference_steps
 
     def body(x, t):
         eps = denoise_fn(x, t)
-        x = ddim_step(schedule, eps, t, t - step_ratio, x)
+        x = ddim_step(schedule, eps, t, t - step_ratio, x, clip_x0=clip_x0)
         return x, None
 
     x0, _ = jax.lax.scan(body, x_t, ts)

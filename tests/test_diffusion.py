@@ -120,6 +120,51 @@ class TestDDIMStep:
         np.testing.assert_allclose(got, x0_hat, rtol=1e-5, atol=1e-6)
 
 
+    def test_clip_x0_inactive_when_within_range(self):
+        """clip_x0 large enough to never bind matches the unclipped step to
+        float-roundtrip precision (production passes clip_x0=None, which
+        skips the branch entirely and stays bit-exact)."""
+        T, n = 1000, 30
+        sched = make_schedule(T)
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 10, 20)).astype(np.float32)
+        eps = rng.standard_normal((2, 10, 20)).astype(np.float32)
+        t, prev_t = 33, 33 - T // n
+        plain = np.asarray(ddim_step(sched, jnp.asarray(eps), t, prev_t, jnp.asarray(x)))
+        clipped = np.asarray(ddim_step(sched, jnp.asarray(eps), t, prev_t,
+                                       jnp.asarray(x), clip_x0=1e6))
+        np.testing.assert_allclose(plain, clipped, rtol=1e-6, atol=1e-6)
+
+    def test_clip_x0_clamps_and_recomputes_eps(self):
+        """diffusers clip_sample semantics: x0_hat clamped to [-c, c], eps
+        recomputed from the clamped x0 (DDIMScheduler.step with
+        clip_sample=True, as the preliminary MLP archetype uses)."""
+        T, n = 1000, 30
+        sched = make_schedule(T)
+        acp = np_squaredcos_alphas_cumprod(T)
+        t, prev_t = 957, 957 - T // n
+        # big positive sample at high t => x0_hat explodes without clipping
+        x = np.full((1, 3, 4), 5.0, dtype=np.float32)
+        eps = np.zeros((1, 3, 4), dtype=np.float32)
+        got = np.asarray(ddim_step(sched, jnp.asarray(eps), t, prev_t,
+                                   jnp.asarray(x), clip_x0=1.0))
+        x0 = np.clip(x / math.sqrt(acp[t]), -1.0, 1.0)
+        eps_re = (x - math.sqrt(acp[t]) * x0) / math.sqrt(1 - acp[t])
+        expected = math.sqrt(acp[prev_t]) * x0 + math.sqrt(1 - acp[prev_t]) * eps_re
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_ddim_sample_clip_bounds_the_walk(self):
+        """A zero-eps denoiser (worst case: pure amplification) stays within
+        [-c, c] under clip_x0 where the unclipped walk explodes."""
+        sched = make_schedule(1000)
+        noise = 3.0 * jax.random.normal(jax.random.key(0), (4, 10, 12))
+        zero_fn = lambda x, t: jnp.zeros_like(x)
+        wild = np.asarray(ddim_sample(sched, zero_fn, noise, 30))
+        tame = np.asarray(ddim_sample(sched, zero_fn, noise, 30, clip_x0=1.0))
+        assert np.abs(wild).max() > 10.0
+        assert np.abs(tame).max() <= 1.0 + 1e-5
+
+
 class TestSamplers:
     def test_ddim_sample_perfect_model_recovers_x0(self):
         """With a denoiser that knows the true eps for the tracked x_t, DDIM
