@@ -52,6 +52,7 @@ SLOW_MODULES = {
     "test_multihost",     # two-process distributed init (~110 s)
     "test_swin_port",     # torch Swin-T port parity (~36 s)
     "test_e2e_fixture",   # fixture import stays default; train/report marked
+    "test_examples",      # preliminary-tier example scripts (~40-90 s each)
 }
 SLOW_TESTS = {
     # (module, substring of test id)
