@@ -268,9 +268,10 @@ class TrainConfig:
     grad_clip_norm: float = 0.0
     # weight of the auxiliary cue-regression loss (needs
     # ModelConfig.aux_cue_head and a dataset exposing "vision_u" labels —
-    # the camera-cued dummy task). Do not combine with modality_dropout:
-    # dropped images would train the cue head against real labels on
-    # nulled frames. 0 = off.
+    # the camera-cued dummy task). Combines with modality_dropout:
+    # dropout_modalities zeroes vision_u_valid for samples whose images
+    # were nulled, so the cue head never regresses real labels against
+    # blank frames. 0 = off.
     aux_cue_weight: float = 0.0
 
     def __post_init__(self) -> None:
@@ -286,11 +287,9 @@ class TrainConfig:
             raise ValueError(
                 f"image_encoder_lr_mult must be > 0, got "
                 f"{self.image_encoder_lr_mult}")
-        if self.aux_cue_weight > 0.0 and self.modality_dropout > 0.0:
+        if self.grad_clip_norm < 0.0:
             raise ValueError(
-                "aux_cue_weight and modality_dropout are mutually "
-                "exclusive: dropped images would train the cue head "
-                "against real labels on nulled frames")
+                f"grad_clip_norm must be >= 0, got {self.grad_clip_norm}")
 
 
 @dataclass(frozen=True)

@@ -252,6 +252,14 @@ def dropout_modalities(batch: dict, rng, p: float) -> dict:
         pad = (1,) * (img.ndim - 1)
         batch["image_data"] = jnp.where(m_img.reshape(bsz, *pad),
                                         jnp.zeros_like(img), img)
+    if "vision_u" in batch:
+        # the aux cue-regression label (TrainConfig.aux_cue_weight) is only
+        # supervisable from real frames: invalidate it wherever the camera
+        # was nulled so the masked aux loss (training/trainer.py) skips it
+        vu = batch["vision_u"]
+        valid = batch.get("vision_u_valid", jnp.ones_like(vu))
+        m_vu = m_img.reshape(bsz, *(1,) * (vu.ndim - 1))
+        batch["vision_u_valid"] = jnp.where(m_vu, jnp.zeros_like(valid), valid)
     if "game_state" in batch:
         m = drop_mask(keys[4])
         batch["game_state"] = jnp.where(

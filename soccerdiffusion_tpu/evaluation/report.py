@@ -125,15 +125,21 @@ def markdown_report(result: dict) -> str:
         lines += ["", "Classifier-free guidance on the teacher "
                       "(eps_u + w (eps_c - eps_u); unconditional branch "
                       "nulls the listed modalities):", "",
-                  "| guidance | held-out MSE | boundary MSE |",
-                  "|---|---|---|"]
+                  "| guidance | held-out MSE | boundary MSE | boundary "
+                  "shuffled-img MSE | boundary ratio |",
+                  "|---|---|---|---|---|"]
         base = g[0].get("true_mse", float("nan"))
         bt = result.get("image_shuffled_open_loop_boundary", {})
         lines.append(f"| w=1 (unguided) | {base:.5f} | "
-                     f"{bt.get('true_mse', float('nan')):.5f} |")
+                     f"{bt.get('true_mse', float('nan')):.5f} | "
+                     f"{bt.get('mse', float('nan')):.5f} | "
+                     f"{bt.get('mse_ratio_shuffled_over_true', float('nan')):.2f}x |")
         for row in g:
-            lines.append(f"| {row['sampler']} | {row['mse']:.5f} | "
-                         f"{row.get('boundary_mse', float('nan')):.5f} |")
+            lines.append(
+                f"| {row['sampler']} | {row['mse']:.5f} | "
+                f"{row.get('boundary_mse', float('nan')):.5f} | "
+                f"{row.get('boundary_shuffled_mse', float('nan')):.5f} | "
+                f"{row.get('boundary_ratio_shuffled_over_true', float('nan')):.2f}x |")
     orc = result.get("oracle_open_loop")
     if orc:
         lines += ["", f"Bayes-oracle calibration (known plant, same "
@@ -300,6 +306,19 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                     guidance_scale=scale, guidance_null=mods)
                 row["boundary_mse"] = g_b["mse"]
                 row["boundary_mae"] = g_b["mae"]
+                if "image" in mods:
+                    # the camera's trajectory-level contribution UNDER the
+                    # guided sampler: same guidance, images shuffled across
+                    # the batch — apples-to-apples with boundary_mse
+                    g_bs = open_loop_metrics(
+                        model, t_vars, normalizer, schedule, dataset, b_idx,
+                        t_steps, t_distilled, batch_size=batch_size,
+                        seed=seed, shuffle_keys=IMAGE_KEYS,
+                        guidance_scale=scale, guidance_null=mods)
+                    row["boundary_shuffled_mse"] = g_bs["mse"]
+                    row["boundary_ratio_shuffled_over_true"] = (
+                        g_bs["mse"] / g_b["mse"] if g_b["mse"] > 0
+                        else float("nan"))
             result["guidance"].append(row)
 
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):

@@ -126,6 +126,34 @@ class TestModalityDropout:
         ds, norm, model, sched, opt, state = make_env(batch_size=bsz)
         return jax.device_put(next(ds.batches(bsz, shuffle=False)))
 
+    def test_dropped_images_invalidate_vision_u(self):
+        """When the camera modality is dropped for a sample, its aux-cue
+        label must be masked out (vision_u_valid -> 0) so aux_cue_weight
+        can ride alongside modality_dropout (CFG-trainable cue runs)."""
+        import jax.numpy as jnp
+
+        from soccerdiffusion_tpu.data.pipeline import dropout_modalities
+
+        batch = self._batch()
+        bsz = batch["joint_command"].shape[0]
+        batch = dict(batch)
+        batch["image_data"] = jnp.ones((bsz, 2, 8, 8, 3), jnp.float32)
+        batch["vision_u"] = jnp.full((bsz, 1), 0.3, jnp.float32)
+        out = dropout_modalities(batch, jax.random.key(5), p=0.5)
+        dropped = ~np.asarray(out["image_data"]).any(axis=(1, 2, 3, 4))
+        valid = np.asarray(out["vision_u_valid"])[:, 0]
+        assert dropped.any() and (~dropped).any()  # p=0.5 split both ways
+        np.testing.assert_array_equal(valid, (~dropped).astype(np.float32))
+        # the label itself is untouched — only the mask flips
+        np.testing.assert_array_equal(np.asarray(out["vision_u"]),
+                                      np.asarray(batch["vision_u"]))
+
+    def test_aux_cue_with_dropout_config_allowed(self):
+        from soccerdiffusion_tpu.config import TrainConfig
+
+        cfg = TrainConfig(aux_cue_weight=1.0, modality_dropout=0.2)
+        assert cfg.aux_cue_weight == 1.0
+
     def test_p1_replaces_every_modality_with_its_padding_value(self):
         from soccerdiffusion_tpu.data.pipeline import dropout_modalities
         from soccerdiffusion_tpu.data.schema import RobotState
