@@ -70,10 +70,20 @@ def measure(name, engine, variables, batch_robots, chunks, iters=3):
             times.append(time.perf_counter() - t0)
             emit(bench=name, k=k, iter=i, ms=round(times[-1] * 1e3, 1),
                  checksum=float(jnp.sum(out)))
-        if min(times) * 1e3 < max(0.05, 0.002 * batch_robots) * k:
+        # Per-iter validity: a single sub-floor time is the tunnel's
+        # result-cache/deferred-fetch artifact (CLAUDE.md "BENCHMARK
+        # VALIDITY"; observed live: iter 0 of a 233 ms/call lane returning
+        # in 0.8 ms) — discard it rather than invalidating the lane. Only
+        # an all-sub-floor lane is genuinely unmeasurable.
+        floor_s = max(0.05, 0.002 * batch_robots) * k / 1e3
+        valid = [t for t in times if t >= floor_s]
+        if not valid:
             emit(bench=name, error="sub-floor timing, invalid")
             raise SystemExit(3)
-        medians[k] = sorted(times)[len(times) // 2]
+        if len(valid) < len(times):
+            emit(bench=name, k=k, warning="discarded sub-floor iters",
+                 kept=len(valid), of=len(times))
+        medians[k] = sorted(valid)[len(valid) // 2]
     raw_ms = medians[k_hi] / k_hi * 1e3
     period_ms, protocol = raw_ms, f"raw(K={k_hi})"
     if k_lo is not None:
