@@ -99,12 +99,22 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
                       seed: int = 0, solver: str = "ddim",
                       shuffle_keys: Sequence[str] | None = None,
                       guidance_scale: float = 1.0,
-                      guidance_null: Sequence[str] | None = None) -> dict:
+                      guidance_null: Sequence[str] | None = None,
+                      mean_of: int = 1) -> dict:
     """Denoised trajectory vs ground-truth future commands over ``indices``.
 
     Returns overall + per-joint MSE/MAE in the denormalized joint domain
     (radians, [0, 2pi) convention), plus the noise-floor MSE of predicting
     pure denormalized noise — the "beats noise" reference point.
+
+    ``mean_of > 1`` evaluates the POSTERIOR-MEAN estimator: average
+    ``mean_of`` sampled trajectories (independent start noise, same
+    context) before the error. A single diffusion draw carries the full
+    posterior variance, which an MSE against a deterministic target counts
+    as error — the Bayes-oracle rows (evaluation/oracle.py) are
+    conditional means, so matching estimator classes requires averaging.
+    Labelled ``xmeanK`` so single-draw and posterior-mean rows can never
+    be confused.
 
     ``shuffle_keys`` (e.g. :data:`IMAGE_KEYS`) permutes those batch entries
     across the batch before encoding — an ablation of one conditioning
@@ -146,6 +156,15 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
                                    num_steps, distilled, solver=solver,
                                    uncond_context=uncond,
                                    guidance_scale=guidance_scale)
+        if mean_of > 1:
+            for m in range(1, mean_of):
+                noise_m = jax.random.normal(
+                    jax.random.key(seed + b + 7919 * m), shape, jnp.float32)
+                traj = traj + sample_trajectories(
+                    model, variables, schedule, context, noise_m, num_steps,
+                    distilled, solver=solver, uncond_context=uncond,
+                    guidance_scale=guidance_scale)
+            traj = traj / mean_of
         traj = normalizer.denormalize(traj)
         target = jb["joint_command"].astype(jnp.float32)
         err = np.asarray(traj.astype(jnp.float32) - target)  # (B, P, J)
@@ -164,6 +183,8 @@ def open_loop_metrics(model, variables, normalizer, schedule: DiffusionSchedule,
     if guidance_null is not None and guidance_scale != 1.0:
         null = (guidance_null,) if isinstance(guidance_null, str) else guidance_null
         label += f"+cfg{guidance_scale:g}({','.join(null)})"
+    if mean_of > 1:
+        label += f"xmean{mean_of}"
     return {
         "num_windows": int(len(indices)),
         "sampler": label,

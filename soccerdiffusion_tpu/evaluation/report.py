@@ -140,6 +140,20 @@ def markdown_report(result: dict) -> str:
                 f"{row.get('boundary_mse', float('nan')):.5f} | "
                 f"{row.get('boundary_shuffled_mse', float('nan')):.5f} | "
                 f"{row.get('boundary_ratio_shuffled_over_true', float('nan')):.2f}x |")
+    pm = result.get("posterior_mean_boundary")
+    if pm:
+        lines += ["", f"POSTERIOR-MEAN boundary open loop (K={pm['k']} "
+                      f"sampled trajectories averaged per context — the "
+                      f"estimator class the Bayes-oracle rows use; a single "
+                      f"draw's posterior variance inflates both sides of "
+                      f"the single-draw ratios above; "
+                      f"{pm['num_windows']} windows):", "",
+                  "| sampler | true MSE | shuffled-img MSE | ratio |",
+                  "|---|---|---|---|"]
+        for row in pm["rows"]:
+            lines.append(f"| {row['sampler']} | {row['true_mse']:.5f} | "
+                         f"{row['shuffled_mse']:.5f} | "
+                         f"**{row['ratio_shuffled_over_true']:.2f}x** |")
     orc = result.get("oracle_open_loop")
     if orc:
         lines += ["", f"Bayes-oracle calibration (known plant, same "
@@ -163,7 +177,8 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                teacher_loaded: tuple | None = None,
                solver_rows: list[tuple[str, int]] = (),
                raw_weights: bool = False,
-               guidance_rows: list[tuple[float, tuple[str, ...]]] = ()) -> dict:
+               guidance_rows: list[tuple[float, tuple[str, ...]]] = (),
+               posterior_mean_k: int = 0) -> dict:
     """``solver_rows``: extra (solver, steps) rows evaluated on the TEACHER
     checkpoint — training-free few-step samplers (e.g. ("dpmpp", 10),
     diffusion/dpm_solver.py), ranked with the same open-loop/agreement/
@@ -321,6 +336,49 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                         else float("nan"))
             result["guidance"].append(row)
 
+    if (posterior_mean_k > 1 and not t_distilled
+            and getattr(config.model, "use_images", False)
+            and hasattr(dataset, "image_boundary_indices")):
+        # Posterior-mean estimator on the boundary windows: average K
+        # sampled trajectories per context before the MSE. The Bayes-oracle
+        # rows are conditional MEANS, while a single diffusion draw carries
+        # the full posterior variance — variance that inflates BOTH the
+        # true-image and shuffled-image MSE and so dilutes their ratio.
+        # Averaging matches the estimator classes; rows are labelled
+        # xmeanK and recorded alongside (never instead of) the single-draw
+        # rows above.
+        b_all = dataset.image_boundary_indices()
+        if len(b_all):
+            rng = np.random.default_rng(seed + 5)
+            b_idx = np.sort(rng.permutation(b_all)[:len(indices)])
+            pm_rows = []
+            for scale, mods in [(1.0, ())] + [
+                    (s, m) for s, m in guidance_rows if "image" in m]:
+                logger.info(f"posterior-mean (K={posterior_mean_k}) boundary "
+                            f"open loop: scale {scale}")
+                kw = dict(batch_size=batch_size, seed=seed,
+                          mean_of=posterior_mean_k)
+                if scale != 1.0:
+                    kw.update(guidance_scale=scale, guidance_null=mods)
+                pm_t = open_loop_metrics(model, t_vars, normalizer, schedule,
+                                         dataset, b_idx, t_steps,
+                                         t_distilled, **kw)
+                pm_s = open_loop_metrics(model, t_vars, normalizer, schedule,
+                                         dataset, b_idx, t_steps,
+                                         t_distilled, shuffle_keys=IMAGE_KEYS,
+                                         **kw)
+                pm_rows.append({
+                    "scale": scale, "sampler": pm_t["sampler"],
+                    "true_mse": pm_t["mse"], "shuffled_mse": pm_s["mse"],
+                    "ratio_shuffled_over_true":
+                        pm_s["mse"] / pm_t["mse"] if pm_t["mse"] > 0
+                        else float("nan"),
+                })
+            result["posterior_mean_boundary"] = {
+                "k": posterior_mean_k, "num_windows": int(len(b_idx)),
+                "rows": pm_rows,
+            }
+
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
         """One non-teacher row: open-loop vs ground truth, agreement and
         closed-loop divergence vs the teacher (distilled students and
@@ -386,6 +444,12 @@ def main(argv=None):
                              "SCALE[@MODALITY[,MODALITY...]] — e.g. "
                              "'2.0@image' (default null modality: image); "
                              "repeatable (data/pipeline.py null_modalities)")
+    parser.add_argument("--posterior-mean", type=int, default=0,
+                        help="K>1: add boundary-window rows where K sampled "
+                             "trajectories are AVERAGED per context before "
+                             "the MSE (posterior-mean estimator — the "
+                             "oracle rows' estimator class); runs unguided "
+                             "+ each image guidance row")
     args = parser.parse_args(argv)
 
     import re
@@ -425,7 +489,8 @@ def main(argv=None):
                         teacher_loaded=teacher_loaded,
                         solver_rows=solver_rows,
                         raw_weights=args.raw_weights,
-                        guidance_rows=guidance_rows)
+                        guidance_rows=guidance_rows,
+                        posterior_mean_k=args.posterior_mean)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.with_suffix(".json").write_text(json.dumps(result, indent=2))
