@@ -63,17 +63,31 @@ def make_distill_step(
     teacher_inference_steps: int = 30,
     student_steps: int = 1,
     donate: bool = True,
+    guidance_scale: float = 1.0,
+    guidance_null: tuple[str, ...] = (),
 ) -> Callable:
     """(student_state, teacher_params, batch, seed) -> (student_state, metrics).
 
     ``student_steps=1``: single forward at t=0, output IS the trajectory
     (reference distill.py:191-195). ``student_steps=K>1``: differentiable
     K-step DDIM rollout of the student (epsilon-predicting) against the
-    teacher trajectory."""
+    teacher trajectory.
+
+    ``guidance_scale != 1`` with ``guidance_null`` modality names runs the
+    TEACHER rollout with classifier-free guidance (the unconditional
+    branch nulls those modalities, data/pipeline.py null_modalities) while
+    the student still consumes only the conditional context — guidance
+    distillation (Meng & Salimans 2023): the student bakes the amplified
+    conditioning in and needs no doubled-batch CFG at serve time. No
+    reference counterpart (the reference's distillation is unguided,
+    distill.py:172-198)."""
     if student_steps < 1:
         raise ValueError(f"student_steps must be >= 1, got {student_steps}")
+    guided = guidance_scale != 1.0 and bool(guidance_null)
 
     def step_fn(state: TrainState, teacher_params, batch, rng_seed):
+        from soccerdiffusion_tpu.data.pipeline import null_modalities
+
         rng = jax.random.fold_in(jax.random.key(rng_seed), state.step)
         bsz = batch["joint_command"].shape[0]
         shape = (
@@ -89,12 +103,23 @@ def make_distill_step(
 
         # Teacher: encode once, then the full DDIM rollout — all frozen.
         context = model.apply(teacher_vars, batch, False, method=model.encode_context)
+        if guided:
+            context_u = model.apply(teacher_vars, null_modalities(batch, guidance_null),
+                                    False, method=model.encode_context)
 
-        def denoise_fn(x, t):
-            return model.apply(
-                teacher_vars, context, x, jnp.full((bsz,), t, jnp.int32),
-                method=model.denoise,
-            )
+            def denoise_fn(x, t):
+                tt = jnp.full((bsz,), t, jnp.int32)
+                eps_c = model.apply(teacher_vars, context, x, tt,
+                                    method=model.denoise)
+                eps_u = model.apply(teacher_vars, context_u, x, tt,
+                                    method=model.denoise)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+        else:
+            def denoise_fn(x, t):
+                return model.apply(
+                    teacher_vars, context, x, jnp.full((bsz,), t, jnp.int32),
+                    method=model.denoise,
+                )
 
         teacher_traj = jax.lax.stop_gradient(
             ddim_sample(schedule, denoise_fn, noise, teacher_inference_steps)
@@ -141,6 +166,11 @@ def main(argv=None):
                         help="student DDIM steps: 1 = reference-style t=0 "
                              "forward; K>1 = few-step trajectory-matching "
                              "student served with T=K")
+    parser.add_argument("--guidance", type=str, default=None,
+                        help="guidance distillation: SCALE[@MODALITY,...] "
+                             "(e.g. '3.0@image') — the teacher rollout runs "
+                             "with classifier-free guidance and the student "
+                             "bakes it in (no CFG cost at serve time)")
     parser.add_argument("--dummy-data", action="store_true")
     parser.add_argument("--device-data", action="store_true",
                         help="upload the whole dataset to the device once "
@@ -209,10 +239,22 @@ def main(argv=None):
             batch_stats=jax.tree.map(jnp.asarray, ckpt["state"]["batch_stats"]))
     normalizer = ckpt["norm"]
 
+    g_scale, g_null = 1.0, ()
+    if args.guidance is not None:
+        from soccerdiffusion_tpu.data.pipeline import parse_guidance_spec
+
+        try:
+            g_scale, g_null = parse_guidance_spec(args.guidance)
+        except ValueError as e:
+            parser.error(str(e))
+        logger.info(f"guidance distillation: teacher CFG w={g_scale:g} "
+                    f"nulling {list(g_null)}")
+
     distill_step = make_distill_step(
         model, schedule, optimizer,
         teacher_inference_steps=config.train.distill_teacher_inference_steps,
         student_steps=args.student_steps,
+        guidance_scale=g_scale, guidance_null=g_null,
     )
     metrics_logger = MetricsLogger(args.metrics, log_every=config.train.log_every)
 
@@ -223,6 +265,12 @@ def main(argv=None):
         # few-step student: epsilon-predicting, served by the standard DDIM
         # machinery (incl. the fused chunk kernel) with T=K
         params["distilled_num_steps"] = args.student_steps
+    if args.guidance is not None:
+        # provenance: the student was trained against the GUIDED teacher
+        # (evaluation/serving need no special handling — the student runs
+        # unguided and the amplification is baked into its weights)
+        params["distilled_guidance_scale"] = g_scale
+        params["distilled_guidance_null"] = list(g_null)
 
     device_data = None
     if args.device_data:

@@ -56,6 +56,7 @@ SLOW_MODULES = {
 }
 SLOW_TESTS = {
     # (module, substring of test id)
+    ("test_distill", "test_cli_guidance_records_provenance"),
     ("test_fused_decoder_layer", "test_policy_forward_and_grads_match"),
     ("test_fused_decoder_layer", "test_grads_match_autodiff"),
     ("test_fused_vit_block", "test_policy_wiring_param_compat_and_grad"),
