@@ -131,8 +131,9 @@ def main():
                            jnp.zeros((B, cfg.trajectory_prediction_length,
                                       cfg.num_joints)),
                            jnp.zeros((B,), jnp.int32))
-    measure("mm_ddim30_fused_chunk_cached", eng30, variables, B,
-            chunks=int(os.environ.get("MM_CHUNKS", "12")))
+    if os.environ.get("MM_DDIM30", "1") != "0":
+        measure("mm_ddim30_fused_chunk_cached", eng30, variables, B,
+                chunks=int(os.environ.get("MM_CHUNKS", "12")))
 
     if os.environ.get("MM_RAW", "1") != "0":
         eng30_raw = RolloutEngine(model, schedule, normalizer,
