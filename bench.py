@@ -371,7 +371,10 @@ def main():
     results_file = os.path.join(REPO, f".bench_points.{os.getpid()}.jsonl")
     if os.path.exists(results_file):
         os.remove(results_file)
-    child_args = [a for a in sys.argv[1:] if a]  # pass flags through verbatim
+    # pass flags through verbatim — including EMPTY values ('--sidecars ""'
+    # means headline-only; filtering empties turned it into a bare
+    # --sidecars and an argparse error in the child, observed 2026-08-20)
+    child_args = list(sys.argv[1:])
     cmd = [sys.executable, os.path.abspath(__file__), "--multi",
            "--results-file", results_file] + child_args
     try:
