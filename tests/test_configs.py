@@ -18,9 +18,11 @@ CONFIGS = sorted(glob.glob(os.path.join(CFG_DIR, "*.yaml")))
 
 def test_configs_present():
     names = {os.path.basename(p) for p in CONFIGS}
-    # the five reference configs + the TPU-native flagship
+    # the five reference configs + the TPU-native flagship + the
+    # TPU-recommended reference-parity variant
     assert {"default.yaml", "larger_model.yaml", "sim_scratch.yaml",
-            "decoder_only.yaml", "vit_flagship.yaml"} <= names
+            "decoder_only.yaml", "vit_flagship.yaml",
+            "default_tpu.yaml"} <= names
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)
@@ -46,3 +48,20 @@ def test_flagship_tpu_native_knobs():
     # whole-stack fused proprio encoders + fused fwd+bwd decoder layer
     assert cfg.encoder_fused_stack
     assert cfg.decoder_fused_block
+
+
+def test_default_tpu_is_default_architecture():
+    """default_tpu.yaml must be ARCHITECTURALLY identical to default.yaml
+    (checkpoints interchange); only the measured training-efficiency knobs
+    differ (docs/perf_notes.md round-4 ResNet MFU ladder: bf16 + remat +
+    B=128 -> 42.5%)."""
+    with open(os.path.join(CFG_DIR, "default.yaml")) as f:
+        ref = yaml.safe_load(f)
+    with open(os.path.join(CFG_DIR, "default_tpu.yaml")) as f:
+        tpu = yaml.safe_load(f)
+    allowed = {"compute_dtype", "remat_image_encoder", "batch_size"}
+    diff = {k for k in set(ref) | set(tpu) if ref.get(k) != tpu.get(k)}
+    assert diff <= allowed, f"unexpected divergence from default.yaml: {diff}"
+    assert tpu["compute_dtype"] == "bfloat16"
+    assert tpu["remat_image_encoder"] is True
+    assert tpu["batch_size"] == 128
