@@ -1,13 +1,18 @@
 """Whole-action-chunk fused sampler: ALL DDIM steps of the 4-layer
 cross-attending decoder as ONE Pallas program per robot block.
 
-Why (docs/perf_notes.md round-2 measurements): on the serving runtime each
-XLA op in a dependent chain costs ~0.2 ms regardless of size, so the 30-step
-sampler (~34 ops/step) costs ~6 ms/step however the loop is expressed (scan /
-unroll / fori all measured equal). This kernel makes the WHOLE chunk one op:
-a ``fori_loop`` over denoising steps runs inside the kernel, weights and
-context stay in VMEM across all steps, and per-step step-token K/V + DDIM
-coefficients come from in-kernel tables.
+Why: the sampler's per-step tensors are small (10x301 attention rows,
+E=128), so the XLA path spends its time moving weights and context through
+HBM once per denoising step and leaving the MXU idle between many tiny
+fusions. This kernel makes the WHOLE chunk one op: a ``fori_loop`` over
+denoising steps runs inside the kernel, weights and context stay resident
+in VMEM across all 30 steps, and per-step step-token K/V + DDIM
+coefficients come from in-kernel tables. The win is fusion/VMEM-residency,
+NOT op-dispatch elimination — a controlled chain test showed no measurable
+per-op overhead inside a compiled program (docs/perf_notes.md "Consequence:
+round 1's ~0.1-0.2 ms per-XLA-op note was a misattribution"); the kernel's
+measured value stands on the carry-fed bench ladder (perf_notes round-2/3
+chunk sweeps).
 
 Design against the measured floors:
   * Per-robot attention matmuls (10x301, head_dim 32) are LATENCY-bound on
@@ -17,7 +22,7 @@ Design against the measured floors:
     with zeroed other-head lanes computes exact per-head scores, 4x fewer
     sub-matmuls, no block-diagonal FLOP waste, exact-width softmax rows.
   * Context K/V are projected IN-KERNEL once per chunk into VMEM scratch,
-    removing the per-chunk XLA packing/precompute ops (each ~0.2 ms).
+    removing the per-chunk XLA packing/precompute passes over HBM.
   * The step-token column is folded into the cross softmax via joint
     normalization (sampling uses one timestep for the whole batch,
     reference ros.py:301-310).

@@ -1,8 +1,11 @@
 """Fused context encoder: ALL modality encoder stacks as ONE Pallas program.
 
 Why: on the serving runtime the XLA ``encode_context`` costs ~17 ms at
-B=1024 (benchmarks/microbench_residual.py) — ~170 small dependent ops at
-the ~0.1-0.2 ms per-op dispatch floor, for ~0.3 ms of actual matmul work.
+B=1024 (benchmarks/microbench_residual.py) — ~170 tiny fusions repeatedly
+streaming weights/activations through HBM for ~0.3 ms of actual matmul
+work (the win is fusion/VMEM residency; perf_notes retracted the earlier
+per-op-dispatch-floor explanation — no measurable per-op overhead exists
+inside a compiled program).
 This kernel runs the action-history, IMU and joint-state transformer
 encoders plus the game-state embedding for a robot block in a single
 program; the per-encoder outputs stitch together with one XLA concat.
