@@ -108,6 +108,18 @@ def main(argv=None):
                              "SCALE[@MODALITY,...] e.g. 2.0@image — pair "
                              "with --set modality_dropout=0.15 so the "
                              "unconditional branch is in-distribution")
+    parser.add_argument("--posterior-mean", type=int, default=0,
+                        help="K>1: posterior-mean boundary rows for the "
+                             "teacher AND every student, each with its "
+                             "NFE/replan cost (evaluation/report.py)")
+    parser.add_argument("--student-guidance", type=str, default=None,
+                        help="distill the students from a CFG-guided "
+                             "teacher, SCALE[@MODALITY,...] (training/"
+                             "distill.py --guidance)")
+    parser.add_argument("--student-teacher-draws", type=int, default=1,
+                        help="K>1: distill the students from the "
+                             "POSTERIOR-MEAN teacher (average of K "
+                             "rollouts; distill.py --teacher-draws)")
     parser.add_argument("--windows", type=int, default=256)
     parser.add_argument("--chunks", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
@@ -195,13 +207,18 @@ def main(argv=None):
         d_epochs = max(1, -(-args.distill_steps // steps_per_epoch))
         logger.info(f"[ledger] distilling {k}-step student: "
                     f"{args.distill_steps} steps")
-        distill_mod.main([
+        distill_argv = [
             str(cfg_path), str(teacher), "--student-steps", str(k),
             "--dummy-data", "--epochs", str(d_epochs),
             "--steps-per-epoch", str(steps_per_epoch),
             "-o", str(out), "--seed", str(args.seed),
             "--metrics", str(workdir / f"student{k}_metrics.jsonl"),
-        ] + device_flag)
+        ]
+        if args.student_guidance:
+            distill_argv += ["--guidance", args.student_guidance]
+        if args.student_teacher_draws > 1:
+            distill_argv += ["--teacher-draws", str(args.student_teacher_draws)]
+        distill_mod.main(distill_argv + device_flag)
         students.append(out)
 
     report_argv = ["--teacher", str(teacher), "--dummy-data",
@@ -214,6 +231,8 @@ def main(argv=None):
         report_argv += ["--solver-row", row]
     for row in args.guidance_rows:
         report_argv += ["--guidance-row", row]
+    if args.posterior_mean > 1:
+        report_argv += ["--posterior-mean", str(args.posterior_mean)]
     result = report_mod.main(report_argv)
 
     # fold the teacher's learning curve tail into the ledger

@@ -147,11 +147,15 @@ def markdown_report(result: dict) -> str:
                       f"estimator class the Bayes-oracle rows use; a single "
                       f"draw's posterior variance inflates both sides of "
                       f"the single-draw ratios above; "
-                      f"{pm['num_windows']} windows):", "",
-                  "| sampler | true MSE | shuffled-img MSE | ratio |",
-                  "|---|---|---|---|"]
+                      f"{pm['num_windows']} windows; NFE/replan = denoiser "
+                      f"evaluations per served action chunk — the serving "
+                      f"cost of the row):", "",
+                  "| checkpoint | sampler | NFE/replan | true MSE | "
+                  "shuffled-img MSE | ratio |",
+                  "|---|---|---|---|---|---|"]
         for row in pm["rows"]:
-            lines.append(f"| {row['sampler']} | {row['true_mse']:.5f} | "
+            lines.append(f"| {row.get('name', 'teacher')} | {row['sampler']} "
+                         f"| {row.get('nfe', '?')} | {row['true_mse']:.5f} | "
                          f"{row['shuffled_mse']:.5f} | "
                          f"**{row['ratio_shuffled_over_true']:.2f}x** |")
     orc = result.get("oracle_open_loop")
@@ -336,49 +340,6 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
                         else float("nan"))
             result["guidance"].append(row)
 
-    if (posterior_mean_k > 1 and not t_distilled
-            and getattr(config.model, "use_images", False)
-            and hasattr(dataset, "image_boundary_indices")):
-        # Posterior-mean estimator on the boundary windows: average K
-        # sampled trajectories per context before the MSE. The Bayes-oracle
-        # rows are conditional MEANS, while a single diffusion draw carries
-        # the full posterior variance — variance that inflates BOTH the
-        # true-image and shuffled-image MSE and so dilutes their ratio.
-        # Averaging matches the estimator classes; rows are labelled
-        # xmeanK and recorded alongside (never instead of) the single-draw
-        # rows above.
-        b_all = dataset.image_boundary_indices()
-        if len(b_all):
-            rng = np.random.default_rng(seed + 5)
-            b_idx = np.sort(rng.permutation(b_all)[:len(indices)])
-            pm_rows = []
-            for scale, mods in [(1.0, ())] + [
-                    (s, m) for s, m in guidance_rows if "image" in m]:
-                logger.info(f"posterior-mean (K={posterior_mean_k}) boundary "
-                            f"open loop: scale {scale}")
-                kw = dict(batch_size=batch_size, seed=seed,
-                          mean_of=posterior_mean_k)
-                if scale != 1.0:
-                    kw.update(guidance_scale=scale, guidance_null=mods)
-                pm_t = open_loop_metrics(model, t_vars, normalizer, schedule,
-                                         dataset, b_idx, t_steps,
-                                         t_distilled, **kw)
-                pm_s = open_loop_metrics(model, t_vars, normalizer, schedule,
-                                         dataset, b_idx, t_steps,
-                                         t_distilled, shuffle_keys=IMAGE_KEYS,
-                                         **kw)
-                pm_rows.append({
-                    "scale": scale, "sampler": pm_t["sampler"],
-                    "true_mse": pm_t["mse"], "shuffled_mse": pm_s["mse"],
-                    "ratio_shuffled_over_true":
-                        pm_s["mse"] / pm_t["mse"] if pm_t["mse"] > 0
-                        else float("nan"),
-                })
-            result["posterior_mean_boundary"] = {
-                "k": posterior_mean_k, "num_windows": int(len(b_idx)),
-                "rows": pm_rows,
-            }
-
     def eval_row(name, s_vars, s_steps, s_distilled, solver="ddim"):
         """One non-teacher row: open-loop vs ground truth, agreement and
         closed-loop divergence vs the teacher (distilled students and
@@ -404,13 +365,77 @@ def run_report(teacher: str, students: list[str], dataset, windows: int,
             "divergence": divergence,
         })
 
+    loaded_students = []
     for spath in students:
         s_params, s_vars, _, s_steps, s_distilled = _load(spath, prefer_ema)
         eval_row(Path(spath).name, s_vars, s_steps, s_distilled)
+        loaded_students.append((Path(spath).name, s_vars, s_steps, s_distilled))
 
     for solver, steps in solver_rows:
         eval_row(f"teacher+{solver_label(solver, steps)}", t_vars, steps,
                  False, solver=solver)
+
+    if (posterior_mean_k > 1
+            and getattr(config.model, "use_images", False)
+            and hasattr(dataset, "image_boundary_indices")
+            and len(dataset.image_boundary_indices())):
+        # Posterior-mean estimator on the boundary windows: average K
+        # sampled trajectories per context before the MSE. The Bayes-oracle
+        # rows are conditional MEANS, while a single diffusion draw carries
+        # the full posterior variance — variance that inflates BOTH the
+        # true-image and shuffled-image MSE and so dilutes their ratio.
+        # Averaging matches the estimator classes; rows are labelled
+        # xmeanK and recorded alongside (never instead of) the single-draw
+        # rows above. Every checkpoint gets rows — INCLUDING distilled /
+        # few-step students (their independent start noises are the draws;
+        # a posterior-mean-distilled student's draws collapse toward the
+        # mean, which is exactly the deployable behavior being evidenced)
+        # — and each row carries its serving cost as `nfe` (denoiser
+        # evaluations per replan: steps x draws, x2 under CFG), so a
+        # "deployable" claim can be read directly off the ledger.
+        b_all = dataset.image_boundary_indices()
+        rng = np.random.default_rng(seed + 5)
+        b_idx = np.sort(rng.permutation(b_all)[:len(indices)])
+        pm_rows = []
+
+        def pm_row(name, vars_, steps, distilled, k, scale=1.0, mods=()):
+            label = f"K={k}" + (f" cfg{scale:g}" if scale != 1.0 else "")
+            logger.info(f"posterior-mean boundary open loop: {name} {label}")
+            kw = dict(batch_size=batch_size, seed=seed)
+            if k > 1:
+                kw["mean_of"] = k
+            if scale != 1.0:
+                kw.update(guidance_scale=scale, guidance_null=mods)
+            pm_t = open_loop_metrics(model, vars_, normalizer, schedule,
+                                     dataset, b_idx, steps, distilled, **kw)
+            pm_s = open_loop_metrics(model, vars_, normalizer, schedule,
+                                     dataset, b_idx, steps, distilled,
+                                     shuffle_keys=IMAGE_KEYS, **kw)
+            nfe = (1 if distilled else steps) * k * (2 if scale != 1.0 else 1)
+            pm_rows.append({
+                "name": name, "scale": scale, "k": k, "nfe": int(nfe),
+                "sampler": pm_t["sampler"],
+                "true_mse": pm_t["mse"], "shuffled_mse": pm_s["mse"],
+                "ratio_shuffled_over_true":
+                    pm_s["mse"] / pm_t["mse"] if pm_t["mse"] > 0
+                    else float("nan"),
+            })
+
+        guided_variants = ([] if t_distilled else
+                           [(s, m) for s, m in guidance_rows if "image" in m])
+        for scale, mods in [(1.0, ())] + guided_variants:
+            pm_row("teacher", t_vars, t_steps, t_distilled, posterior_mean_k,
+                   scale, mods)
+        for s_name, s_vars, s_steps, s_distilled in loaded_students:
+            # single-draw AND posterior-mean: for a student distilled from
+            # a posterior-mean teacher the single draw is already a mean
+            # estimate, so its K=1 row is the cheapest deployable point
+            pm_row(s_name, s_vars, s_steps, s_distilled, 1)
+            pm_row(s_name, s_vars, s_steps, s_distilled, posterior_mean_k)
+        result["posterior_mean_boundary"] = {
+            "k": posterior_mean_k, "num_windows": int(len(b_idx)),
+            "rows": pm_rows,
+        }
 
     if students or solver_rows:
         logger.info("teacher noise-resampling self-consistency")
@@ -448,8 +473,10 @@ def main(argv=None):
                         help="K>1: add boundary-window rows where K sampled "
                              "trajectories are AVERAGED per context before "
                              "the MSE (posterior-mean estimator — the "
-                             "oracle rows' estimator class); runs unguided "
-                             "+ each image guidance row")
+                             "oracle rows' estimator class); teacher runs "
+                             "unguided + each image guidance row, and every "
+                             "--student gets a single-draw AND an xmeanK "
+                             "row, each with its NFE/replan serving cost")
     args = parser.parse_args(argv)
 
     import re

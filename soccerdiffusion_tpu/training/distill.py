@@ -65,6 +65,7 @@ def make_distill_step(
     donate: bool = True,
     guidance_scale: float = 1.0,
     guidance_null: tuple[str, ...] = (),
+    teacher_draws: int = 1,
 ) -> Callable:
     """(student_state, teacher_params, batch, seed) -> (student_state, metrics).
 
@@ -80,9 +81,21 @@ def make_distill_step(
     distillation (Meng & Salimans 2023): the student bakes the amplified
     conditioning in and needs no doubled-batch CFG at serve time. No
     reference counterpart (the reference's distillation is unguided,
-    distill.py:172-198)."""
+    distill.py:172-198).
+
+    ``teacher_draws=K>1`` distills from the POSTERIOR-MEAN teacher: the
+    target is the average of K full teacher rollouts from independent
+    start noises (a ``lax.map`` over draws — sequential, so no K-fold
+    activation memory). The K-draw average is the estimator that met the
+    camera-use criterion in evaluation (open_loop_metrics mean_of), and
+    it is a deterministic function of the context — the student learns to
+    output it directly, collapsing the 480-NFE evaluation-time estimator
+    into its own (1..student_steps)-NFE forward. With K=1 the behavior is
+    exactly the classic path (student consumes the teacher's own noise)."""
     if student_steps < 1:
         raise ValueError(f"student_steps must be >= 1, got {student_steps}")
+    if teacher_draws < 1:
+        raise ValueError(f"teacher_draws must be >= 1, got {teacher_draws}")
     guided = guidance_scale != 1.0 and bool(guidance_null)
 
     def step_fn(state: TrainState, teacher_params, batch, rng_seed):
@@ -121,9 +134,26 @@ def make_distill_step(
                     method=model.denoise,
                 )
 
-        teacher_traj = jax.lax.stop_gradient(
-            ddim_sample(schedule, denoise_fn, noise, teacher_inference_steps)
-        )
+        if teacher_draws > 1:
+            # posterior-mean target: average K independent-noise rollouts.
+            # lax.map keeps the draws sequential (one rollout's activations
+            # live at a time); the student's input noise stays a separate
+            # draw — the target is noise-independent by construction and
+            # the student learns to ignore its noise input.
+            draw_noise = jax.random.normal(
+                jax.random.fold_in(rng, 1),
+                (teacher_draws,) + shape, dtype=jnp.float32)
+            teacher_traj = jax.lax.stop_gradient(jnp.mean(
+                jax.lax.map(
+                    lambda n: ddim_sample(schedule, denoise_fn, n,
+                                          teacher_inference_steps),
+                    draw_noise),
+                axis=0))
+        else:
+            teacher_traj = jax.lax.stop_gradient(
+                ddim_sample(schedule, denoise_fn, noise,
+                            teacher_inference_steps)
+            )
         context = jax.lax.stop_gradient(context)
 
         def loss_fn(params):
@@ -171,6 +201,12 @@ def main(argv=None):
                              "(e.g. '3.0@image') — the teacher rollout runs "
                              "with classifier-free guidance and the student "
                              "bakes it in (no CFG cost at serve time)")
+    parser.add_argument("--teacher-draws", type=int, default=1,
+                        help="K>1: distill from the POSTERIOR-MEAN teacher "
+                             "— the target is the average of K independent-"
+                             "noise teacher rollouts (the estimator the "
+                             "camera-use evidence uses), so the student's "
+                             "single forward outputs the mean directly")
     parser.add_argument("--dummy-data", action="store_true")
     parser.add_argument("--device-data", action="store_true",
                         help="upload the whole dataset to the device once "
@@ -250,11 +286,15 @@ def main(argv=None):
         logger.info(f"guidance distillation: teacher CFG w={g_scale:g} "
                     f"nulling {list(g_null)}")
 
+    if args.teacher_draws > 1:
+        logger.info(f"posterior-mean distillation: teacher target = mean of "
+                    f"{args.teacher_draws} independent rollouts")
     distill_step = make_distill_step(
         model, schedule, optimizer,
         teacher_inference_steps=config.train.distill_teacher_inference_steps,
         student_steps=args.student_steps,
         guidance_scale=g_scale, guidance_null=g_null,
+        teacher_draws=args.teacher_draws,
     )
     metrics_logger = MetricsLogger(args.metrics, log_every=config.train.log_every)
 
@@ -271,6 +311,9 @@ def main(argv=None):
         # unguided and the amplification is baked into its weights)
         params["distilled_guidance_scale"] = g_scale
         params["distilled_guidance_null"] = list(g_null)
+    if args.teacher_draws > 1:
+        # provenance: the target was the K-draw posterior-mean teacher
+        params["distilled_teacher_draws"] = args.teacher_draws
 
     device_data = None
     if args.device_data:

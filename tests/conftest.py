@@ -77,7 +77,10 @@ SLOW_TESTS = {
     ("test_inference", "test_cached_token_rollout_matches_raw_frames"),
     ("test_inference", "test_chunk_fused_rollout_matches_xla_rollout"),
     ("test_evaluation", "test_report_round_trip"),
+    ("test_evaluation", "TestPosteriorMeanReport"),
     ("test_vision_task", "test_image_sensitivity_probe_runs"),
+    ("test_distill", "test_mean_target_differs_and_trains"),
+    ("test_distill", "test_composes_with_guidance"),
 }
 
 

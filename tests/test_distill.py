@@ -139,8 +139,60 @@ class TestGuidanceDistill:
         distill_mod.main([
             str(cfg_path), str(teacher), "-o", str(out), "--dummy-data",
             "--epochs", "1", "--steps-per-epoch", "2",
-            "--guidance", "2.5@action_history"])
+            "--guidance", "2.5@action_history", "--teacher-draws", "2"])
         hp = load_checkpoint(str(out))["hyperparams"]
         assert hp["distilled_decoder"] is True
         assert hp["distilled_guidance_scale"] == 2.5
         assert hp["distilled_guidance_null"] == ["action_history"]
+        assert hp["distilled_teacher_draws"] == 2
+
+
+class TestPosteriorMeanDistill:
+    """Posterior-mean distillation (make_distill_step teacher_draws=K): the
+    target is the average of K independent-noise teacher rollouts."""
+
+    def test_draws1_matches_plain_and_validation(self):
+        import pytest
+
+        ds, model, sched, opt, state = setup()
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        batch = jax.device_put(next(ds.batches(8, shuffle=False)))
+        plain = make_distill_step(model, sched, opt, teacher_inference_steps=5,
+                                  donate=False)
+        d1 = make_distill_step(model, sched, opt, teacher_inference_steps=5,
+                               donate=False, teacher_draws=1)
+        l_plain = float(plain(state, teacher_params, batch, 0)[1]["loss"])
+        assert float(d1(state, teacher_params, batch, 0)[1]["loss"]) == l_plain
+        with pytest.raises(ValueError):
+            make_distill_step(model, sched, opt, teacher_draws=0)
+
+    def test_mean_target_differs_and_trains(self):
+        ds, model, sched, opt, state = setup()
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        batch = jax.device_put(next(ds.batches(8, shuffle=False)))
+        plain = make_distill_step(model, sched, opt, teacher_inference_steps=5,
+                                  donate=False)
+        pm = make_distill_step(model, sched, opt, teacher_inference_steps=5,
+                               donate=False, teacher_draws=4)
+        l_plain = float(plain(state, teacher_params, batch, 0)[1]["loss"])
+        l_pm = float(pm(state, teacher_params, batch, 0)[1]["loss"])
+        assert np.isfinite(l_pm) and l_pm != l_plain
+        losses = []
+        for epoch in range(4):
+            for b in ds.batches(8, shuffle=True, seed=epoch):
+                state, m = pm(state, teacher_params, jax.device_put(b), 0)
+                losses.append(float(m["loss"]))
+        assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:3])
+
+    def test_composes_with_guidance(self):
+        """--guidance + --teacher-draws together: each draw's rollout runs
+        CFG-guided; the averaged guided target is finite and trainable."""
+        ds, model, sched, opt, state = setup()
+        teacher_params = jax.tree.map(jnp.copy, state.params)
+        batch = jax.device_put(next(ds.batches(8, shuffle=False)))
+        both = make_distill_step(model, sched, opt, teacher_inference_steps=5,
+                                 donate=False, guidance_scale=3.0,
+                                 guidance_null=("action_history",),
+                                 teacher_draws=3)
+        state, m = both(state, teacher_params, batch, 0)
+        assert np.isfinite(float(m["loss"]))

@@ -443,3 +443,118 @@ class TestVisionOracle:
         ds = WindowedDataset.from_dummy(dummy, CFG)
         with pytest.raises(ValueError):
             vision_oracle_open_loop(ds, [0, 1])
+
+
+class TestPosteriorMeanReport:
+    """Posterior-mean boundary rows (report.py): every checkpoint —
+    including distilled students — gets rows, each carrying its NFE/replan
+    serving cost (VERDICT r4: the deployable point must be measurable with
+    the estimator that met the camera-use bar)."""
+
+    def test_rows_cover_students_with_nfe(self, tmp_path):
+        from soccerdiffusion_tpu.evaluation.report import main as report_main
+        from soccerdiffusion_tpu.training.checkpoint import save_checkpoint
+
+        params = {
+            "num_joints": 8, "hidden_dim": 32,
+            "trajectory_prediction_length": 10,
+            "action_context_length": 20, "joint_state_context_length": 20,
+            "imu_context_length": 20, "use_images": True,
+            "image_context_length": 2, "image_resolution": 32,
+            "image_encoder_type": "vit", "vit_patch_size": 8,
+            "vit_width": 32, "vit_depth": 1,
+            "num_image_sequence_encoder_layers": 1,
+            "use_imu": False, "use_gamestate": False,
+            "num_action_history_encoder_layers": 1, "num_decoder_layers": 1,
+            "train_denoising_timesteps": 50,
+            "distill_teacher_inference_steps": 5,
+            "dummy_task": "vision", "modality_dropout": 0.2,
+        }
+        from soccerdiffusion_tpu.config import Config
+        from soccerdiffusion_tpu.data import WindowedDataset, generate_dummy_arrays
+        from soccerdiffusion_tpu.data.normalizer import Normalizer
+
+        cfg = Config.from_dict(params)
+        model = DiffusionPolicy(cfg.model)
+        dummy = generate_dummy_arrays(2, 300, num_joints=8, image_size=32,
+                                      task="vision", seed=3)
+        ds = WindowedDataset.from_dummy(dummy, cfg.model)
+        opt = make_optimizer(1e-3, total_steps=10, use_onecycle=False)
+        batch = next(ds.batches(4, shuffle=False))
+        state = create_train_state(model, jax.device_put(batch), opt,
+                                   jax.random.key(0), 10, 8)
+        norm = Normalizer.identity(8)
+        teacher = tmp_path / "teacher.ckpt"
+        save_checkpoint(str(teacher), state, norm, params, 0)
+        student = tmp_path / "student1.ckpt"
+        save_checkpoint(str(student), state, norm,
+                        dict(params, distilled_decoder=True,
+                             distilled_teacher_draws=2), 0)
+
+        out = tmp_path / "report"
+        result = report_main([
+            "--teacher", str(teacher), "--student", str(student),
+            "--dummy-data", "--windows", "8", "--chunks", "2",
+            "--batch-size", "8", "--out", str(out),
+            "--guidance-row", "2.0@image", "--posterior-mean", "2",
+        ])
+        pm = result["posterior_mean_boundary"]
+        rows = {(r["name"], r["k"], r["scale"]): r for r in pm["rows"]}
+        # teacher: unguided + the image guidance row, both at K=2
+        assert rows[("teacher", 2, 1.0)]["nfe"] == 5 * 2
+        assert rows[("teacher", 2, 2.0)]["nfe"] == 5 * 2 * 2
+        # student (distilled single-forward): K=1 single-draw (1 NFE,
+        # the cheapest deployable point) and the xmeanK row (K NFEs)
+        assert rows[("student1.ckpt", 1, 1.0)]["nfe"] == 1
+        assert rows[("student1.ckpt", 2, 1.0)]["nfe"] == 2
+        for r in pm["rows"]:
+            assert np.isfinite(r["true_mse"]) and np.isfinite(r["shuffled_mse"])
+        md = out.with_suffix(".md").read_text()
+        assert "NFE/replan" in md and "distilled1" in md
+
+    def test_distilled_teacher_gets_rows(self, tmp_path):
+        """A distilled checkpoint passed as --teacher must still produce
+        posterior-mean rows (the r4 gate excluded it); guidance rows are
+        skipped for it (no score to guide) without error."""
+        from soccerdiffusion_tpu.evaluation.report import main as report_main
+        from soccerdiffusion_tpu.training.checkpoint import save_checkpoint
+
+        params = {
+            "num_joints": 8, "hidden_dim": 32,
+            "trajectory_prediction_length": 10,
+            "action_context_length": 20, "joint_state_context_length": 20,
+            "imu_context_length": 20, "use_images": True,
+            "image_context_length": 2, "image_resolution": 32,
+            "image_encoder_type": "vit", "vit_patch_size": 8,
+            "vit_width": 32, "vit_depth": 1,
+            "num_image_sequence_encoder_layers": 1,
+            "use_imu": False, "use_gamestate": False,
+            "num_action_history_encoder_layers": 1, "num_decoder_layers": 1,
+            "train_denoising_timesteps": 50,
+            "distill_teacher_inference_steps": 5,
+            "dummy_task": "vision", "distilled_decoder": True,
+        }
+        from soccerdiffusion_tpu.config import Config
+        from soccerdiffusion_tpu.data import WindowedDataset, generate_dummy_arrays
+        from soccerdiffusion_tpu.data.normalizer import Normalizer
+
+        cfg = Config.from_dict(params)
+        model = DiffusionPolicy(cfg.model)
+        dummy = generate_dummy_arrays(2, 300, num_joints=8, image_size=32,
+                                      task="vision", seed=3)
+        ds = WindowedDataset.from_dummy(dummy, cfg.model)
+        opt = make_optimizer(1e-3, total_steps=10, use_onecycle=False)
+        batch = next(ds.batches(4, shuffle=False))
+        state = create_train_state(model, jax.device_put(batch), opt,
+                                   jax.random.key(0), 10, 8)
+        ckpt = tmp_path / "student_as_teacher.ckpt"
+        save_checkpoint(str(ckpt), state, Normalizer.identity(8), params, 0)
+        out = tmp_path / "report_d"
+        result = report_main([
+            "--teacher", str(ckpt), "--dummy-data", "--windows", "8",
+            "--chunks", "2", "--batch-size", "8", "--out", str(out),
+            "--guidance-row", "2.0@image", "--posterior-mean", "2",
+        ])
+        pm = result["posterior_mean_boundary"]
+        assert len(pm["rows"]) == 1  # unguided only; guided skipped
+        assert pm["rows"][0]["nfe"] == 2  # distilled: 1 step x K=2
