@@ -25,6 +25,12 @@ BASELINE.json (>=4096 rollouts on a v5e-8 at <10 ms per 30-step chunk
 => 4096/8 robots * 100 chunks/s = 51200 chunks/s/chip). The reference
 itself publishes no numbers (BASELINE.md).
 
+The default point set also records the training-MFU north star (`mfu`
+sidecar, measure_mfu): the committed vit_flagship train step on a
+device-resident synthetic batch, chain-differenced, with FLOPs from XLA
+cost analysis of the unfused twin — so BENCH_r*.json carries the >=45%
+MFU target as driver evidence, not a builder-only claim.
+
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
 
@@ -188,6 +194,123 @@ def measure(args) -> dict:
     }
 
 
+def measure_mfu(args) -> dict:
+    """Training-MFU probe: the flagship train step on a device-resident
+    synthetic batch, chain-differenced (VERDICT r4 item 2 — the >=45% MFU
+    north star must be driver-recorded, not builder-only).
+
+    Protocol: vit_flagship.yaml exactly as committed (fused fwd+bwd ViT
+    blocks, quick-GELU, fused encoder stack + decoder layer, bf16) at the
+    recorded B=256 geometry with pre-patchified uint8 frames (the packed
+    production layout, data/pipeline.patchify_frames). FLOPs come from XLA
+    cost analysis of the mathematically identical unfused step at B=64
+    scaled linearly (Pallas custom calls are invisible to cost analysis;
+    same accounting as benchmarks/train_mfu.py). Timing: the step is
+    carry-fed (the donated state differs every call, so the tunnel result
+    cache cannot replay it) and the constant drain/RTT overhead of the
+    final fetch is removed by differencing two loop lengths:
+    per-step = (t(K_hi) - t(K_lo)) / (K_hi - K_lo).
+    """
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import dataclasses
+
+    import jax.numpy as jnp  # noqa: F401  (device_batch uses jnp via numpy)
+    import numpy as np
+    import yaml
+
+    from soccerdiffusion_tpu.config import Config
+    from soccerdiffusion_tpu.data import Normalizer
+    from soccerdiffusion_tpu.data.pipeline import prepare_batch
+    from soccerdiffusion_tpu.diffusion import make_schedule
+    from soccerdiffusion_tpu.models import DiffusionPolicy
+    from soccerdiffusion_tpu.training.trainer import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from soccerdiffusion_tpu.utils.profiling import (
+        device_peak_flops,
+        estimate_flops,
+    )
+
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    from train_mfu import device_batch
+
+    cfg_path = os.path.join(REPO, "soccerdiffusion_tpu", "training",
+                            "configs", "vit_flagship.yaml")
+    with open(cfg_path) as f:
+        config = Config.from_dict(yaml.safe_load(f))
+    cfg = config.model
+    b = args.mfu_batch
+    model = DiffusionPolicy(cfg)
+    schedule = make_schedule(config.train.train_denoising_timesteps)
+    rng = np.random.default_rng(0)
+    batch = device_batch(cfg, b, rng)
+    optimizer = make_optimizer(config.train.lr, 1000)
+    state = create_train_state(
+        model, prepare_batch(batch), optimizer, jax.random.key(0),
+        cfg.trajectory_prediction_length, cfg.num_joints,
+        ema=config.train.ema_decay > 0.0,
+    )
+    train_step = make_train_step(model, schedule, optimizer,
+                                 Normalizer.identity(cfg.num_joints),
+                                 ema_decay=config.train.ema_decay)
+
+    # FLOPs: unfused twin at B=64, scaled (cost analysis cannot see inside
+    # Pallas custom calls; FLOPs are linear in batch)
+    plain_model = DiffusionPolicy(dataclasses.replace(
+        cfg, vit_fused_block=False, encoder_fused_stack=False,
+        decoder_fused_block=False))
+    plain_step = make_train_step(plain_model, schedule, optimizer,
+                                 Normalizer.identity(cfg.num_joints),
+                                 donate=False)
+    small = device_batch(cfg, 64, rng)
+    flops = estimate_flops(plain_step, state, small, 0) * (b / 64)
+    del small
+    if not flops:
+        raise RuntimeError("FLOPs estimation failed; not recording mfu=0")
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state, batch, 0)
+    jax.block_until_ready(metrics["loss"])
+    log(f"mfu probe compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    k_hi, k_lo = args.mfu_steps, max(2, args.mfu_steps // 4)
+    timings = {}
+    for k in (k_lo, k_hi):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, metrics = train_step(state, batch, 0)
+        jax.block_until_ready(metrics["loss"])
+        timings[k] = time.perf_counter() - t0
+        log(f"mfu probe: {k} steps in {timings[k]:.2f}s "
+            f"(loss {float(metrics['loss']):.4f})")
+    dt = (timings[k_hi] - timings[k_lo]) / (k_hi - k_lo)
+    raw_dt = timings[k_hi] / k_hi
+    if dt <= 0 or dt > raw_dt * 1.05:
+        log(f"mfu differencing unstable (diff {dt * 1e3:.1f} vs raw "
+            f"{raw_dt * 1e3:.1f} ms); falling back to the raw number")
+        dt = raw_dt
+    peak = device_peak_flops()
+    if not (0 < flops / dt / peak < 1.0):
+        raise RuntimeError(
+            f"implausible MFU {flops / dt / peak:.3f}; not recording")
+    return {
+        "mfu": round(flops / dt / peak, 4),
+        "mfu_config": "vit_flagship",
+        "mfu_batch": b,
+        "mfu_step_ms": round(dt * 1e3, 1),
+        "mfu_samples_per_sec": round(b / dt, 1),
+        "mfu_flops_per_step": flops,
+        "mfu_loss_finite": bool(np.isfinite(float(metrics["loss"]))),
+    }
+
+
 def run_child(extra: list[str], timeout: int) -> dict | None:
     cmd = [sys.executable, os.path.abspath(__file__), "--inline"] + extra
     try:
@@ -221,6 +344,7 @@ def point_overrides(args) -> dict[str, dict]:
     k = args.chunks
     return {
         "headline": {},
+        "mfu": {},  # training-MFU probe (measure_mfu; no rollout overrides)
         "distilled1": {"steps": 1, "distilled": True, "solver": "ddim",
                        "chunks": 4 * k,
                        "fused_block": args.fused_block_distilled},
@@ -233,8 +357,8 @@ def point_overrides(args) -> dict[str, dict]:
     }
 
 
-DEFAULT_SIDECARS = "distilled1,ddim4"
-FULL_SIDECARS = "distilled1,ddim4,dpmpp10,lat64,ddim2,patch5,int8kv"
+DEFAULT_SIDECARS = "mfu,distilled1,ddim4"
+FULL_SIDECARS = "mfu,distilled1,ddim4,dpmpp10,lat64,ddim2,patch5,int8kv"
 
 
 def run_multi(args) -> None:
@@ -272,7 +396,7 @@ def run_multi(args) -> None:
             setattr(pa, key, val)
         tp = time.monotonic()
         try:
-            res = measure(pa)
+            res = measure_mfu(pa) if name == "mfu" else measure(pa)
         except SystemExit as e:
             log(f"point {name} invalid (rc {e.code}); recording failure")
             out.write(json.dumps({"point": name,
@@ -339,6 +463,12 @@ def main():
                         help="total wall budget (s); when it runs short, "
                              "remaining sidecars are SKIPPED, never the run "
                              "killed — the headline is always attempted")
+    parser.add_argument("--mfu-steps", type=int, default=16,
+                        help="(mfu sidecar) K_hi of the chain-differenced "
+                             "train-step timing; K_lo = K/4")
+    parser.add_argument("--mfu-batch", type=int, default=256,
+                        help="(mfu sidecar) flagship train batch (256 is "
+                             "the recorded 50.4%%-MFU geometry)")
     parser.add_argument("--sidecars", type=str, default=DEFAULT_SIDECARS,
                         help="comma list of extra recorded points (priority "
                              "order is fixed: %s); 'full' = all of them, "
@@ -423,6 +553,11 @@ def main():
         side = points.get(name)
         if side is None or "failed" in side or "skipped" in side:
             skipped.append(name)
+            continue
+        if name == "mfu":
+            # training-MFU probe: its fields are already mfu-prefixed
+            side.pop("point_wall_s", None)
+            result.update(side)
             continue
         result[f"{name}_chunks_per_sec_per_chip"] = side["value"]
         result[f"{name}_p50_replan_period_ms"] = side["p50_replan_period_ms"]

@@ -29,7 +29,15 @@ def _run_multi(monkeypatch, tmp_path, cli):
                 "vs_baseline": 0.02, "p50_replan_period_ms": 1.0,
                 "sampler_path": args.sampler, "batch_robots": args.batch}
 
+    def fake_measure_mfu(args):
+        seen.append(args)
+        return {"mfu": 0.5, "mfu_config": "vit_flagship",
+                "mfu_batch": args.mfu_batch, "mfu_step_ms": 80.0,
+                "mfu_samples_per_sec": 3200.0,
+                "mfu_flops_per_step": 1e12, "mfu_loss_finite": True}
+
     monkeypatch.setattr(bench, "measure", fake_measure)
+    monkeypatch.setattr(bench, "measure_mfu", fake_measure_mfu)
     spool = tmp_path / "points.jsonl"
     monkeypatch.setattr(sys, "argv", ["bench.py", "--multi",
                                       "--results-file", str(spool)] + cli)
@@ -68,11 +76,14 @@ class TestMultiChild:
         assert seen[2].kv_quant == "int8"
         assert seen[3].batch == 64
 
-    def test_default_sidecar_set_is_north_star_pair(self, monkeypatch,
-                                                    tmp_path):
+    def test_default_sidecar_set_is_mfu_plus_north_star_pair(self,
+                                                             monkeypatch,
+                                                             tmp_path):
         _, records = _run_multi(monkeypatch, tmp_path, [])
         assert [r["point"] for r in records] == \
-            ["headline", "distilled1", "ddim4"]
+            ["headline", "mfu", "distilled1", "ddim4"]
+        mfu = next(r for r in records if r["point"] == "mfu")
+        assert mfu["mfu"] == 0.5
 
     def test_full_expands(self, monkeypatch, tmp_path):
         _, records = _run_multi(monkeypatch, tmp_path, ["--sidecars", "full"])
@@ -143,9 +154,31 @@ class TestParentAssembly:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["value"] == 100.0
         assert out["distilled1_chunks_per_sec_per_chip"] == 500.0
-        assert out["sidecars_skipped"] == "ddim4"
+        assert out["sidecars_skipped"] == "mfu,ddim4"
         assert "point_wall_s" not in out
         assert "bench_wall_s" in out
+
+    def test_mfu_point_lifts_into_top_level(self, monkeypatch, capsys):
+        """VERDICT r4 item 2: the driver-recorded JSON line must carry the
+        training-MFU north star as `mfu` (plus its detail fields)."""
+        point = {"metric": "m", "value": 100.0, "unit": "chunks/s/chip",
+                 "vs_baseline": 0.1, "p50_replan_period_ms": 2.0,
+                 "sampler_path": "chunk", "batch_robots": 1024}
+        monkeypatch.setattr(bench.subprocess, "run", _fake_child([
+            dict(point, point="headline"),
+            {"point": "mfu", "mfu": 0.487, "mfu_config": "vit_flagship",
+             "mfu_batch": 256, "mfu_step_ms": 81.2,
+             "mfu_samples_per_sec": 3152.0, "mfu_flops_per_step": 1.25e13,
+             "mfu_loss_finite": True, "point_wall_s": 60.0},
+        ]))
+        monkeypatch.setattr(sys, "argv", ["bench.py", "--sidecars", "mfu"])
+        bench.main()
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["mfu"] == 0.487
+        assert out["mfu_config"] == "vit_flagship"
+        assert out["value"] == 100.0
+        assert "point_wall_s" not in out
+        assert "sidecars_skipped" not in out
 
     def test_deployment_headline_fields_from_ddim4(self, monkeypatch,
                                                    capsys):
@@ -203,4 +236,4 @@ class TestParentAssembly:
         bench.main()
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["value"] == 42.0
-        assert out["sidecars_skipped"] == "distilled1,ddim4"
+        assert out["sidecars_skipped"] == "mfu,distilled1,ddim4"
