@@ -41,6 +41,39 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def distinct_carry(engine, batch_robots, key):
+    """A rollout carry whose LARGE input buffers are all distinct per call.
+
+    ``engine.init`` zero-fills every controller/plant buffer, so two
+    timed calls would share identical image/history buffers and differ
+    only in the tiny rng leaf — exactly the shape of input the tunnel
+    runtime has been observed serving from its result cache (CLAUDE.md
+    "BENCHMARK VALIDITY"; the r4 raw-frames lane recorded an invalid
+    0.8 ms iter-0 this way, docs/serve_mm_r4.log). Small per-call noise
+    on every major buffer (the chunk microbenches' noise-input pattern)
+    makes each call's inputs unique without changing the measured work.
+    """
+    carry = engine.init(batch_robots, key)
+    k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, 1), 4)
+    ctrl = carry.controller
+    upd = dict(
+        joint_command_history=ctrl.joint_command_history
+        + 0.01 * jax.random.normal(k1, ctrl.joint_command_history.shape),
+        joint_state_history=ctrl.joint_state_history
+        + 0.01 * jax.random.normal(k2, ctrl.joint_state_history.shape),
+    )
+    if ctrl.images is not None:
+        upd["images"] = ctrl.images + 0.01 * jax.random.normal(
+            k3, ctrl.images.shape)
+    if ctrl.image_tokens is not None:
+        upd["image_tokens"] = ctrl.image_tokens + 0.01 * jax.random.normal(
+            k3, ctrl.image_tokens.shape)
+    plant = carry.plant.replace(
+        positions=carry.plant.positions
+        + 0.01 * jax.random.normal(k4, carry.plant.positions.shape))
+    return carry.replace(controller=ctrl.replace(**upd), plant=plant)
+
+
 def measure(name, engine, variables, batch_robots, chunks, iters=3):
     # Chain-differenced protocol (CLAUDE.md; same as bench.py): time K_hi
     # and K_lo replan periods inside one jitted scan each, with a fresh
@@ -55,11 +88,12 @@ def measure(name, engine, variables, batch_robots, chunks, iters=3):
     for k in ([k_hi] if k_lo is None else [k_hi, k_lo]):
         rollout = engine.make_rollout_fn(num_chunks=k, jit=True)
         t0 = time.perf_counter()
-        _, out = rollout(variables, engine.init(batch_robots,
-                                                jax.random.key(7 + k)))
+        _, out = rollout(variables, distinct_carry(engine, batch_robots,
+                                                   jax.random.key(7 + k)))
         jax.block_until_ready(out)
         emit(bench=name, k=k, compile_s=round(time.perf_counter() - t0, 1))
-        carries = [engine.init(batch_robots, jax.random.key(100 + 17 * k + i))
+        carries = [distinct_carry(engine, batch_robots,
+                                  jax.random.key(100 + 17 * k + i))
                    for i in range(iters)]
         jax.block_until_ready(carries)
         times = []
