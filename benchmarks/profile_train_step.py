@@ -80,15 +80,25 @@ def main():
         "plain": {"vit_fused_block": False},
         "fused": {},
     }[variant]
+    # PROF_CONFIG selects any shipped YAML (default: the flagship);
+    # PROF_BATCH the batch; PROF_OVERRIDES a JSON dict of config knobs —
+    # e.g. PROF_CONFIG=default_tpu PROF_BATCH=128 PROF_VARIANT=fused for
+    # the ResNet reference-parity step attribution (round-5 item 5).
+    cfg_name = os.environ.get("PROF_CONFIG", "vit_flagship")
     with open(os.path.join(REPO, "soccerdiffusion_tpu", "training", "configs",
-                           "vit_flagship.yaml")) as f:
+                           cfg_name + ".yaml")) as f:
         params = yaml.safe_load(f)
-    params.update(overrides)
+    if cfg_name == "vit_flagship":
+        params.update(overrides)
+    extra = os.environ.get("PROF_OVERRIDES")
+    if extra:
+        params.update(json.loads(extra))
     config = Config.from_dict(params)
     cfg = config.model
     model = DiffusionPolicy(cfg)
     schedule = make_schedule(config.train.train_denoising_timesteps)
-    batch = device_batch(cfg, 256, np.random.default_rng(0))
+    batch = device_batch(cfg, int(os.environ.get("PROF_BATCH", "256")),
+                         np.random.default_rng(0))
     optimizer = make_optimizer(config.train.lr, 1000)
     state = create_train_state(model, prepare_batch(batch), optimizer,
                                jax.random.key(0),
@@ -98,7 +108,7 @@ def main():
     state, m = step(state, batch, 0)
     jax.block_until_ready(m["loss"])
 
-    trace_dir = f"/tmp/prof_{variant}"
+    trace_dir = f"/tmp/prof_{cfg_name}_{variant}"
     jax.profiler.start_trace(trace_dir)
     for i in range(1, 1 + TRACE_STEPS):
         state, m = step(state, batch, i)
@@ -111,7 +121,8 @@ def main():
         data = json.load(f)
     agg, total = aggregate_device_ops(data)
     per_step = {k: v / TRACE_STEPS for k, v in agg.items()}
-    print(json.dumps({"variant": variant, "steps": TRACE_STEPS,
+    print(json.dumps({"config": cfg_name, "variant": variant,
+                      "steps": TRACE_STEPS,
                       "total_device_us_per_step": round(total / TRACE_STEPS, 1)}))
     for name, us in sorted(per_step.items(), key=lambda kv: -kv[1])[:40]:
         print(json.dumps({"op": name[:100], "us_per_step": round(us, 1)}))
