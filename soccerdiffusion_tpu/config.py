@@ -100,8 +100,15 @@ class ModelConfig:
     # uses the head-sharded form, anything unshardable falls back to XLA
     attention_impl: str = "auto"
     # remat the per-frame image-encoder blocks in backward (HBM-traffic
-    # optimization for the bandwidth-bound image configs; perf_notes.md)
-    remat_image_encoder: bool = False
+    # optimization for the bandwidth-bound image configs; perf_notes.md).
+    # True = full recompute (store only frame inputs; one extra forward in
+    # the backward). "conv_only" (conv encoders) = SELECTIVE: conv outputs
+    # are saved (jax.checkpoint save_only_these_names) and only the cheap
+    # BN/ReLU elementwise chain is recomputed — ~1/3 the stored
+    # activations of no-remat at near-zero recompute FLOPs, the middle
+    # point that lets the ResNet configs run B=128 without paying the
+    # full-replay forward (round-5 conv-stack lever).
+    remat_image_encoder: bool | str = False
     # ViT image-encoder geometry (TPU-native; no reference counterpart).
     # Defaults keep the round-1 geometry numbers; note round-2 renamed the
     # ViT patch-embed params (patch_embed conv -> patch_kernel/patch_bias

@@ -22,8 +22,10 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from soccerdiffusion_tpu.models.embeddings import PositionalEncoding
 from soccerdiffusion_tpu.models.encoders import SequenceEncoder
@@ -42,16 +44,24 @@ class BasicBlock(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype)
+        # "conv_out" names mark the expensive (MXU) outputs as the saveable
+        # set for remat_image_encoder="conv_only" (jax.checkpoint
+        # save_only_these_names): the backward keeps every conv output and
+        # recomputes only the cheap BN/ReLU elementwise chain. Transparent
+        # (identity) under any other remat setting.
         residual = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                  padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = checkpoint_name(y, "conv_out")
         y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = checkpoint_name(y, "conv_out")
         y = norm(name="bn2")(y)
         if residual.shape != y.shape:
             residual = conv(self.filters, (1, 1), strides=(self.strides, self.strides),
                             name="downsample_conv")(residual)
+            residual = checkpoint_name(residual, "conv_out")
             residual = norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -70,16 +80,17 @@ class BottleneckBlock(nn.Module):
                        epsilon=1e-5, dtype=self.dtype)
         residual = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
-        y = nn.relu(norm(name="bn1")(y))
+        y = nn.relu(norm(name="bn1")(checkpoint_name(y, "conv_out")))
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                  padding=[(1, 1), (1, 1)], name="conv2")(y)
-        y = nn.relu(norm(name="bn2")(y))
+        y = nn.relu(norm(name="bn2")(checkpoint_name(y, "conv_out")))
         y = conv(self.filters * 4, (1, 1), name="conv3")(y)
-        y = norm(name="bn3")(y)
+        y = norm(name="bn3")(checkpoint_name(y, "conv_out"))
         if residual.shape != y.shape:
             residual = conv(self.filters * 4, (1, 1), strides=(self.strides, self.strides),
                             name="downsample_conv")(residual)
-            residual = norm(name="downsample_bn")(residual)
+            residual = norm(name="downsample_bn")(
+                checkpoint_name(residual, "conv_out"))
         return nn.relu(y + residual)
 
 
@@ -103,6 +114,7 @@ class ResNetImageEncoder(nn.Module):
         block = BottleneckBlock if self.bottleneck else BasicBlock
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
@@ -239,7 +251,7 @@ def make_image_encoder(
     use_final_avgpool: bool,
     dtype: Any = jnp.float32,
     attention_impl: str = "xla",
-    remat: bool = False,
+    remat: bool | str = False,
     vit_geometry: tuple = (16, 192, 6),
     vit_fused_block: bool = False,
     vit_fused_block_frames: int = 8,
@@ -249,9 +261,23 @@ def make_image_encoder(
     """Factory mirroring the reference's encoder enum (reference image.py:124-174)."""
     # ViT remats its own transformer blocks; the conv/swin encoders remat
     # the whole per-frame forward so the remat flag is never a silent no-op
-    # (``train`` is static: BatchNorm branches on it in Python)
-    resnet_cls = nn.remat(ResNetImageEncoder, static_argnums=(2,)) if remat \
-        else ResNetImageEncoder
+    # (``train`` is static: BatchNorm branches on it in Python).
+    # remat="conv_only" (conv encoders): selective — save every conv
+    # output ("conv_out" checkpoint_name) and recompute only the BN/ReLU
+    # elementwise chain in the backward.
+    if remat == "conv_only":
+        if encoder_type not in ("resnet18", "resnet50"):
+            raise ValueError(
+                f"remat_image_encoder='conv_only' names the conv outputs of "
+                f"the ResNet encoders; {encoder_type!r} has none — use "
+                f"remat_image_encoder: true")
+        resnet_cls = nn.remat(
+            ResNetImageEncoder, static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names("conv_out"))
+    elif remat:
+        resnet_cls = nn.remat(ResNetImageEncoder, static_argnums=(2,))
+    else:
+        resnet_cls = ResNetImageEncoder
     if encoder_type == "resnet18":
         return resnet_cls(hidden_dim, (2, 2, 2, 2), bottleneck=False,
                           use_final_avgpool=use_final_avgpool, dtype=dtype,
@@ -299,7 +325,7 @@ class ImageSequenceEncoder(nn.Module):
     use_final_avgpool: bool = True
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
-    remat: bool = False
+    remat: bool | str = False  # True | "conv_only" (conv encoders)
     vit_geometry: tuple = (16, 192, 6)
     vit_fused_block: bool = False
     vit_fused_block_frames: int = 8

@@ -66,6 +66,7 @@ SLOW_TESTS = {
     ("test_fused_vit_block", "test_grads_match_autodiff"),
     ("test_packed", "test_train_step_on_packed_image_batch"),
     ("test_vision", "test_swin_tiny_forward"),
+    ("test_vision", "test_matches_full_and_none"),
     ("test_fused_chunk", "test_block_sizes_agree"),
     ("test_fused_chunk", "test_full_chunk_matches_xla_sampler"),
     ("test_fused_chunk", "test_eight_head_parity"),

@@ -200,3 +200,41 @@ class TestFoldedU8Path:
                             method=model.encode_context)
         np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_u),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestConvOnlyRemat:
+    """remat_image_encoder='conv_only': selective remat that saves the conv
+    outputs (checkpoint_name 'conv_out') and recomputes only the BN/ReLU
+    chain — the round-5 ResNet MFU lever. Must be numerically identical to
+    the no-remat and full-remat paths (remat never changes math)."""
+
+    def _loss_and_grads(self, remat, x, train=True):
+        enc = make_image_encoder("resnet18", 16, True, jnp.float32,
+                                 remat=remat)
+        variables = enc.init(jax.random.key(0), x, False)
+
+        def loss_fn(params):
+            out, _ = enc.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train, mutable=["batch_stats"] if train else [])
+            return jnp.sum(out ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return float(loss), grads
+
+    def test_matches_full_and_none(self):
+        x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3),
+                                                        dtype=np.float32))
+        l_none, g_none = self._loss_and_grads(False, x)
+        l_conv, g_conv = self._loss_and_grads("conv_only", x)
+        l_full, g_full = self._loss_and_grads(True, x)
+        assert l_conv == pytest.approx(l_none, rel=1e-5)
+        assert l_full == pytest.approx(l_none, rel=1e-5)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            g_conv, g_none)
+
+    def test_conv_only_rejected_for_vit(self):
+        with pytest.raises(ValueError, match="conv_only"):
+            make_image_encoder("vit", 16, True, jnp.float32,
+                               remat="conv_only")
