@@ -56,6 +56,12 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--db", type=str, default=None,
                         help="dataset DB (default: synthesize dummy data)")
+    parser.add_argument("--csv", type=str, default=None,
+                        help="train from a fetch_data.py CSV instead of a "
+                             "DB (the reference's preliminary input format, "
+                             "ml/preliminary/train_diffusion_context_"
+                             "transformer_robot.py:52-60): timestamp_ns + "
+                             "one column per joint")
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--run", action="store_true",
                         help="skip training; sample/plot only (loads the "
@@ -63,16 +69,43 @@ def main() -> int:
     parser.add_argument("--out", type=str, default="plots/preliminary_context_robot.png")
     args = parser.parse_args()
 
-    db = args.db
-    if db is None:
-        from soccerdiffusion_tpu.cli import main as cli
+    global CFG
+    if args.csv is not None:
+        # fetch_data.py CSV -> a single-recording WindowedDataset; the
+        # joint count comes from the CSV columns (the reference's leg-only
+        # CSVs carry 12 joints, not the canonical 20)
+        import csv as csv_mod
+        import dataclasses
 
-        db = str(Path(tempfile.mkdtemp()) / "prelim.sqlite3")
-        cli(["db", "create-schema", "--db", db])
-        cli(["db", "dummy-data", "-n", "2", "-s", "1200", "-i", "50", "--db", db])
+        from soccerdiffusion_tpu.data.dataset import RecordingArrays
 
-    ds = WindowedDataset.from_sqlite(db, CFG)
-    print(f"{len(ds)} windows from {db}")
+        with open(args.csv, newline="") as f:
+            reader = csv_mod.DictReader(f)
+            joints = [c for c in reader.fieldnames if c != "timestamp_ns"]
+            rows = np.array([[float(r[j]) for j in joints] for r in reader],
+                            dtype=np.float32)
+        CFG = dataclasses.replace(CFG, num_joints=len(joints))
+        rec = RecordingArrays(
+            joint_commands=rows, joint_states=rows.copy(),
+            rotations=np.tile(np.array([0, 0, 0, 1], np.float32),
+                              (len(rows), 1)),
+            game_states=np.zeros((1,), np.int32),
+            game_state_stamps=np.zeros((1,), np.float32),
+            image_stamps=np.zeros((0,), np.float32), images=None)
+        ds = WindowedDataset([rec], CFG)
+        print(f"{len(ds)} windows x {len(joints)} joints from {args.csv}")
+    else:
+        db = args.db
+        if db is None:
+            from soccerdiffusion_tpu.cli import main as cli
+
+            db = str(Path(tempfile.mkdtemp()) / "prelim.sqlite3")
+            cli(["db", "create-schema", "--db", db])
+            cli(["db", "dummy-data", "-n", "2", "-s", "1200", "-i", "50",
+                 "--db", db])
+
+        ds = WindowedDataset.from_sqlite(db, CFG)
+        print(f"{len(ds)} windows from {db}")
     norm = Normalizer.fit(ds.sample_targets(500))
     model = DiffusionPolicy(CFG)
     sched = make_schedule(100)
