@@ -117,16 +117,25 @@ def bench_config(name: str, yaml_path: str, batch_sizes, steps=12,
             train_step = make_train_step(model, schedule, optimizer,
                                          Normalizer.identity(cfg.num_joints),
                                          ema_decay=config.train.ema_decay)
-            if getattr(cfg, "vit_fused_block", False) or getattr(
-                    cfg, "encoder_fused_block", False):
+            if (getattr(cfg, "vit_fused_block", False)
+                    or getattr(cfg, "encoder_fused_block", False)
+                    or getattr(cfg, "remat_image_encoder", False)):
                 # XLA cost analysis cannot see FLOPs inside Pallas custom
                 # calls; estimate from the mathematically identical
-                # unfused model instead (same params/shapes).
+                # unfused model instead (same params/shapes). REMAT lanes
+                # take the same twin with remat OFF: cost analysis of a
+                # rematted program counts the recomputed forward as FLOPs,
+                # inflating MFU by the recompute fraction (observed: the
+                # round-4 default_tpu full-remat row carried 17.2 TFLOP vs
+                # the honest 12.9 — its 42.5% was ~31.8% on useful FLOPs).
+                # MFU is USEFUL model FLOPs / time, so recompute never
+                # counts.
                 import dataclasses as _dc
 
                 plain_model = DiffusionPolicy(
                     _dc.replace(cfg, vit_fused_block=False,
-                                encoder_fused_block=False))
+                                encoder_fused_block=False,
+                                remat_image_encoder=False))
                 plain_step = make_train_step(
                     plain_model, schedule, optimizer,
                     Normalizer.identity(cfg.num_joints), donate=False)

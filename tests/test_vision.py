@@ -238,3 +238,32 @@ class TestConvOnlyRemat:
         with pytest.raises(ValueError, match="conv_only"):
             make_image_encoder("vit", 16, True, jnp.float32,
                                remat="conv_only")
+
+
+class TestSavedStatsBatchNorm:
+    def test_bit_identical_to_flax_batchnorm(self):
+        """Same math, params, batch_stats as nn.BatchNorm in both modes —
+        the checkpoint_name tag must be the ONLY difference."""
+        from flax import linen as nn
+
+        from soccerdiffusion_tpu.models.vision import SavedStatsBatchNorm
+
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(4, 8, 8, 16)).astype(np.float32))
+        ref = nn.BatchNorm(use_running_average=None, momentum=0.9,
+                           epsilon=1e-5)
+        new = SavedStatsBatchNorm(use_running_average=None, momentum=0.9,
+                                  epsilon=1e-5)
+        v_ref = ref.init(jax.random.key(0), x, False)
+        v_new = new.init(jax.random.key(0), x, False)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                     v_ref, v_new)
+        y_ref, m_ref = ref.apply(v_ref, x, False, mutable=["batch_stats"])
+        y_new, m_new = new.apply(v_new, x, False, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                     m_ref, m_new)
+        # eval mode on the updated running stats
+        e_ref = ref.apply({**v_ref, **m_ref}, x, True)
+        e_new = new.apply({**v_new, **m_new}, x, True)
+        np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_new))
