@@ -63,5 +63,5 @@ def test_default_tpu_is_default_architecture():
     diff = {k for k in set(ref) | set(tpu) if ref.get(k) != tpu.get(k)}
     assert diff <= allowed, f"unexpected divergence from default.yaml: {diff}"
     assert tpu["compute_dtype"] == "bfloat16"
-    assert tpu["remat_image_encoder"] is True
+    assert tpu["remat_image_encoder"] == "conv_only"
     assert tpu["batch_size"] == 128
